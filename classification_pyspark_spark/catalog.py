@@ -1,0 +1,60 @@
+"""Data catalog: named tables -> DataFrames / temp views.
+
+The reference resolves a YAML data catalog of paths+formats into reads
+(``production/conf/data_catalog/remote.yml:1-36``,
+``src/ta_lib/pyspark/context.py:162-199``). Here the same idea is a
+plain dict catalog plus helpers to load a star-schema directory (the
+driver's /root/testdata layout) and register temp views so both the
+DataFrame API and ``spark.sql`` can address every table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one star-schema table.
+
+    Parquet TIMESTAMP(NANOS) columns (events.ts) are unreadable by
+    Spark's vectorized reader; we read them as raw nanosecond longs
+    (legacy conf, runtime-settable) and convert to microsecond
+    timestamps so downstream code sees a normal TimestampType.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_star_schema(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load every table in ``sf_dir`` as a lazy DataFrame, keyed by name."""
+    return {t: load_table(spark, sf_dir, t) for t in tables}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view for ``spark.sql``."""
+    dfs = load_star_schema(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,339 @@
+"""EDA / profiling operators (SURVEY.md §2.4 A4-A12, §2.11 E1-E8).
+
+Distributed re-expression of the reference's ``eda.py`` / ``dp.py``
+profiling surface. Deliberate departures for 100 TB scale (SURVEY §4
+"anti-patterns to NOT reproduce"):
+
+- every per-column statistic is computed in ONE aggregate pass over the
+  frame (the reference loops columns, launching 1-2 jobs per column,
+  e.g. ``dp.py:34-43``, ``eda.py:331-358``);
+- long-format results are produced with ``unpivot`` on the aggregated
+  one-row frame (metadata-sized), never by collecting the input;
+- modes for all categorical columns come from a single
+  stack -> groupBy -> window top-1 pipeline instead of per-column
+  ``orderBy().collect()[0]`` (``dp.py:768-770``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.coltypes import list_categorical_columns, list_numerical_columns
+
+
+def _is_floating(df: DataFrame, col: str) -> bool:
+    return isinstance(df.schema[col].dataType, (T.FloatType, T.DoubleType))
+
+
+def missing_expr(df: DataFrame, col: str) -> F.Column:
+    """Missing = NULL, folding NaN in for float columns (parity:
+    ``dp.py:608-636`` treats ``isnan | isNull`` as one class)."""
+    c = F.col(col)
+    if _is_floating(df, col):
+        return F.isnan(c) | c.isNull()
+    return c.isNull()
+
+
+def _unpivot_long(one_row: DataFrame, value_name: str, var_name: str = "column") -> DataFrame:
+    """One-row wide frame -> (column, value) long frame. Metadata-sized."""
+    return one_row.unpivot([], one_row.columns, var_name, value_name)
+
+
+def shape(df: DataFrame) -> tuple[int, int]:
+    """(n_rows, n_cols) — parity: ``dp.get_shape`` (``dp.py:104-106``)."""
+    return df.count(), len(df.columns)
+
+
+def missing_values_summary(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column missing counts + percentages in one pass (parity:
+    ``eda.get_missing_values_summary``, ``eda.py:104-143``).
+
+    Output: (column string, n_missing long, pct_missing double).
+    """
+    cols = list(cols or df.columns)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(F.when(missing_expr(df, c), 1)).alias(c) for c in cols],
+    )
+    long = agg.unpivot(["__n"], cols, "column", "n_missing")
+    return long.select(
+        "column",
+        F.col("n_missing").cast("long"),
+        F.round(F.col("n_missing") / F.col("__n") * 100.0, 4).alias("pct_missing"),
+    )
+
+
+def distinct_counts(df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False) -> DataFrame:
+    """Per-column distinct counts, one pass (parity:
+    ``eda.column_values_summary``, ``eda.py:57-82``). ``approx=True``
+    switches to HLL ``approx_count_distinct`` for the 100 TB path.
+
+    Output: (column string, n_distinct long).
+    """
+    cols = list(cols or df.columns)
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    agg = df.agg(*[fn(F.col(c)).alias(c) for c in cols])
+    return _unpivot_long(agg, "n_distinct").select(
+        "column", F.col("n_distinct").cast("long")
+    )
+
+
+def case_consistency(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Flag string columns whose values differ only by case (parity:
+    ``dp.check_column_data_consistency``, ``dp.py:19-47`` — there 2 jobs
+    per column; here one job total).
+
+    Output: (column, n_distinct, n_distinct_lower, is_inconsistent).
+    """
+    cols = list(cols or list_categorical_columns(df))
+    agg = df.agg(
+        *[F.countDistinct(F.col(c)).alias(f"__d_{c}") for c in cols],
+        *[F.countDistinct(F.lower(F.col(c))).alias(f"__l_{c}") for c in cols],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+                        F.col(f"__l_{c}").cast("long").alias("n_distinct_lower"),
+                        (F.col(f"__d_{c}") > F.col(f"__l_{c}")).alias("is_inconsistent"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.*")
+
+
+def health_report(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Data-health one-rower (parity: ``eda.get_health_analysis``,
+    ``eda.py:146-241``): row/col counts, missing-cell ratio,
+    duplicate-row ratio, numeric-column ratio.
+    """
+    n_cols = len(df.columns)
+    n_num = len(list_numerical_columns(df))
+    per_key = df.groupBy(*(subset or df.columns)).agg(F.count(F.lit(1)).alias("__n"))
+    dup = per_key.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        (F.sum("__n") - F.count(F.lit(1))).cast("long").alias("n_duplicate_rows"),
+    )
+    miss = df.agg(
+        *[F.count(F.when(missing_expr(df, c), 1)).alias(c) for c in df.columns]
+    ).select(sum(F.col(c) for c in df.columns).alias("n_missing_cells"))
+    return (
+        dup.crossJoin(miss)
+        .select(
+            "n_rows",
+            F.lit(n_cols).cast("long").alias("n_cols"),
+            F.round(F.col("n_duplicate_rows") / F.col("n_rows"), 4).alias("duplicate_ratio"),
+            F.round(F.col("n_missing_cells") / (F.col("n_rows") * n_cols), 4).alias("missing_ratio"),
+            F.round(F.lit(n_num / n_cols), 4).alias("numeric_col_ratio"),
+        )
+    )
+
+
+def describe_numeric(
+    df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Numeric profile, long format, one aggregate pass (parity:
+    ``eda.describe_data``, ``eda.py:400-438`` — there via driver-side
+    numpy on ``toPandas``).
+
+    Output per column: count, mean, stddev, min, q25, median, q75, max
+    (all double, rounded to 4). ``approx=True`` uses
+    ``percentile_approx`` for the at-scale path; default is exact
+    ``percentile`` to allow oracle parity.
+    """
+    cols = list(cols or list_numerical_columns(df))
+    pct = "percentile_approx" if approx else "percentile"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("double").alias(f"count__{c}"),
+            F.round(F.avg(c), 4).alias(f"mean__{c}"),
+            F.round(F.stddev(c), 4).alias(f"stddev__{c}"),
+            F.round(F.min(c).cast("double"), 4).alias(f"min__{c}"),
+            F.round(F.expr(f"{pct}({c}, 0.25)"), 4).alias(f"q25__{c}"),
+            F.round(F.expr(f"{pct}({c}, 0.5)"), 4).alias(f"median__{c}"),
+            F.round(F.expr(f"{pct}({c}, 0.75)"), 4).alias(f"q75__{c}"),
+            F.round(F.max(c).cast("double"), 4).alias(f"max__{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        *[
+                            F.col(f"{s}__{c}").alias(s)
+                            for s in ("count", "mean", "stddev", "min", "q25", "median", "q75", "max")
+                        ],
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.*")
+
+
+def describe_categorical(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Categorical profile (parity: ``eda.describe_categoricaldata``,
+    ``eda.py:441-485``): per column n_unique, mode, mode_freq — all
+    columns in one stack -> groupBy -> top-1-window pipeline (the
+    reference collects with pandas ``Counter``).
+
+    Ties broken by value ascending for determinism.
+    """
+    cols = list(cols or list_categorical_columns(df))
+    stacked = df.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(c).alias("column"), F.col(c).cast("string").alias("value")) for c in cols])
+        ).alias("s")
+    ).select("s.*")
+    counts = stacked.groupBy("column", "value").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("column").orderBy(F.desc("freq"), F.asc("value"))
+    top = counts.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
+    nunique = counts.groupBy("column").agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    return nunique.join(
+        top.select("column", F.col("value").alias("mode"), F.col("freq").cast("long").alias("mode_freq")),
+        on="column",
+    )
+
+
+def zero_density(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column fraction of zeros (parity: ``features.py:503-522``).
+
+    Output: (column, zero_density double rounded 4).
+    """
+    cols = list(cols or list_numerical_columns(df))
+    agg = df.agg(
+        *[F.round(F.count(F.when(F.col(c) == 0, 1)) / F.count(F.lit(1)), 4).alias(c) for c in cols]
+    )
+    return _unpivot_long(agg, "zero_density")
+
+
+def coefficient_of_variation(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column stddev/mean (parity: ``features.py:525-543``).
+
+    Output: (column, cv double rounded 4).
+    """
+    cols = list(cols or list_numerical_columns(df))
+    agg = df.agg(*[F.round(F.stddev(c) / F.avg(c), 4).alias(c) for c in cols])
+    return _unpivot_long(agg, "cv")
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Pairwise Pearson correlations, long format, ONE aggregate pass
+    (parity: ``eda.get_feature_interactions``, ``eda.py:735-741``, which
+    assembles vectors and uses ``ml.stat.Correlation``).
+
+    Output: (col_a, col_b, corr double rounded 4) for a < b.
+    """
+    cols = list(cols or list_numerical_columns(df))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg = df.agg(*[F.round(F.corr(a, b), 4).alias(f"{a}__{b}") for a, b in pairs])
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"{a}__{b}").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.*")
+
+
+def correlation_with_target(df: DataFrame, target: str, cols: Sequence[str] | None = None) -> DataFrame:
+    """Correlation of each numeric column with ``target`` only — the
+    reference computes the full matrix and slices it, self-flagged as
+    wasteful at ``features.py:571-575``. One pass, target column only.
+
+    Output: (column, corr double rounded 4).
+    """
+    cols = [c for c in (cols or list_numerical_columns(df)) if c != target]
+    agg = df.agg(*[F.round(F.corr(c, target), 4).alias(c) for c in cols])
+    return _unpivot_long(agg, "corr")
+
+
+def outlier_summary(
+    df: DataFrame, cols: Sequence[str] | None = None, iqr_k: float = 1.5, sigma_k: float = 3.0
+) -> DataFrame:
+    """Per-column outlier counts outside IQR and mean±kσ bounds (parity:
+    ``eda.get_outliers_table``, ``eda.py:310-394`` — there it rebuilds
+    flag columns per column; here: one bounds pass + one count pass).
+
+    Output: (column, lower_iqr, upper_iqr, n_outlier_iqr, lower_sigma,
+    upper_sigma, n_outlier_sigma).
+    """
+    cols = list(cols or list_numerical_columns(df))
+    bounds_row = df.agg(
+        *[F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}") for c in cols],
+        *[F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}") for c in cols],
+        *[F.avg(c).alias(f"__mu_{c}") for c in cols],
+        *[F.stddev(c).alias(f"__sd_{c}") for c in cols],
+    ).first()
+    b = bounds_row.asDict()
+    exprs, structs = [], []
+    for c in cols:
+        iqr = b[f"__q3_{c}"] - b[f"__q1_{c}"]
+        lo_i, hi_i = b[f"__q1_{c}"] - iqr_k * iqr, b[f"__q3_{c}"] + iqr_k * iqr
+        lo_s, hi_s = b[f"__mu_{c}"] - sigma_k * b[f"__sd_{c}"], b[f"__mu_{c}"] + sigma_k * b[f"__sd_{c}"]
+        exprs += [
+            F.count(F.when((F.col(c) < lo_i) | (F.col(c) > hi_i), 1)).cast("long").alias(f"__ni_{c}"),
+            F.count(F.when((F.col(c) < lo_s) | (F.col(c) > hi_s), 1)).cast("long").alias(f"__ns_{c}"),
+        ]
+        structs.append((c, lo_i, hi_i, lo_s, hi_s))
+    counts = df.agg(*exprs)
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.round(F.lit(lo_i), 4).alias("lower_iqr"),
+                        F.round(F.lit(hi_i), 4).alias("upper_iqr"),
+                        F.col(f"__ni_{c}").alias("n_outlier_iqr"),
+                        F.round(F.lit(lo_s), 4).alias("lower_sigma"),
+                        F.round(F.lit(hi_s), 4).alias("upper_sigma"),
+                        F.col(f"__ns_{c}").alias("n_outlier_sigma"),
+                    )
+                    for c, lo_i, hi_i, lo_s, hi_s in structs
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.*")
+
+
+def crosstab_counts(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Grouped counts for a two-way contingency table (parity:
+    ``model_eval.py:572-577``). Long format keeps it join- and
+    oracle-friendly; pivot driver-side if a wide table is needed.
+    """
+    return df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def class_balance(df: DataFrame, target: str) -> DataFrame:
+    """Class counts + ratios (parity: ``dp.py:893-899``, one pass)."""
+    out = df.groupBy(target).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = Window.partitionBy()
+    return out.select(
+        target,
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 4).alias("ratio"),
+    )

@@ -1,0 +1,79 @@
+"""Sampling & train/test splitting (SURVEY.md §2.7 R1-R4).
+
+Parity with ``src/ta_lib/pyspark/dp.py:845-994``: random sample,
+rule-based balanced sample (cap responders, match non-responders),
+random split, stratified split. All are narrow ops (no shuffle) except
+the unions, which are metadata-only. Sampling-dependent results cannot
+hash-match a DuckDB oracle (different RNG streams), so tests assert
+invariants: sizes, class ratios, determinism under a fixed seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Parity: ``dp.py:885-887`` (Bernoulli sample, no replacement)."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def balanced_sample(
+    df: DataFrame,
+    target_col: str,
+    positive_value=1,
+    max_sample_size: int = 150_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Rule-based balanced sample (parity: ``dp.py:889-910``): cap the
+    positive class at ``max_sample_size`` rows, sample an equal expected
+    number of negatives, union.
+
+    The class counts come from one aggregate; the sampling itself is
+    fraction-based (no exact limit), preserving distributed scans.
+    """
+    counts = {
+        r[target_col]: r["n"]
+        for r in df.groupBy(target_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_pos = counts.get(positive_value, 0)
+    n_neg = sum(v for k, v in counts.items() if k != positive_value)
+    take_pos = min(n_pos, max_sample_size)
+    pos = df.filter(F.col(target_col) == positive_value)
+    if n_pos > max_sample_size:
+        pos = pos.sample(fraction=max_sample_size / n_pos, seed=seed)
+    neg = df.filter(F.col(target_col) != positive_value)
+    if n_neg > take_pos:
+        neg = neg.sample(fraction=take_pos / n_neg, seed=seed)
+    return pos.unionByName(neg)
+
+
+def train_test_split(
+    df: DataFrame, test_ratio: float = 0.3, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Parity: ``dp.py:974-978``."""
+    train, test = df.randomSplit([1.0 - test_ratio, test_ratio], seed=seed)
+    return train, test
+
+
+def stratified_split(
+    df: DataFrame, target_col: str, test_ratio: float = 0.3, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Per-class random split, unioned back (parity: ``dp.py:980-994``).
+
+    Works for any number of classes (the reference hard-codes {0,1});
+    implemented with a seeded per-row uniform draw so it is one pass,
+    no per-class jobs, and deterministic under a fixed seed.
+    """
+    tagged = df.withColumn("__u", F.rand(seed))
+    train = tagged.filter(F.col("__u") >= test_ratio).drop("__u")
+    test = tagged.filter(F.col("__u") < test_ratio).drop("__u")
+    return train, test
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum fractions (``sampleBy``), the scalable form of R2/R4."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -1,0 +1,656 @@
+"""Query registry: the driver-checkable surface of the engine.
+
+Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is
+exposed as a named query: a ``(spark, sf_dir) -> DataFrame`` callable
+and, where SQL-expressible, an equivalent DuckDB oracle SQL string.
+The driver runs both at sf0.01 and compares row count + schema +
+order-insensitive value hash.
+
+Conventions for engine-vs-oracle hash stability:
+- every float aggregate is explicitly ``round()``-ed (both sides) so
+  summation-order differences below the rounding precision vanish;
+- integer sums/counts are cast to BIGINT on both sides (DuckDB sums
+  integers into HUGEINT otherwise);
+- timestamps are projected as ``yyyy-MM-dd [HH:mm:ss]`` strings or
+  DATEs, never raw timestamps, to sidestep tz/precision differences;
+- every top-k has a total deterministic ordering (explicit tie-break).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    """Register a query callable and (optionally) its DuckDB oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+REF_DATE = "2000-12-31"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: EP2-shaped customer feature mart (SURVEY.md §3 EP2).
+# Scans + date filters + multi-way joins + grouped aggs + left-join
+# label attach + fillna — the reference's notebook-02 dataflow
+# re-expressed on the star schema.
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_customer_features",
+    sql=f"""
+    WITH o2 AS (
+      SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '{REF_DATE}'
+    ),
+    feat_o AS (
+      SELECT o_custkey,
+             CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '{REF_DATE}')) AS INTEGER) AS recency_days,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spend
+      FROM o2 GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT o_custkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+             ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM o2 JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey
+    ),
+    labels AS (
+      SELECT DISTINCT o_custkey, 1 AS target_var FROM orders
+      WHERE CAST(o_orderdate AS DATE) > DATE '{REF_DATE}'
+        AND CAST(o_orderdate AS DATE) <= DATE '{REF_DATE}' + INTERVAL 90 DAY
+    )
+    SELECT c_custkey, c_mktsegment,
+           COALESCE(recency_days, 9999) AS recency_days,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           COALESCE(total_spend, 0.0) AS total_spend,
+           COALESCE(total_qty, 0.0) AS total_qty,
+           COALESCE(total_revenue, 0.0) AS total_revenue,
+           CAST(COALESCE(target_var, 0) AS INTEGER) AS target_var
+    FROM customer
+    LEFT JOIN feat_o ON c_custkey = feat_o.o_custkey
+    LEFT JOIN rev    ON c_custkey = rev.o_custkey
+    LEFT JOIN labels ON c_custkey = labels.o_custkey
+    """,
+)
+def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 dataflow (ref: ``production/feature_engineering.py:101-172``,
+    ``notebooks/reference/02_data_processing.ipynb`` cells 10-33):
+    per-customer recency / frequency / monetary features + 90-day
+    forward label, built from orders+lineitem history.
+
+    Scale: both grouped aggs shuffle on o_custkey (partial aggregation
+    map-side); the three feature frames are per-customer (small) so AQE
+    broadcasts them into the final left joins against customer.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ref = F.to_date(F.lit(REF_DATE))
+
+    o2 = orders.filter(F.to_date("o_orderdate") <= ref)
+    feat_o = o2.groupBy("o_custkey").agg(
+        F.min(F.datediff(ref, F.to_date("o_orderdate"))).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    rev = (
+        o2.join(lineitem, o2.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+    labels = (
+        orders.filter((F.to_date("o_orderdate") > ref) & (F.to_date("o_orderdate") <= F.date_add(ref, 90)))
+        .select("o_custkey")
+        .distinct()
+        .withColumn("target_var", F.lit(1))
+    )
+    out = (
+        customer.select("c_custkey", "c_mktsegment")
+        .join(feat_o, customer.c_custkey == feat_o.o_custkey, "left")
+        .drop("o_custkey")
+        .join(rev, F.col("c_custkey") == rev.o_custkey, "left")
+        .drop("o_custkey")
+        .join(labels, F.col("c_custkey") == labels.o_custkey, "left")
+        .drop("o_custkey")
+    )
+    return out.fillna(
+        {
+            "recency_days": 9999,
+            "n_orders": 0,
+            "total_spend": 0.0,
+            "total_qty": 0.0,
+            "total_revenue": 0.0,
+            "target_var": 0,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Core relational coverage (SURVEY.md §2.2-2.4): scan+filter+groupBy
+# aggregates in TPC-H shapes over the star schema.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation (SURVEY §2.4 A1-A3): scan
+    with pushed-down date predicate, 6-group hash aggregate with
+    map-side partials — the canonical 'does partial aggregation +
+    pushdown work' probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    sql="""
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '2000-06-30'
+      AND CAST(l_shipdate  AS DATE) > DATE '2000-06-30'
+    GROUP BY o_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + agg + deterministic top-k (SURVEY
+    §2.3 J1, §2.5 W1). customer is filtered tiny -> broadcast join;
+    the lineitem date filter pushes to the parquet scan."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < F.lit("2000-06-30").cast("date"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") > F.lit("2000-06-30").cast("date"))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_nation_revenue",
+    sql="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way star join (SURVEY §2.3 J1/J3): dims
+    (region/nation/supplier) broadcast; the only large shuffle is
+    orders x lineitem on the order key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1999-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "date_range_filter",
+    sql="""
+    SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      AND o_totalprice > 50000
+    """,
+)
+def date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + date-range + numeric predicates (SURVEY §2.2 P1/P4,
+    §2.8 F2 — ref: ``production/data_cleaning.py:141-144``). Both
+    predicates push down to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.to_date("o_orderdate").between("1996-01-01", "1996-12-31") & (F.col("o_totalprice") > 50000)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+@query(
+    "dedup_subset_distinct",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_subset_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset dedup via distinct (SURVEY §2.2 P9 — ref:
+    ``production/data_cleaning.py:86-88``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+@query(
+    "dedup_keep_first",
+    sql="""
+    SELECT user_id, event_type, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup (engine's reproducible variant of
+    ``dropDuplicates(subset)``; one shuffle on the key)."""
+    from .operators.dedup import drop_duplicates_ordered
+
+    ev = load_table(spark, sf_dir, "events")
+    out = drop_duplicates_ordered(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+@query(
+    "duplicate_stats",
+    sql="""
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_duplicates
+    FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+    """,
+)
+def duplicate_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate accounting in one aggregation pass (SURVEY §2.11 E5)."""
+    from .operators.dedup import duplicate_stats
+
+    return duplicate_stats(load_table(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@query(
+    "set_analysis",
+    sql="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         b AS (SELECT DISTINCT c_custkey AS k FROM customer),
+         t AS (SELECT a.k AS ka, b.k AS kb FROM a FULL OUTER JOIN b ON a.k = b.k)
+    SELECT CAST(COUNT(ka) AS BIGINT) AS n_a,
+           CAST(COUNT(kb) AS BIGINT) AS n_b,
+           CAST(COUNT(CASE WHEN kb IS NULL THEN 1 END) AS BIGINT) AS a_minus_b,
+           CAST(COUNT(CASE WHEN ka IS NULL THEN 1 END) AS BIGINT) AS b_minus_a,
+           CAST(COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 END) AS BIGINT) AS intersection,
+           CAST(COUNT(*) AS BIGINT) AS union_size
+    FROM t
+    """,
+)
+def set_analysis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed set analysis (SURVEY §2.3 J4 / §2.6 U2 — ref
+    ``eda.setanalyse`` collects to driver sets; here full-outer join)."""
+    from .operators.setops import set_analysis
+
+    return set_analysis(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiling (SURVEY §2.11) — long-format outputs from operators/profile.py
+# ---------------------------------------------------------------------------
+@query(
+    "missing_value_summary",
+    sql="""
+    WITH n AS (SELECT COUNT(*) AS total FROM customer)
+    SELECT col AS "column", CAST(miss AS BIGINT) AS n_missing,
+           ROUND(miss * 100.0 / total, 4) AS pct_missing
+    FROM (
+      SELECT 'c_custkey' AS col, COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS miss FROM customer
+      UNION ALL SELECT 'c_name', COUNT(CASE WHEN c_name IS NULL THEN 1 END) FROM customer
+      UNION ALL SELECT 'c_nationkey', COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END) FROM customer
+      UNION ALL SELECT 'c_acctbal', COUNT(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 1 END) FROM customer
+      UNION ALL SELECT 'c_mktsegment', COUNT(CASE WHEN c_mktsegment IS NULL THEN 1 END) FROM customer
+    ), n
+    """,
+)
+def missing_value_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column missing counts, single pass (SURVEY §2.4 A5 / §2.11 E4)."""
+    from .operators.profile import missing_values_summary
+
+    return missing_values_summary(load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "distinct_counts",
+    sql="""
+    SELECT 'c_custkey' AS "column", CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct FROM customer
+    UNION ALL SELECT 'c_name', COUNT(DISTINCT c_name) FROM customer
+    UNION ALL SELECT 'c_nationkey', COUNT(DISTINCT c_nationkey) FROM customer
+    UNION ALL SELECT 'c_acctbal', COUNT(DISTINCT c_acctbal) FROM customer
+    UNION ALL SELECT 'c_mktsegment', COUNT(DISTINCT c_mktsegment) FROM customer
+    """,
+)
+def distinct_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column exact distinct counts, one pass (SURVEY §2.4 A4, §2.11 E2)."""
+    from .operators.profile import distinct_counts
+
+    return distinct_counts(load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "case_consistency",
+    sql="""
+    SELECT 'text' AS "column", CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS n_distinct_lower,
+           COUNT(DISTINCT text) > COUNT(DISTINCT lower(text)) AS is_inconsistent
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(DISTINCT lang), COUNT(DISTINCT lower(lang)),
+           COUNT(DISTINCT lang) > COUNT(DISTINCT lower(lang)) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(DISTINCT source), COUNT(DISTINCT lower(source)),
+           COUNT(DISTINCT source) > COUNT(DISTINCT lower(source)) FROM documents
+    """,
+)
+def case_consistency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-inconsistency flags, one pass for all string columns
+    (SURVEY §2.11 E3 — ref ``dp.py:19-47`` runs 2 jobs per column)."""
+    from .operators.profile import case_consistency
+
+    return case_consistency(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "describe_numeric",
+    sql="""
+    SELECT 'l_quantity' AS "column", CAST(COUNT(l_quantity) AS DOUBLE) AS count,
+           ROUND(AVG(l_quantity), 4) AS mean, ROUND(STDDEV(l_quantity), 4) AS stddev,
+           ROUND(MIN(l_quantity), 4) AS min, ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75, ROUND(MAX(l_quantity), 4) AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(l_extendedprice) AS DOUBLE),
+           ROUND(AVG(l_extendedprice), 4), ROUND(STDDEV(l_extendedprice), 4),
+           ROUND(MIN(l_extendedprice), 4), ROUND(quantile_cont(l_extendedprice, 0.25), 4),
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4),
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4), ROUND(MAX(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(l_discount) AS DOUBLE),
+           ROUND(AVG(l_discount), 4), ROUND(STDDEV(l_discount), 4),
+           ROUND(MIN(l_discount), 4), ROUND(quantile_cont(l_discount, 0.25), 4),
+           ROUND(quantile_cont(l_discount, 0.5), 4),
+           ROUND(quantile_cont(l_discount, 0.75), 4), ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    """,
+)
+def describe_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric describe() profile, exact quantiles (SURVEY §2.4 A9/A11,
+    §2.11 E6)."""
+    from .operators.profile import describe_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return describe_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query(
+    "describe_categorical",
+    sql="""
+    WITH stacked AS (
+      SELECT 'o_orderstatus' AS "column", o_orderstatus AS value FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+    ),
+    counts AS (
+      SELECT "column", value, COUNT(*) AS freq FROM stacked GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT "column", value AS mode, CAST(freq AS BIGINT) AS mode_freq,
+             row_number() OVER (PARTITION BY "column" ORDER BY freq DESC, value ASC) AS rk
+      FROM counts
+    ),
+    nu AS (SELECT "column", CAST(COUNT(*) AS BIGINT) AS n_unique FROM counts GROUP BY 1)
+    SELECT nu."column", n_unique, mode, mode_freq
+    FROM nu JOIN top ON nu."column" = top."column" AND top.rk = 1
+    """,
+)
+def describe_categorical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical profile: nunique + mode per column, fully distributed
+    (SURVEY §2.4 A8, §2.11 E6)."""
+    from .operators.profile import describe_categorical
+
+    return describe_categorical(
+        load_table(spark, sf_dir, "orders"), ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+@query(
+    "zero_density",
+    sql="""
+    SELECT 'value' AS "column",
+           ROUND(COUNT(CASE WHEN value = 0 THEN 1 END) * 1.0 / COUNT(*), 4) AS zero_density
+    FROM events
+    UNION ALL
+    SELECT 'user_id', ROUND(COUNT(CASE WHEN user_id = 0 THEN 1 END) * 1.0 / COUNT(*), 4) FROM events
+    """,
+)
+def zero_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparseness per column (SURVEY §2.4 A6 — ref ``features.py:503-522``)."""
+    from .operators.profile import zero_density
+
+    return zero_density(load_table(spark, sf_dir, "events"), ["value", "user_id"])
+
+
+@query(
+    "coefficient_of_variation",
+    sql="""
+    SELECT 'l_quantity' AS "column", ROUND(STDDEV(l_quantity) / AVG(l_quantity), 4) AS cv FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', ROUND(STDDEV(l_extendedprice) / AVG(l_extendedprice), 4) FROM lineitem
+    UNION ALL SELECT 'l_tax', ROUND(STDDEV(l_tax) / AVG(l_tax), 4) FROM lineitem
+    """,
+)
+def coefficient_of_variation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/mean per column (SURVEY §2.4 A7 — ref ``features.py:525-543``)."""
+    from .operators.profile import coefficient_of_variation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return coefficient_of_variation(li, ["l_quantity", "l_extendedprice", "l_tax"])
+
+
+@query(
+    "correlation_matrix",
+    sql="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 4) FROM lineitem
+    UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(corr(l_quantity, l_tax), 4) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 4) FROM lineitem
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(corr(l_extendedprice, l_tax), 4) FROM lineitem
+    UNION ALL SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 4) FROM lineitem
+    """,
+)
+def correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation, one pass (SURVEY §2.4 A12, §2.11 E8)."""
+    from .operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+@query(
+    "outlier_summary",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3,
+             AVG(o_totalprice) AS mu, STDDEV(o_totalprice) AS sd
+      FROM orders
+    )
+    SELECT 'o_totalprice' AS "column",
+           ROUND(q1 - 1.5 * (q3 - q1), 4) AS lower_iqr,
+           ROUND(q3 + 1.5 * (q3 - q1), 4) AS upper_iqr,
+           CAST((SELECT COUNT(*) FROM orders, b
+                 WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
+                    OR o_totalprice > q3 + 1.5 * (q3 - q1)) AS BIGINT) AS n_outlier_iqr,
+           ROUND(mu - 3 * sd, 4) AS lower_sigma,
+           ROUND(mu + 3 * sd, 4) AS upper_sigma,
+           CAST((SELECT COUNT(*) FROM orders, b
+                 WHERE o_totalprice < mu - 3 * sd OR o_totalprice > mu + 3 * sd) AS BIGINT) AS n_outlier_sigma
+    FROM b
+    """,
+)
+def outlier_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR + 3-sigma outlier table (SURVEY §2.10 M2 fit / §2.11 E7)."""
+    from .operators.profile import outlier_summary
+
+    return outlier_summary(load_table(spark, sf_dir, "orders"), ["o_totalprice"])
+
+
+@query(
+    "crosstab_counts",
+    sql="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def crosstab_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way contingency counts (SURVEY §2.4 A14)."""
+    from .operators.profile import crosstab_counts
+
+    return crosstab_counts(load_table(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus")
+
+
+@query(
+    "class_balance",
+    sql="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS ratio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def class_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class counts + ratios (SURVEY §2.4 A15)."""
+    from .operators.profile import class_balance
+
+    return class_balance(load_table(spark, sf_dir, "orders"), "o_orderstatus")
+
+
+@query(
+    "health_report",
+    sql="""
+    WITH dup AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_duplicate_rows
+      FROM (SELECT COUNT(*) AS n FROM events
+            GROUP BY event_id, ts, user_id, event_type, value, props)
+    ),
+    miss AS (
+      SELECT COUNT(CASE WHEN event_id IS NULL THEN 1 END)
+           + COUNT(CASE WHEN ts IS NULL THEN 1 END)
+           + COUNT(CASE WHEN user_id IS NULL THEN 1 END)
+           + COUNT(CASE WHEN event_type IS NULL THEN 1 END)
+           + COUNT(CASE WHEN value IS NULL OR isnan(value) THEN 1 END)
+           + COUNT(CASE WHEN props IS NULL THEN 1 END) AS n_missing_cells
+      FROM events
+    )
+    SELECT n_rows, CAST(6 AS BIGINT) AS n_cols,
+           ROUND(n_duplicate_rows * 1.0 / n_rows, 4) AS duplicate_ratio,
+           ROUND(n_missing_cells * 1.0 / (n_rows * 6), 4) AS missing_ratio,
+           ROUND(3.0 / 6, 4) AS numeric_col_ratio
+    FROM dup, miss
+    """,
+)
+def health_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-health one-rower (SURVEY §2.11 E5)."""
+    from .operators.profile import health_report
+
+    return health_report(load_table(spark, sf_dir, "events"))

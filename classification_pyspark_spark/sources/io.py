@@ -1,0 +1,86 @@
+"""Sources / sinks (SURVEY.md §2.1, S1-S4).
+
+Capability parity with the reference's ``dp.read_data`` /
+``dp.save_data`` (``src/ta_lib/pyspark/dp.py:53-98``) and
+``utils.save_model`` (``src/ta_lib/pyspark/utils.py:212-222``) — but
+expressed directly on ``spark.read`` / ``df.write``. Spark handles
+glob patterns (S3, ``itr_data_*.parquet``) and remote filesystem URIs
+natively, so there is no fsspec layer (S6).
+
+Scale notes:
+- Parquet is the canonical format: columnar, predicate-pushdown- and
+  column-pruning-friendly, splittable.
+- ``partition_by`` exposes partitioned writes (the reference never
+  partitions; at 100 TB a date/key partitioning enables dynamic
+  partition pruning on read).
+- ``inferSchema`` only matters for csv/json; parquet/delta/orc are
+  self-describing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_READ_FORMATS = {"parquet", "csv", "json", "delta", "orc"}
+
+
+def read_data(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    fmt: str = "parquet",
+    header: bool = True,
+    inferschema: bool = True,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Load one or more paths (glob patterns allowed) in ``fmt``.
+
+    Parity: ``dp.read_data`` (``dp.py:53-80``). Paths may be any
+    Hadoop-FS URI (file:/, s3a:/, dbfs:/ ...); lists and globs fan out
+    to a single multi-file scan.
+    """
+    if fmt not in _READ_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READ_FORMATS)}")
+    reader = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        reader = reader.option("header", header).option("inferSchema", inferschema)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if isinstance(paths, str):
+        paths = [paths]
+    return reader.load(list(paths))
+
+
+def save_data(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    **options,
+) -> None:
+    """Write ``df`` (parity: ``dp.save_data``, ``dp.py:83-98``).
+
+    ``partition_by`` produces hive-style partitioned layout for
+    partition pruning at read time.
+    """
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def save_model(model, path: str) -> None:
+    """MLlib model sink (parity: ``utils.save_model``, ``utils.py:212-222``)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(model_cls, path: str):
+    """Load a saved MLlib model, e.g. ``load_model(LogisticRegressionModel, p)``."""
+    return model_cls.load(path)
