@@ -1,0 +1,159 @@
+"""Model-evaluation metrics as SQL aggregates (SURVEY.md §2.10 M13-M14).
+
+Regression metrics replicate the reference's exact formulas
+(``model_eval.py:64-140``) including its quirks:
+- WMAPE = sum(|yhat - y|) / sum(y)                (``model_eval.py:73-92``)
+- MAPE  = mean(|yhat - y| / y)                    (``model_eval.py:95-114``)
+- exp_var = var(y - yhat) / var(y) — the reference computes the ratio
+  WITHOUT the ``1 -`` of its own docstring (``model_eval.py:117-140``);
+  we keep formula parity.
+
+Binary-classification metrics re-express the JVM-bridge machinery
+(``handy_spark_cd.py:24-268``) as plain aggregations over
+(score, label): confusion counts at a threshold, threshold sweep via a
+cross join against a threshold frame, and AUC-ROC via the rank-based
+Mann-Whitney statistic — all shuffle-light, no py4j SerDe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def regression_metrics(
+    df: DataFrame, y_col: str, yhat_col: str, round_to: int = 6
+) -> DataFrame:
+    """One-row frame: rmse, mae, mse, r2, wmape, mape, exp_var."""
+    y, p = F.col(y_col), F.col(yhat_col)
+    err = p - y
+    agg = df.agg(
+        F.avg(err * err).alias("mse"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.sum(F.abs(err)).alias("sae"),
+        F.sum(y).alias("sy"),
+        F.avg(F.abs(err) / y).alias("mape"),
+        F.var_pop(y - p).alias("var_res"),
+        F.var_pop(y).alias("var_y"),
+        F.avg(y).alias("mean_y"),
+        F.sum(err * err).alias("sse"),
+        F.sum(y * y).alias("syy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        F.round(F.sqrt("mse"), round_to).alias("rmse"),
+        F.round("mae", round_to).alias("mae"),
+        F.round("mse", round_to).alias("mse"),
+        F.round(
+            1 - F.col("sse") / (F.col("syy") - F.col("n") * F.col("mean_y") * F.col("mean_y")),
+            round_to,
+        ).alias("r2"),
+        F.round(F.col("sae") / F.col("sy"), round_to).alias("wmape"),
+        F.round("mape", round_to).alias("mape"),
+        F.round(F.col("var_res") / F.col("var_y"), round_to).alias("exp_var"),
+    )
+
+
+def confusion_counts(df: DataFrame, label_col: str, score_col: str, threshold: float) -> DataFrame:
+    """One-row TP/FP/TN/FN at a threshold (parity:
+    ``model_eval.py:256-309`` / the D1 UDFs at ``model_eval.py:444-468``
+    — native ``when`` expressions instead of row UDFs)."""
+    y = F.col(label_col)
+    pred = (F.col(score_col) > threshold).cast("int")
+    return df.agg(
+        F.sum(F.when((y == 1) & (pred == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((y == 0) & (pred == 1), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((y == 0) & (pred == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when((y == 1) & (pred == 0), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+
+
+def binary_classification_metrics(
+    df: DataFrame, label_col: str, score_col: str, threshold: float = 0.5, round_to: int = 6
+) -> DataFrame:
+    """One-row: accuracy, precision, recall (tpr), fpr, f1 at threshold
+    (parity: ``model_eval.py:298-309``)."""
+    c = confusion_counts(df, label_col, score_col, threshold)
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    return c.select(
+        tp, fp, tn, fn,
+        F.round((tp + tn) / (tp + fp + tn + fn), round_to).alias("accuracy"),
+        F.round(tp / (tp + fp), round_to).alias("precision"),
+        F.round(tp / (tp + fn), round_to).alias("recall"),
+        F.round(fp / (fp + tn), round_to).alias("fpr"),
+        F.round(2 * tp / (2 * tp + fp + fn), round_to).alias("f1"),
+    )
+
+
+def threshold_sweep(
+    df: DataFrame, label_col: str, score_col: str, n_thresholds: int = 101, round_to: int = 6
+) -> DataFrame:
+    """ROC/PR curve points: cross-join a generated threshold frame
+    against per-row (score, label) aggregates (parity:
+    ``handy_spark_cd.py:85-187`` without the JVM bridge).
+
+    Output: (threshold, tp, fp, tn, fn, precision, recall, fpr).
+    One wide shuffle-free pass per threshold batch (the cross join
+    replicates only the 2-column projection).
+    """
+    th = df.sparkSession.range(n_thresholds).select(
+        F.round(F.col("id") / (n_thresholds - 1), 6).alias("threshold")
+    )
+    scored = df.select(F.col(score_col).alias("__s"), F.col(label_col).cast("int").alias("__y"))
+    joined = scored.crossJoin(F.broadcast(th))
+    y, pred = F.col("__y"), (F.col("__s") >= F.col("threshold")).cast("int")
+    agg = joined.groupBy("threshold").agg(
+        F.sum(F.when((y == 1) & (pred == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((y == 0) & (pred == 1), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((y == 0) & (pred == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when((y == 1) & (pred == 0), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    return agg.select(
+        "threshold", tp, fp, tn, fn,
+        F.round(F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0)), round_to).alias("precision"),
+        F.round(tp / (tp + fn), round_to).alias("recall"),
+        F.round(fp / (fp + tn), round_to).alias("fpr"),
+    )
+
+
+def auc_roc(df: DataFrame, label_col: str, score_col: str, round_to: int = 6) -> DataFrame:
+    """Exact AUC-ROC via the rank-based Mann-Whitney U statistic:
+    AUC = (sum of average ranks of positives - n_pos*(n_pos+1)/2)
+          / (n_pos * n_neg).
+    Average ranks handle score ties exactly; one global sort window +
+    one aggregate."""
+    ranked = df.select(
+        F.col(label_col).cast("int").alias("__y"),
+        F.col(score_col).alias("__s"),
+    ).withColumn("__r", F.row_number().over(Window.orderBy(F.col("__s").asc())))
+    # average rank within tied scores
+    avg_r = ranked.groupBy("__s").agg(
+        F.avg("__r").alias("__ar"), F.sum("__y").alias("__npos_s"), F.count(F.lit(1)).alias("__n_s")
+    )
+    joined = ranked.join(avg_r.select("__s", "__ar"), on="__s")
+    agg = joined.agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__ar")).otherwise(0.0)).alias("sum_rank_pos"),
+        F.sum("__y").alias("n_pos"),
+        F.sum(1 - F.col("__y")).alias("n_neg"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("sum_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
+            / (F.col("n_pos") * F.col("n_neg")),
+            round_to,
+        ).alias("auc_roc")
+    )
+
+
+def confusion_cell_expr(label_col: str, score_col: str, threshold: float) -> F.Column:
+    """'TP'/'FP'/'TN'/'FN' label per row (parity: the ``_get_conf_cell``
+    row UDF at ``model_eval.py:444-468`` — nested ``when``, no UDF)."""
+    y = F.col(label_col)
+    pred = (F.col(score_col) > threshold).cast("int")
+    return (
+        F.when((y == 1) & (pred == 1), "TP")
+        .when((y == 0) & (pred == 1), "FP")
+        .when((y == 0) & (pred == 0), "TN")
+        .otherwise("FN")
+    )

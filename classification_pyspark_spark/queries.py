@@ -44,6 +44,13 @@ def query(name: str, sql: str | None = None):
 REF_DATE = "2000-12-31"
 
 
+def _register_extensions() -> None:
+    """Import sibling query modules for their registration side effects.
+
+    Called at the bottom of this module (after ``query`` exists)."""
+    from . import queries_ml  # noqa: F401
+
+
 # ---------------------------------------------------------------------------
 # Flagship: EP2-shaped customer feature mart (SURVEY.md §3 EP2).
 # Scans + date filters + multi-way joins + grouped aggs + left-join
@@ -654,3 +661,6 @@ def health_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import health_report
 
     return health_report(load_table(spark, sf_dir, "events"))
+
+
+_register_extensions()

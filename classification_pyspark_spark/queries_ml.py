@@ -1,0 +1,543 @@
+"""Query registry batch 2: windows, encoders, binning, scaling,
+metrics, JSON access, sessionization (SURVEY.md §2.5, §2.8-2.10).
+
+Imported by ``queries`` for registration side effects.
+Metric queries construct deterministic pseudo-predictions from data
+columns so regression/classification formulas are oracle-checkable:
+  y    = l_extendedprice
+  yhat = l_extendedprice * (1 - l_discount)
+  label = (o_orderstatus = 'F'), score = deterministic hash-free
+          transform of o_totalprice into (0,1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+
+
+def _scored_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (label, score) frame: y = 1 if order is finalized,
+    s = sigmoid(o_totalprice / 200000 - 1). Same formula as the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        (1.0 / (1.0 + F.exp(-(F.col("o_totalprice") / 200000.0 - 1.0)))).alias("s"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    sql="""
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rank
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rank <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (SURVEY §2.5 W1-gap: ranked
+    windows the reference lacked). One shuffle on the partition key."""
+    from .operators.windows import top_k_per_group
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey).select("c_custkey", "o_orderkey", "o_totalprice")
+    out = top_k_per_group(
+        joined, ["c_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+    return out.select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank")
+
+
+@query(
+    "window_lag_days_between_orders",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', CAST(prev_d AS DATE), CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    ) WHERE prev_d IS NOT NULL
+    """,
+)
+def window_lag_days_between_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() delta per customer (SURVEY §2.5 gap: lag/lead)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    out = o.withColumn("prev_d", F.lag("o_orderdate").over(w)).filter(F.col("prev_d").isNotNull())
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date("prev_d")).alias("days_since_prev"),
+    )
+
+
+@query(
+    "topn_frequency",
+    sql="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id ASC LIMIT 20
+    """,
+)
+def topn_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-20 value_counts (SURVEY §2.5 W2)."""
+    from .operators.windows import top_n_frequency
+
+    return top_n_frequency(load_table(spark, sf_dir, "events"), "user_id", 20)
+
+
+@query(
+    "sessionize_events",
+    sql="""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM s
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) + per-user session counts — the
+    engine's batch twin of streaming session windows (SURVEY §2.5 gap)."""
+    from .operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30.0)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "ordinal_encode",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS FLOAT) AS o_orderpriority_ord
+    FROM orders
+    """,
+)
+def ordinal_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map ordinal encoding (SURVEY §2.10 M3 — ref
+    ``features.py:181-212``)."""
+    from .operators.encode import ordinal_encode
+
+    o = load_table(spark, sf_dir, "orders")
+    mapping = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5}
+    return ordinal_encode(o, "o_orderpriority", mapping).select(
+        "o_orderkey", "o_orderpriority", "o_orderpriority_ord"
+    )
+
+
+@query(
+    "onehot_indicators",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS c_mktsegment_automobile,
+           CAST(c_mktsegment = 'BUILDING'   AS INT) AS c_mktsegment_building,
+           CAST(c_mktsegment = 'FURNITURE'  AS INT) AS c_mktsegment_furniture,
+           CAST(c_mktsegment = 'HOUSEHOLD'  AS INT) AS c_mktsegment_household,
+           CAST(c_mktsegment = 'MACHINERY'  AS INT) AS c_mktsegment_machinery
+    FROM customer
+    """,
+)
+def onehot_indicators_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic one-hot indicator columns (SURVEY §2.10 M3 onehot,
+    SQL-expressible variant; the ml OneHotEncoder path is unit-tested)."""
+    from .operators.encode import onehot_indicators
+
+    c = load_table(spark, sf_dir, "customer")
+    cats = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    out = onehot_indicators(c, "c_mktsegment", cats)
+    return out.select(
+        "c_custkey", "c_mktsegment", *[f"c_mktsegment_{x.lower()}" for x in cats]
+    )
+
+
+@query(
+    "target_encode",
+    sql="""
+    WITH m AS (
+      SELECT c_mktsegment AS category, AVG(c_acctbal) AS te
+      FROM customer GROUP BY 1
+    )
+    SELECT c_custkey, c_mktsegment, ROUND(te, 4) AS c_mktsegment_te
+    FROM customer JOIN m ON c_mktsegment = m.category
+    """,
+)
+def target_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean target encoding via broadcast join — no collectAsMap
+    (SURVEY §2.4 A13 / §2.10 M3 — ref ``features.py:236-247``)."""
+    from .operators.encode import TargetEncoder
+
+    c = load_table(spark, sf_dir, "customer")
+    model = TargetEncoder("c_mktsegment", "c_acctbal").fit(c)
+    out = model.transform(c)
+    return out.select(
+        "c_custkey", "c_mktsegment", F.round("c_mktsegment_te", 4).alias("c_mktsegment_te")
+    )
+
+
+@query(
+    "binning_fixed_width",
+    sql="""
+    WITH b AS (SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(LEAST(GREATEST(FLOOR((l_quantity - lo) / ((hi - lo) / 5)), 0), 4) AS INT) AS l_quantity_bin
+    FROM lineitem, b
+    """,
+)
+def binning_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning from fitted min/max (SURVEY §2.10 M4 — ref
+    ``features.py:331-377``)."""
+    from .operators.binning import FixedWidthBinner
+
+    li = load_table(spark, sf_dir, "lineitem")
+    model = FixedWidthBinner("l_quantity", 5).fit(li)
+    return model.transform(li).select("l_orderkey", "l_linenumber", "l_quantity", "l_quantity_bin")
+
+
+@query(
+    "binning_explicit_splits",
+    sql="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           CASE WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 0
+                WHEN o_totalprice >= 100000 AND o_totalprice < 250000 THEN 1
+                WHEN o_totalprice >= 250000 AND o_totalprice <= 1000000 THEN 2
+                ELSE NULL END AS price_bin
+    FROM orders
+    """,
+)
+def binning_explicit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-split binning, Bucketizer semantics (SURVEY §2.10 M4 —
+    ref ``features.py:326-330``)."""
+    from .operators.binning import explicit_bin
+
+    o = load_table(spark, sf_dir, "orders")
+    out = explicit_bin(o, "o_totalprice", [0, 100000, 250000, 1000000], "price_bin")
+    return out.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "price_bin")
+
+
+@query(
+    "scaling_minmax_standard",
+    sql="""
+    WITH p AS (
+      SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+             AVG(c_acctbal) AS mu, STDDEV(c_acctbal) AS sd
+      FROM customer
+    )
+    SELECT c_custkey,
+           ROUND((c_acctbal - lo) / (hi - lo), 6) AS c_acctbal_minmax,
+           ROUND((c_acctbal - mu) / sd, 6) AS c_acctbal_standard
+    FROM customer, p
+    """,
+)
+def scaling_minmax_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-form MinMax + Standard scaling from one fitted pass
+    (SURVEY §2.10 M6 — ref ``features.py:755-783``)."""
+    from .operators.scaling import MINMAX, STANDARD, ColumnScaler
+
+    c = load_table(spark, sf_dir, "customer")
+    mm = ColumnScaler(["c_acctbal"], MINMAX).fit(c)
+    st = ColumnScaler(["c_acctbal"], STANDARD).fit(c)
+    out = st.transform(
+        mm.transform(c).withColumnRenamed("c_acctbal_scaled", "c_acctbal_minmax"),
+        round_to=6,
+    ).withColumnRenamed("c_acctbal_scaled", "c_acctbal_standard")
+    return out.select(
+        "c_custkey", F.round("c_acctbal_minmax", 6).alias("c_acctbal_minmax"), "c_acctbal_standard"
+    )
+
+
+@query(
+    "impute_missing",
+    sql="""
+    WITH stats AS (
+      SELECT AVG(CASE WHEN l_linenumber <> 1 THEN l_quantity END) AS mean_q
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN l_linenumber = 1 THEN mean_q ELSE l_quantity END, 4) AS quantity_imputed
+    FROM lineitem, stats
+    """,
+)
+def impute_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation end-to-end (SURVEY §2.10 M1): nulls are injected
+    deterministically (l_linenumber = 1 -> NULL) since the synthetic
+    data has none, then Imputer.fit/transform fills them."""
+    from .operators.impute import Imputer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with_nulls = li.withColumn(
+        "quantity_imputed",
+        F.when(F.col("l_linenumber") == 1, F.lit(None)).otherwise(F.col("l_quantity")),
+    )
+    model = Imputer(rules={"quantity_imputed": "mean"}, cols=["quantity_imputed"]).fit(with_nulls)
+    out = model.transform(with_nulls)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("quantity_imputed", 4).alias("quantity_imputed")
+    )
+
+
+@query(
+    "outlier_cap",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1, quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
+                      WHEN o_totalprice > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
+                      ELSE o_totalprice END, 4) AS totalprice_capped
+    FROM orders, b
+    """,
+)
+def outlier_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR capping transform (SURVEY §2.10 M2 — ref ``dp.py:498-511``),
+    exact quantiles for oracle parity."""
+    from .operators.outliers import CAP, IQR, OutlierTreatment
+
+    o = load_table(spark, sf_dir, "orders")
+    model = OutlierTreatment(["o_totalprice"], method=IQR, strategy=CAP, exact=True).fit(o)
+    out = model.transform(o)
+    return out.select("o_orderkey", F.round("o_totalprice", 4).alias("totalprice_capped"))
+
+
+@query(
+    "regression_metrics",
+    sql="""
+    WITH d AS (
+      SELECT l_extendedprice AS y, l_extendedprice * (1 - l_discount) AS p
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    a AS (
+      SELECT AVG((p - y) * (p - y)) AS mse, AVG(ABS(p - y)) AS mae,
+             SUM(ABS(p - y)) AS sae, SUM(y) AS sy,
+             AVG(ABS(p - y) / y) AS mape,
+             var_pop(y - p) AS var_res, var_pop(y) AS var_y,
+             AVG(y) AS mean_y, SUM((p - y) * (p - y)) AS sse, SUM(y * y) AS syy,
+             COUNT(*) AS n
+      FROM d
+    )
+    SELECT ROUND(SQRT(mse), 6) AS rmse, ROUND(mae, 6) AS mae, ROUND(mse, 6) AS mse,
+           ROUND(1 - sse / (syy - n * mean_y * mean_y), 6) AS r2,
+           ROUND(sae / sy, 6) AS wmape, ROUND(mape, 6) AS mape,
+           ROUND(var_res / var_y, 6) AS exp_var
+    FROM a
+    """,
+)
+def regression_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression metric formulas incl. reference quirks (SURVEY §2.10
+    M13 — WMAPE ``model_eval.py:73-92``, MAPE ``95-114``, exp_var
+    without the ``1-`` ``117-140``)."""
+    from .functions.metrics import regression_metrics
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    d = li.select(
+        F.col("l_extendedprice").alias("y"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("p"),
+    )
+    return regression_metrics(d, "y", "p")
+
+
+@query(
+    "binary_classification_metrics",
+    sql="""
+    WITH d AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + EXP(-(o_totalprice / 200000.0 - 1.0))) AS s
+      FROM orders
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 AND s > 0.5  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND s > 0.5  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 0 AND s <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN y = 1 AND s <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM d
+    )
+    SELECT tp, fp, tn, fn,
+           ROUND((tp + tn) * 1.0 / (tp + fp + tn + fn), 6) AS accuracy,
+           ROUND(tp * 1.0 / (tp + fp), 6) AS precision,
+           ROUND(tp * 1.0 / (tp + fn), 6) AS recall,
+           ROUND(fp * 1.0 / (fp + tn), 6) AS fpr,
+           ROUND(2.0 * tp / (2 * tp + fp + fn), 6) AS f1
+    FROM c
+    """,
+)
+def binary_classification_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix metrics at threshold 0.5 over a deterministic
+    sigmoid score (SURVEY §2.10 M14 — ref ``model_eval.py:256-318``)."""
+    from .functions.metrics import binary_classification_metrics
+
+    d = _scored_orders(spark, sf_dir)
+    return binary_classification_metrics(d, "y", "s", threshold=0.5)
+
+
+@query(
+    "auc_roc",
+    sql="""
+    WITH d AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + EXP(-(o_totalprice / 200000.0 - 1.0))) AS s
+      FROM orders
+    ),
+    r AS (SELECT y, s, row_number() OVER (ORDER BY s ASC) AS rn FROM d),
+    ar AS (SELECT s, AVG(rn) AS arank FROM r GROUP BY s),
+    j AS (SELECT r.y, ar.arank FROM r JOIN ar ON r.s = ar.s)
+    SELECT ROUND((SUM(CASE WHEN y = 1 THEN arank ELSE 0 END) - SUM(y) * (SUM(y) + 1) / 2.0)
+                 / (SUM(y) * SUM(1 - y)), 6) AS auc_roc
+    FROM j
+    """,
+)
+def auc_roc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based AUC-ROC — re-expression of the JVM-bridge
+    ``BinaryClassificationMetrics`` path (SURVEY §2.9 D3,
+    ``handy_spark_cd.py:234-268``) as pure SQL aggregation."""
+    from .functions.metrics import auc_roc
+
+    return auc_roc(_scored_orders(spark, sf_dir), "y", "s")
+
+
+@query(
+    "json_props_extract",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON props -> typed field -> aggregation
+    (SURVEY §2.8 gap: ``get_json_object``/``from_json`` for the events
+    extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "window_tumbling_hourly",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate via ``F.window`` — the batch
+    twin of the Structured Streaming windowed agg (SURVEY §7 Phase 5a);
+    aligned windows equal date_trunc in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "woe_iv",
+    sql="""
+    WITH labeled AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y, o_totalprice
+      FROM orders
+    ),
+    edges AS (
+      SELECT quantile_disc(o_totalprice, [0.25, 0.5, 0.75]) AS e FROM labeled
+    ),
+    b AS (
+      SELECT y,
+             CASE WHEN o_totalprice > e[3] THEN 3
+                  WHEN o_totalprice > e[2] THEN 2
+                  WHEN o_totalprice > e[1] THEN 1
+                  ELSE 0 END AS bucket
+      FROM labeled, edges
+    ),
+    counts AS (
+      SELECT bucket, SUM(y) AS n_pos, SUM(1 - y) AS n_neg FROM b GROUP BY bucket
+    ),
+    woe AS (
+      SELECT bucket,
+             (n_pos + 0.5) / (SUM(n_pos) OVER () + 0.5) AS p_pos,
+             (n_neg + 0.5) / (SUM(n_neg) OVER () + 0.5) AS p_neg
+      FROM counts
+    )
+    SELECT 'o_totalprice' AS "column",
+           ROUND(SUM((p_pos - p_neg) * LN(p_pos / p_neg)), 6) AS iv
+    FROM woe
+    """,
+)
+def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoE/IV feature scoring, distributed rewrite of the driver fan-out
+    D2 (SURVEY §2.9 — ref ``features.py:616-702``). Quantile edges use
+    exact discrete percentiles so engine and oracle bucket identically."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"), "o_totalprice"
+    )
+    edges = labeled.agg(
+        F.expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 2147483647)").alias("e")
+    ).first()["e"]
+    bucket = (
+        F.when(F.col("o_totalprice") > edges[2], 3)
+        .when(F.col("o_totalprice") > edges[1], 2)
+        .when(F.col("o_totalprice") > edges[0], 1)
+        .otherwise(0)
+    )
+    counts = labeled.select("y", bucket.alias("bucket")).groupBy("bucket").agg(
+        F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
+    )
+    tot = Window.partitionBy()
+    woe = counts.select(
+        ((F.col("n_pos") + 0.5) / (F.sum("n_pos").over(tot) + 0.5)).alias("p_pos"),
+        ((F.col("n_neg") + 0.5) / (F.sum("n_neg").over(tot) + 0.5)).alias("p_neg"),
+    )
+    return woe.agg(
+        F.lit("o_totalprice").alias("column"),
+        F.round(
+            F.sum((F.col("p_pos") - F.col("p_neg")) * F.log(F.col("p_pos") / F.col("p_neg"))), 6
+        ).alias("iv"),
+    )
