@@ -21,16 +21,25 @@ from classification_pyspark_spark.queries import QUERIES  # noqa: E402
 from classification_pyspark_spark.session import get_spark  # noqa: E402
 
 # Headline set: spans scans, multi-way joins, aggregation, window dedup,
-# profiling, and (as they land) text/embedding extension operators.
+# profiling, windows/sessionization, and the LLM-pipeline extensions
+# (text stats, minhash dedup, embedding kNN + LSH).
 HEADLINE = [
     "flagship_customer_features",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
     "dedup_keep_first",
-    "describe_numeric",
+    "describe_numeric_approx",
     "correlation_matrix",
     "outlier_summary",
+    "window_topk_per_group",
+    "sessionize_events",
+    "window_tumbling_hourly",
+    "text_stats",
+    "dedup_exact_text",
+    "minhash_dup_pairs",
+    "knn_bruteforce",
+    "lsh_buckets",
 ]
 
 

@@ -1,0 +1,173 @@
+"""Near-duplicate detection for LLM corpora (north-star extension;
+SURVEY.md §7 Phase 5c).
+
+Four families, all shuffle-disciplined for 100 TB:
+
+- **exact**: md5(text) -> groupBy hash (one shuffle on the digest; at
+  scale this is the cheapest possible full-corpus dedup).
+- **MinHash**: character-k-shingles -> H per-seed min-hashes -> band
+  keys -> bucket join. Candidate pairs only ever meet inside a band
+  bucket (shuffle on band key), never via a cross join.
+- **SimHash**: 16-bit signed-bit-aggregation fingerprint from token
+  hashes; equal fingerprints (or small hamming distance) are
+  candidates. One projection + one groupBy.
+- **n-gram Jaccard**: token-3-gram posting lists -> self-join on gram
+  (shuffle on gram key) -> per-pair intersection counts -> Jaccard.
+  Blocked by a cheap key (lang) to bound the join fan-out.
+
+All variants are deterministic and DuckDB-expressible (md5 and
+lexicographic min are identical on both engines), so each is
+oracle-checked — unusual for LSH code and deliberate here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+SHINGLE_K = 5
+N_MINHASH = 4
+
+
+def text_digest_expr(col: Column | str) -> Column:
+    """md5 digest of the exact text (exact-dup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates: (digest, n_docs, min_doc_id), only
+    groups with n_docs > 1. One hash shuffle on the digest."""
+    return (
+        df.select(text_digest_expr(text_col).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles_expr(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Array of character k-shingles of the lowercased text (positions
+    1..len-k+1; short texts yield their whole string)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
+
+
+def minhash_signature_exprs(
+    col: Column | str, n_hashes: int = N_MINHASH, k: int = SHINGLE_K
+) -> list[Column]:
+    """H min-hash values: for seed s, min over shingles of
+    md5('s<seed>:' || shingle) — the lexicographic min of hex digests
+    is a valid uniform min-hash and is engine-portable."""
+    sh = shingles_expr(col, k)
+
+    def sig(s: int) -> Column:
+        prefix = F.lit(f"s{s}:")
+        return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(prefix, x))))
+
+    return [sig(s).alias(f"minhash_{s}") for s in range(n_hashes)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, minhash_0..minhash_{H-1}) signature frame."""
+    return df.select(F.col(id_col), *minhash_signature_exprs(text_col))
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing ANY minhash band (band
+    size 1 here: each of the H hashes is its own band — recall-heavy,
+    precision via downstream jaccard). Pairs meet only inside band
+    buckets; output (id_a < id_b, n_shared_bands)."""
+    sig = minhash_signatures(df, text_col, id_col)
+    long = sig.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band, h)".format(
+            n=N_MINHASH,
+            args=", ".join(f"'{s}', minhash_{s}" for s in range(N_MINHASH)),
+        ),
+    )
+    a = long.select(F.col(id_col).alias("id_a"), "band", "h")
+    b = long.select(F.col(id_col).alias("id_b"), "band", "h")
+    return (
+        a.join(b, on=["band", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def simhash_expr(col: Column | str, bits: int = 16) -> Column:
+    """SimHash fingerprint: each token hashes to ``bits`` bits (md5
+    prefix); bit j of the fingerprint is the sign of sum over tokens of
+    (bit_j * 2 - 1). 16 bits keeps the hex->int parse portable."""
+    toks = tokens_expr(F.lower(col) if isinstance(col, str) else F.lower(col))
+    hexdigits = bits // 4
+    h = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, hexdigits), 16, 10).cast("long")
+    )
+    def vote(j: int):
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Token-n-gram Jaccard similarity for pairs within a blocking key.
+
+    posting list (id, gram) -> self-join on (block, gram) -> pair
+    intersection counts -> |A∩B| / (|A| + |B| - |A∩B|).
+    Output: (id_a < id_b, jaccard rounded 4).
+    """
+    toks = tokens_expr(F.lower(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    posting = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(grams).alias("gram")
+    )
+    sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = posting.select(F.col("id").alias("id_a"), "blk", "gram")
+    b = posting.select(F.col("id").alias("id_b"), "blk", "gram")
+    inter = (
+        a.join(b, on=["blk", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

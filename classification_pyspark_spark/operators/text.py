@@ -1,0 +1,117 @@
+"""Text analysis for LLM-data pipelines (north-star extension;
+SURVEY.md §7 Phase 5b).
+
+Language-ID (stopword-hit heuristic), quality scoring
+(length/punctuation/stopword ratios), token counting (whitespace
+split), and document fingerprinting (rolling polynomial hash) — all as
+pure column expressions over built-in higher-order functions, so they
+run JVM-side with whole-stage codegen and scale linearly with no
+shuffle (per-row only).
+
+Everything here is deliberately SQL-expressible so the DuckDB oracle
+can replay it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "fr": ("le", "et", "les", "une", "est"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "una", "es", "y"),
+    "zh": ("de", "shi", "le", "bu", "zai"),
+}
+
+
+def tokens_expr(col: Column | str) -> Column:
+    """Whitespace tokenization of the trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_expr(col: Column | str) -> Column:
+    """Token count (whitespace; a BPE-ish subword count is
+    ``bpeish_token_count_expr``)."""
+    return F.size(tokens_expr(col))
+
+
+def bpeish_token_count_expr(col: Column | str) -> Column:
+    """BPE-ish token estimate: split on whitespace AND word/number/
+    punctuation boundaries, counting ~4-char subword chunks — a cheap
+    deterministic proxy for a real BPE vocab (which isn't in this
+    container)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(F.lower(c)), r"[^0-9a-z]+")
+    # ceil(len/4) chunks per word-piece, min 1 for non-empty pieces
+    per_piece = F.transform(
+        pieces, lambda p: F.when(F.length(p) > 0, F.ceil(F.length(p) / 4)).otherwise(F.lit(0))
+    )
+    return F.aggregate(per_piece, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def stopword_count_expr(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Number of tokens that are stopwords (multiset count)."""
+    toks = tokens_expr(F.lower(col) if isinstance(col, str) else F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def punct_ratio_expr(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), r"[0-9a-z\s]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score_expr(col: Column | str, round_to: int = 8) -> Column:
+    """Deterministic document quality score in [0, 1]:
+    0.4 * token-length factor (saturating at 100 tokens)
+    + 0.3 * (1 - punctuation ratio)
+    + 0.3 * stopword presence factor (saturating at 10% stopwords).
+    The shape mirrors common LLM-corpus quality filters (length,
+    symbol noise, stopword prior); weights are arbitrary but fixed.
+    """
+    n = token_count_expr(col).cast("double")
+    length_factor = F.least(n / 100.0, F.lit(1.0))
+    punct = punct_ratio_expr(col)
+    stop_factor = F.least(stopword_count_expr(col) / F.greatest(n, F.lit(1.0)) / 0.10, F.lit(1.0))
+    return F.round(0.4 * length_factor + 0.3 * (1.0 - punct) + 0.3 * stop_factor, round_to)
+
+
+def langid_expr(col: Column | str) -> Column:
+    """Stopword-hit language guess: per-language hit counts, argmax with
+    lexicographic tie-break. Pure expressions -> one projection."""
+    toks = tokens_expr(F.lower(col) if isinstance(col, str) else F.lower(col))
+
+    def hits(sw: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scored = F.array(
+        *[
+            F.struct(hits(sw).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, sw in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # argmax by hits; ties resolved to the lexicographically smallest lang
+    max_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    winners = F.filter(scored, lambda s: s["hits"] == max_hits)
+    return F.array_min(F.transform(winners, lambda s: s["lang"]))
+
+
+def fingerprint_expr(col: Column | str, mod: int = MOD) -> Column:
+    """Rolling polynomial hash of the lowercased text:
+    h = fold(chars, h*31 + ascii(char) mod ``mod``). 60-bit-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(F.lower(c), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
+    )

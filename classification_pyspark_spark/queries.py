@@ -48,7 +48,7 @@ def _register_extensions() -> None:
     """Import sibling query modules for their registration side effects.
 
     Called at the bottom of this module (after ``query`` exists)."""
-    from . import queries_ml  # noqa: F401
+    from . import queries_llm, queries_ml  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -489,6 +489,19 @@ def describe_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return describe_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query("describe_numeric_approx")
+def describe_numeric_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale describe(): percentile_approx sketches instead of
+    exact sort-based percentiles (SURVEY §2.4 A9). Rows-only check (the
+    sketch is not bit-reproducible in DuckDB); bench headline uses this
+    variant — exact global percentiles funnel every value through one
+    aggregation buffer, which is the wrong 100 TB plan."""
+    from .operators.profile import describe_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return describe_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"], approx=True)
 
 
 @query(

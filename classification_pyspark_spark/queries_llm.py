@@ -1,0 +1,350 @@
+"""Query registry batch 3: LLM-data-pipeline operators over
+documents + embeddings (north-star extensions).
+
+Engine/oracle portability notes:
+- md5 hex digests and their lexicographic ordering are identical in
+  Spark and DuckDB -> minhash signatures use min-of-hex-digest;
+- 16-bit hash ints parse as ``conv(hex,16,10)`` (Spark) and
+  ``('0x'||hex)::BIGINT`` (DuckDB);
+- LSH hyperplanes are derived from ``sin(p*1000+j)`` — bit-identical
+  doubles in JVM and libm for these arguments;
+- cosines are rounded to 4 before compare; ranks are computed on the
+  raw values with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+
+EMB_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                t -> t IN ('the','a','of','and','to','in','is','it'))) AS INT) AS n_stopwords,
+           ROUND(len(regexp_replace(lower(text), '[0-9a-z\s]', '', 'g')) * 1.0
+                 / GREATEST(len(text), 1), 8) AS punct_ratio,
+           ROUND(0.4 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+               + 0.3 * (1.0 - len(regexp_replace(lower(text), '[0-9a-z\s]', '', 'g')) * 1.0
+                              / GREATEST(len(text), 1))
+               + 0.3 * LEAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        t -> t IN ('the','a','of','and','to','in','is','it')))
+                        / GREATEST(len(string_split_regex(trim(text), '\s+')), 1) / 0.10, 1.0),
+             8) AS quality_score
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + stopword count + punctuation ratio + composite
+    quality score per document (LLM-corpus quality filtering)."""
+    from .operators.text import (
+        punct_ratio_expr,
+        quality_score_expr,
+        stopword_count_expr,
+        token_count_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr("text").cast("int").alias("n_tokens"),
+        stopword_count_expr("text").cast("int").alias("n_stopwords"),
+        F.round(punct_ratio_expr("text"), 8).alias("punct_ratio"),
+        quality_score_expr("text").alias("quality_score"),
+    )
+
+
+@query(
+    "text_langid",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+        [
+          {hits: len(list_filter(t, x -> x IN ('the','and','of','is','to'))), lang: 'en'},
+          {hits: len(list_filter(t, x -> x IN ('le','et','les','une','est'))), lang: 'fr'},
+          {hits: len(list_filter(t, x -> x IN ('der','die','und','das','ist'))), lang: 'de'},
+          {hits: len(list_filter(t, x -> x IN ('el','los','una','es','y'))), lang: 'es'},
+          {hits: len(list_filter(t, x -> x IN ('de','shi','le','bu','zai'))), lang: 'zh'}
+        ] AS s
+      FROM toks
+    ),
+    m AS (
+      SELECT doc_id, lang, s,
+             list_aggregate(list_transform(s, e -> e['hits']), 'max') AS mh
+      FROM scores
+    )
+    SELECT doc_id, lang,
+           list_aggregate(
+             list_transform(list_filter(s, e -> e['hits'] = mh), e -> e['lang']),
+             'min') AS lang_guess
+    FROM m
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic: (doc_id, labeled lang,
+    deterministic guess). Scores per-language stopword hits, argmax
+    with lexicographic tie-break."""
+    from .operators.text import langid_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", langid_expr("text").alias("lang_guess"))
+
+
+@query(
+    "doc_fingerprint",
+    sql="""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(1, len(lower(text)) + 1),
+                            i -> ascii(substr(lower(text), i, 1))::BIGINT),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash fingerprint (mod 1e9+7) per document."""
+    from .operators.text import fingerprint_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_text",
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT md5(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup via md5-groupBy. The synthetic corpus has no
+    exact dups, so duplicates are injected deterministically (every
+    50th doc re-added under a shifted id) to prove detection."""
+    from .operators.dedup_fuzzy import exact_duplicate_groups
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return exact_duplicate_groups(d.unionByName(injected), "text", "doc_id")
+
+
+@query(
+    "minhash_signatures",
+    sql="""
+    SELECT doc_id,
+      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+        i -> md5('s0:' || substr(lower(text), i, 5))), 'min') AS minhash_0,
+      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+        i -> md5('s1:' || substr(lower(text), i, 5))), 'min') AS minhash_1,
+      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+        i -> md5('s2:' || substr(lower(text), i, 5))), 'min') AS minhash_2,
+      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+        i -> md5('s3:' || substr(lower(text), i, 5))), 'min') AS minhash_3
+    FROM documents
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 seeds over 5-char shingles): the sketch
+    stage of scalable near-dup detection."""
+    from .operators.dedup_fuzzy import minhash_signatures
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(d, "text", "doc_id")
+
+
+@query(
+    "minhash_dup_pairs",
+    sql="""
+    WITH sig AS (
+      SELECT doc_id, s, list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+        i -> md5('s' || s || ':' || substr(lower(text), i, 5))), 'min') AS h
+      FROM documents, (SELECT unnest([0,1,2,3]) AS s)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM sig a JOIN sig b ON a.s = b.s AND a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs: docs colliding in >=1 minhash band —
+    pairs meet only inside band buckets (no cross join), the 100 TB
+    dedup join pattern."""
+    from .operators.dedup_fuzzy import minhash_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, "text", "doc_id")
+
+
+@query(
+    "simhash_fingerprints",
+    sql="""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 16),
+             j -> CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+                       THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (sign of per-bit vote over token
+    hashes) — hamming-distance near-dup sketch."""
+    from .operators.dedup_fuzzy import simhash_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_expr("text").alias("simhash"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    sql=r"""
+    WITH posting AS (
+      SELECT doc_id AS id, lang AS blk, unnest(list_distinct(g)) AS gram
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 2), ' ')) AS g
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_grams FROM posting GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM posting a JOIN posting b ON a.blk = b.blk AND a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard near-dup pairs, blocked by lang (posting-
+    list self-join — the exact-similarity complement to minhash)."""
+    from .operators.dedup_fuzzy import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+_COS = """ROUND(
+  list_inner_product(a.v, b.v) /
+  (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))), 4)"""
+
+
+@query(
+    "knn_bruteforce",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_inner_product(a.v, b.v) /
+             (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b.v, b.v))) AS c
+      FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 4) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    the ANN correctness baseline. Queries broadcast; corpus scanned
+    once, never shuffled."""
+    from .operators.similarity import knn_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "lsh_buckets",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+      CAST((
+        SELECT SUM(CASE WHEN (
+          SELECT SUM(v[j + 1] * SIN(p.p * 1000 + j)) FROM unnest(range(0, {EMB_DIM})) AS u(j)
+        ) > 0 THEN 1 << p.p ELSE 0 END)
+        FROM (SELECT unnest(range(0, 8)) AS p) p
+      ) AS INT) AS bucket
+    FROM e
+    """,
+)
+def lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 deterministic
+    sin-derived planes -> 256 buckets): the partitioning key that turns
+    all-pairs similarity into per-bucket joins at scale."""
+    from .operators.similarity import lsh_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_buckets(e, "vec_id", "embedding", EMB_DIM)
+
+
+@query(
+    "embedding_dup_pairs",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+        (SELECT SUM(CASE WHEN (
+           SELECT SUM(v[j + 1] * SIN(p.p * 1000 + j)) FROM unnest(range(0, {EMB_DIM})) AS u(j)
+         ) > 0 THEN 1 << p.p ELSE 0 END)
+         FROM (SELECT unnest(range(0, 8)) AS p) p) AS bucket
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {_COS.replace('b.', 'b2.')} AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {_COS.replace('b.', 'b2.')} >= 0.3
+    """,
+)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.3) within LSH buckets —
+    the embedding-space dedup pattern (threshold tuned low because the
+    synthetic vectors are near-orthogonal; production would use ~0.95)."""
+    from .operators.similarity import cosine_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(e, "vec_id", "embedding", EMB_DIM, min_cosine=0.3)

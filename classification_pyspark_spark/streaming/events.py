@@ -1,0 +1,102 @@
+"""Structured Streaming over the events stream (SURVEY.md §1 gap /
+§7 Phase 5a — the reference is purely batch; this is new capability).
+
+Sources: any ``readStream`` source with the events schema. Tests use
+the parquet file source against a copied directory (exactly what a
+production run does against an arriving-files landing zone); swap the
+source line for Kafka in deployment — every transformation below is
+source-agnostic.
+
+All aggregations carry a watermark so state is bounded (late data past
+the watermark is dropped deterministically) — mandatory at 100 TB
+stream scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source events stream (schema must be provided for streams)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts+sums per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_rates(events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Sliding-window event rates (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session-window aggregation per user (dynamic-length windows that
+    close after ``gap`` of inactivity) — streaming twin of the batch
+    ``sessionize`` operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state: duplicates
+    arriving within the watermark horizon are dropped; state for ids
+    older than the watermark is evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> None:
+    """Drain a streaming frame into an in-memory table with the
+    available-now trigger (test/demo harness): processes everything
+    currently in the source, then stops. Use ``output_mode='complete'``
+    for unwatermark-closed aggregations you want emitted eagerly."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

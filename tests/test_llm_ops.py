@@ -1,0 +1,168 @@
+"""Unit tests: text analysis, fuzzy dedup, similarity search,
+multimodal plumbing (the LLM-pipeline extension operators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from classification_pyspark_spark.operators.dedup_fuzzy import (
+    exact_duplicate_groups,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_expr,
+)
+from classification_pyspark_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_plan,
+    synthetic_media,
+)
+from classification_pyspark_spark.operators.similarity import (
+    cosine_dup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+    lsh_buckets,
+)
+from classification_pyspark_spark.operators.text import (
+    bpeish_token_count_expr,
+    fingerprint_expr,
+    langid_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy cat", "en"),  # near dup
+        (3, "le chat est sur la table et les livres", "fr"),
+        (4, "completely different words entirely here now", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_counts(spark, docs):
+    out = {r.doc_id: r.n for r in docs.select("doc_id", token_count_expr("text").alias("n")).collect()}
+    assert out[0] == 9
+    bpe = docs.select(bpeish_token_count_expr("text").alias("n")).first().n
+    assert bpe >= 9  # subword chunks >= whitespace tokens
+
+
+def test_quality_and_langid(spark, docs):
+    q = {r.doc_id: r.q for r in docs.select("doc_id", quality_score_expr("text").alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[0] > q[4]  # stopword-bearing text scores higher than stopword-free
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", langid_expr("text").alias("lang")).collect()}
+    assert lang[0] == "en"
+    assert lang[3] == "fr"
+
+
+def test_fingerprint_deterministic_and_case_insensitive(spark, docs):
+    fp = docs.select("doc_id", fingerprint_expr("text").alias("fp"))
+    vals = {r.doc_id: r.fp for r in fp.collect()}
+    assert vals[0] == vals[1]  # identical text -> identical fingerprint
+    assert vals[0] != vals[4]
+    upper = docs.withColumn("text", F.upper("text"))
+    uvals = {r.doc_id: r.fp for r in upper.select("doc_id", fingerprint_expr("text").alias("fp")).collect()}
+    assert uvals[0] == vals[0]  # lowercased before hashing
+
+
+def test_exact_and_minhash_dedup(spark, docs):
+    groups = exact_duplicate_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].min_doc_id == 0
+
+    sig = minhash_signatures(docs, "text", "doc_id")
+    s = {r.doc_id: (r.minhash_0, r.minhash_1) for r in sig.collect()}
+    assert s[0] == s[1]  # identical docs share the full signature
+
+    pairs = {(r.id_a, r.id_b): r.n_shared_bands for r in minhash_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert pairs[(0, 1)] == 4  # exact dups collide in all bands
+    assert (0, 2) in pairs  # near dup collides in some band
+    assert (0, 4) not in pairs  # unrelated docs don't
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    sh = {r.doc_id: r.sh for r in docs.select("doc_id", simhash_expr("text").alias("sh")).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, "text", "doc_id", "lang").collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.2 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs  # different lang block
+    assert (0, 4) not in pairs  # below threshold
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_bruteforce(spark, vectors):
+    out = knn_bruteforce(vectors, vectors.filter("vec_id = 0"), "vec_id", "embedding", k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+    assert out[0].cosine == pytest.approx(0.995, abs=1e-3)
+
+
+def test_lsh_buckets_and_knn(spark):
+    # vectors chosen away from any hyperplane (no projection near 0)
+    rows = [
+        (0, [0.5, 0.5, 0.1, 0.2]),
+        (1, [0.52, 0.48, 0.12, 0.19]),  # near 0 -> same signs on every plane
+        (2, [-0.5, -0.5, -0.1, -0.2]),  # opposite -> all signs flip
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = {r.vec_id: r.bucket for r in lsh_buckets(vecs, "vec_id", "embedding", 4).collect()}
+    assert b[0] == b[1]
+    assert bin(b[0] ^ b[2]).count("1") == 8  # every hyperplane sign flips
+
+    nn = knn_lsh(vecs, "vec_id", "embedding", 4, k=1).collect()
+    by_q = {r.query_id: r.neighbor_id for r in nn}
+    assert by_q.get(0) == 1 and by_q.get(1) == 0
+    assert 2 not in by_q  # alone in its bucket -> no in-bucket neighbor
+
+
+def test_cosine_dup_pairs(spark):
+    rows = [
+        (0, [0.5, 0.5, 0.1, 0.2]),
+        (1, [0.52, 0.48, 0.12, 0.19]),  # near-dup of 0, same LSH bucket
+        (2, [-0.5, -0.5, -0.1, -0.2]),  # different bucket, never compared
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b): r.cosine for r in cosine_dup_pairs(vecs, "vec_id", "embedding", 4, 0.9).collect()}
+    assert (0, 1) in pairs and len(pairs) == 1
+    assert pairs[(0, 1)] > 0.99
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = synthetic_media(spark, 12)
+    assert media.schema["bytes"].dataType.simpleString() == "binary"
+    decoded = decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 12
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same bytes -> same checksum/feature
+    again = {r.media_id: (r.checksum, tuple(r.feature)) for r in decode_media(media).collect()}
+    first = {r.media_id: (r.checksum, tuple(r.feature)) for r in rows}
+    assert again == first
+    # unit-norm features
+    assert sum(v * v for v in rows[0].feature) == pytest.approx(1.0, abs=1e-9)
+
+    frames = frame_sample_plan(media, every_n_seconds=1.0)
+    f = frames.groupBy("media_id").count().collect()
+    assert f and all(r["count"] >= 1 for r in f)

@@ -1,0 +1,79 @@
+"""Structured Streaming tests: file-source events stream -> watermarked
+windows / session windows / stateful dedup, drained with the
+available-now trigger into memory sinks."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from classification_pyspark_spark.catalog import load_table
+from classification_pyspark_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_rates,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stage the events table as a parquet landing-zone directory with
+    normalized (microsecond) timestamps."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    assert stream.isStreaming
+    run_to_memory(tumbling_counts(stream), "t_tumbling", output_mode="append")
+    got = spark.table("t_tumbling")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    # the streaming result (watermark-closed windows) must agree with
+    # the batch computation on every emitted window
+    joined = got.alias("s").join(
+        batch.alias("b"), on=["window_start", "event_type"], how="inner"
+    )
+    assert joined.count() == got.count() > 0
+    mismatches = joined.filter(
+        (F.col("s.n") != F.col("b.n"))
+        | (F.abs(F.col("s.sum_value") - F.col("b.sum_value")) > 1e-6)
+    )
+    assert mismatches.count() == 0
+
+
+def test_sliding_and_session_windows_run(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=4)
+    run_to_memory(sliding_rates(stream), "t_sliding", output_mode="append")
+    sliding = spark.table("t_sliding")
+    assert sliding.count() > 0
+    # a 10min/5min sliding window must produce ~2x tumbling rows per key
+    run_to_memory(session_windows(stream), "t_sessions", output_mode="append")
+    sessions = spark.table("t_sessions")
+    assert sessions.count() > 0
+    assert sessions.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stateful_dedup_drops_duplicates(spark, events_dir, tmp_path_factory):
+    dup_dir = str(tmp_path_factory.mktemp("events_dup"))
+    base = spark.read.parquet(events_dir)
+    base.unionByName(base.limit(200)).repartition(3).write.mode("overwrite").parquet(dup_dir)
+    stream = read_events_stream(spark, dup_dir, max_files_per_trigger=10)
+    run_to_memory(stateful_dedup(stream), "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    n_unique = base.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == n_unique
+    assert got.count() == n_unique
+    shutil.rmtree(dup_dir, ignore_errors=True)

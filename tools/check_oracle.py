@@ -44,9 +44,14 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        return c
+
+    con = fresh_con()
 
     n_pass = n_fail = 0
     for name, fn in QUERIES.items():
@@ -71,6 +76,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
+            con = fresh_con()  # an INTERNAL error invalidates the connection
             continue
         sc, sk = frame_key(scols, srows)
         dc, dk = frame_key(dcols, drows)
