@@ -62,34 +62,73 @@ def shingles_expr(col: Column | str, k: int = SHINGLE_K) -> Column:
 def minhash_signature_exprs(
     col: Column | str, n_hashes: int = N_MINHASH, k: int = SHINGLE_K
 ) -> list[Column]:
-    """H min-hash values: for seed s, min over shingles of
-    md5('s<seed>:' || shingle) — the lexicographic min of hex digests
-    is a valid uniform min-hash and is engine-portable."""
+    """H min-hash values from ONE md5 per shingle: hash s is the
+    lexicographic min over shingles of hex window
+    ``digest[8s : 8s+8]`` — four disjoint 32-bit slices of a single
+    md5 are independent uniform hashes, so the digest work is 1/H of
+    the per-seed formulation (the dominant cost of minhash at scale)."""
     sh = shingles_expr(col, k)
+    digests = F.transform(sh, lambda x: F.md5(x))
 
     def sig(s: int) -> Column:
-        prefix = F.lit(f"s{s}:")
-        return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(prefix, x))))
+        return F.array_min(F.transform(digests, lambda d: F.substring(d, 8 * s + 1, 8)))
 
     return [sig(s).alias(f"minhash_{s}") for s in range(n_hashes)]
 
 
-def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, minhash_0..minhash_{H-1}) signature frame."""
-    return df.select(F.col(id_col), *minhash_signature_exprs(text_col))
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_MINHASH, k: int = SHINGLE_K
+) -> DataFrame:
+    """(id, minhash_0..minhash_{H-1}) signature frame.
+
+    Plan: explode shingle positions (pure codegen — no higher-order
+    lambdas, which evaluate interpreted and dominate runtime), md5 each
+    shingle once, then ONE hash aggregate taking all H window-mins.
+    The groupBy(id) agg does map-side partial mins, so at 100 TB the
+    shuffle carries only H minima per (mapper, doc)."""
+    t = F.lower(F.col(text_col))
+    pos = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    dg = pos.select(F.col(id_col), F.md5(F.expr(f"substr(__t, __i, {k})")).alias("__d"))
+    return dg.groupBy(id_col).agg(
+        *[
+            F.min(F.substring("__d", 8 * s + 1, 8)).alias(f"minhash_{s}")
+            for s in range(n_hashes)
+        ]
+    )
 
 
-def minhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Near-dup candidate pairs: docs sharing ANY minhash band (band
-    size 1 here: each of the H hashes is its own band — recall-heavy,
-    precision via downstream jaccard). Pairs meet only inside band
-    buckets; output (id_a < id_b, n_shared_bands)."""
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, rows_per_band: int = 2
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing a minhash BAND (bands of
+    ``rows_per_band`` hashes ANDed together, bands ORed — standard LSH
+    banding). With H=4, r=2 -> 2 bands: collision requires two
+    consecutive min-hashes to agree, which tames the candidate blowup
+    that r=1 suffers on low-entropy corpora (collision probability
+    j^r per band vs j). Pairs meet only inside band buckets — never a
+    cross join. Output (id_a < id_b, n_shared_bands)."""
     sig = minhash_signatures(df, text_col, id_col)
-    long = sig.selectExpr(
+    n_bands = N_MINHASH // rows_per_band
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    long = banded.selectExpr(
         id_col,
         "stack({n}, {args}) as (band, h)".format(
-            n=N_MINHASH,
-            args=", ".join(f"'{s}', minhash_{s}" for s in range(N_MINHASH)),
+            n=n_bands,
+            args=", ".join(f"'{b}', band_{b}" for b in range(n_bands)),
         ),
     )
     a = long.select(F.col(id_col).alias("id_a"), "band", "h")

