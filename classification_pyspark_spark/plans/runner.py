@@ -1,0 +1,48 @@
+"""Job runner (SURVEY.md §2.12 O3-O4).
+
+Re-expression of ``job_runner.executor`` / ``task_runner.run_task``
+(``src/ta_lib/pyspark/job_runner.py:51-89``,
+``task_runner.py:37-89``): stages run sequentially; each task looks up
+its processor and invokes it with (spark, params). Failures are
+captured as TaskStatus, logged, and do not abort the job (parity with
+the reference's safe-runner), unless ``fail_fast``."""
+
+from __future__ import annotations
+
+import logging
+import time
+
+from pyspark.sql import SparkSession
+
+from .planner import JobPlan
+from .registry import TaskStatus, get_processor
+
+log = logging.getLogger(__name__)
+
+
+def run_task(spark: SparkSession, job_name: str, task_name: str, params: dict) -> TaskStatus:
+    processor = get_processor(job_name, task_name)
+    t0 = time.perf_counter()
+    try:
+        result = processor(spark, params)
+    except Exception as e:  # noqa: BLE001 — parity: safe-runner captures
+        log.exception("task %s/%s failed", job_name, task_name)
+        return TaskStatus(False, f"{type(e).__name__}: {e}")
+    elapsed = time.perf_counter() - t0
+    if isinstance(result, TaskStatus):
+        return result
+    return TaskStatus(True, f"ok in {elapsed:.1f}s")
+
+
+def execute_job(spark: SparkSession, plan: JobPlan, fail_fast: bool = False) -> dict[str, TaskStatus]:
+    """Run all stages sequentially; returns {stage/task: status}."""
+    results: dict[str, TaskStatus] = {}
+    for stage in plan.stages:
+        log.info("stage %s (%d tasks)", stage.name, len(stage.tasks))
+        for task in stage.tasks:
+            status = run_task(spark, plan.name, task.name, task.params)
+            results[f"{stage.name}/{task.name}"] = status
+            log.info("  %s/%s -> %s %s", stage.name, task.name, status.success, status.message)
+            if fail_fast and not status.success:
+                return results
+    return results

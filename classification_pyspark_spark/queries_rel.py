@@ -1,0 +1,258 @@
+"""Query registry batch 4: remaining relational surface (SURVEY.md
+§2.3 gap joins, §2.4 gap aggregates, §2.6-2.8, §2.11 plot aggregates).
+
+Imported by ``queries`` for registration side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+
+
+@query(
+    "semi_anti_joins",
+    sql="""
+    SELECT 'with_orders' AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders', CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins (SURVEY §2.3 gap — free in Spark,
+    absent in the reference, used by our distributed set analysis)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    on = c.c_custkey == o.o_custkey
+    semi = c.join(o, on, "left_semi").agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("with_orders").alias("segment"), "n"
+    )
+    anti = c.join(o, on, "left_anti").agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("without_orders").alias("segment"), "n"
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "union_distinct_intersect_except",
+    sql="""
+    SELECT 'union_all' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'union_distinct', CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT DISTINCT k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+    UNION ALL
+    SELECT 'intersect', CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'except', CAST(COUNT(*) AS BIGINT) FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def union_distinct_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union, set union, intersect, except (SURVEY §2.6 U1-U2)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("op"), "n"
+        )
+
+    return (
+        one("union_all", f.unionByName(op))
+        .unionByName(one("union_distinct", f.unionByName(op).distinct()))
+        .unionByName(one("intersect", f.intersect(op)))
+        .unionByName(one("except", f.subtract(op)))  # EXCEPT (set) semantics
+    )
+
+
+@query(
+    "cube_rollup",
+    sql="""
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation via rollup (SURVEY §2.4 gap: grouping
+    sets — free in Spark, absent in the reference)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "clean_strings",
+    sql=r"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(
+             regexp_replace(source, '\([^)]*\)|\[[^\]]*\]', '', 'g'),
+             '[^0-9a-zA-Z\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS source_clean
+    FROM documents
+    """,
+)
+def clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-value cleaner (SURVEY §2.2 P11 — ref ``dp.py:134-181``):
+    strip bracketed text, drop specials, collapse whitespace, lower."""
+    from .functions.strings import clean_string_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", clean_string_expr("source").alias("source_clean"))
+
+
+@query(
+    "date_parse_roundtrip",
+    sql="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%d%b%Y:%H:%M:%S') AS raw,
+           CAST(strptime(upper(strftime(o_orderdate, '%d%b%Y:%H:%M:%S')),
+                         '%d%b%Y:%H:%M:%S') AS DATE) AS parsed
+    FROM orders
+    """,
+)
+def date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's raw-date format ddMMMyyyy:HH:mm:ss parsed back to
+    a date (SURVEY §2.8 F2 — ref ``production/data_cleaning.py:49-53``);
+    formatted from the testdata timestamps, then re-parsed."""
+    from .functions.dates import parse_date_expr
+
+    o = load_table(spark, sf_dir, "orders")
+    raw = F.date_format("o_orderdate", "ddMMMyyyy:HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        parse_date_expr(F.upper(raw)).alias("parsed"),
+    )
+
+
+@query(
+    "histogram_fixed_buckets",
+    sql="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 0), 19) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS min_v,
+           ROUND(MAX(o_totalprice), 2) AS max_v
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket histogram aggregate — the distributed core of the
+    reference's density/frequency plot suite (SURVEY §2.11 E9:
+    aggregates in Spark, rendering driver-side)."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    width = (hi - lo) / 20
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - lo) / width), F.lit(0)), F.lit(19)
+    ).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("min_v"),
+        F.round(F.max("o_totalprice"), 2).alias("max_v"),
+    )
+
+
+@query(
+    "threshold_sweep",
+    sql="""
+    WITH d AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + EXP(-(o_totalprice / 200000.0 - 1.0))) AS s
+      FROM orders
+    ),
+    th AS (SELECT ROUND(x / 10.0, 6) AS threshold FROM (SELECT unnest(range(0, 11)) AS x)),
+    c AS (
+      SELECT threshold,
+             CAST(SUM(CASE WHEN y = 1 AND s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND s >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN y = 0 AND s < threshold  THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN y = 1 AND s < threshold  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM d, th GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, tn, fn,
+           ROUND(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 1.0 END, 6) AS precision,
+           ROUND(tp * 1.0 / (tp + fn), 6) AS recall,
+           ROUND(fp * 1.0 / (fp + tn), 6) AS fpr
+    FROM c
+    """,
+)
+def threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC/PR threshold sweep as a broadcast cross join (SURVEY §2.9 D3
+    — replaces ``handy_spark_cd.py:85-187``'s JVM bridge)."""
+    from .functions.metrics import threshold_sweep
+    from .queries_ml import _scored_orders
+
+    return threshold_sweep(_scored_orders(spark, sf_dir), "y", "s", n_thresholds=11)
+
+
+@query("random_sample")
+def random_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (SURVEY §2.7 R1). Rows-only check:
+    Spark's RNG stream is not reproducible in DuckDB (SURVEY §7
+    'What's hard' #1); determinism under the fixed seed is covered by
+    unit tests."""
+    from .operators.sampling import random_sample
+
+    return random_sample(load_table(spark, sf_dir, "orders"), 0.1, seed=42)
+
+
+@query("stratified_split_train")
+def stratified_split_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified split, train side (SURVEY §2.7 R4). Rows-only check
+    (RNG), invariants unit-tested."""
+    from .operators.sampling import stratified_split
+
+    o = load_table(spark, sf_dir, "orders")
+    train, _ = stratified_split(o, "o_orderstatus", 0.3, seed=42)
+    return train.groupBy("o_orderstatus").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query(
+    "approx_distinct_counts",
+    sql="""
+    SELECT 'o_custkey' AS "column", CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+    FROM orders
+    UNION ALL SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts alongside the HLL scale path (SURVEY §2.4
+    A4): the oracle checks the exact column; the approx column is
+    asserted within tolerance in unit tests, not hashed here."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("o_custkey"),
+        F.countDistinct("o_orderpriority").cast("long").alias("o_orderpriority"),
+    ).unpivot([], ["o_custkey", "o_orderpriority"], "column", "exact_distinct")

@@ -1,0 +1,148 @@
+"""Orchestration tests: registry -> plan -> runner -> CLI, driving a
+real 2-stage pipeline (clean -> feature mart) over the smoke data,
+plus an end-to-end ML train/score/eval pipeline (EP3 shape)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from classification_pyspark_spark.catalog import load_table
+from classification_pyspark_spark.plans.planner import create_job_plan
+from classification_pyspark_spark.plans.registry import TaskStatus, register_processor
+from classification_pyspark_spark.plans.runner import execute_job
+
+SPEC = {
+    "name": "feature-mart",
+    "stages": [
+        {"name": "clean", "tasks": [{"name": "clean-orders", "params": {"out": ""}}]},
+        {"name": "features", "tasks": [{"name": "build-mart", "params": {"inp": "", "out": ""}}]},
+    ],
+}
+
+
+@register_processor("feature-mart", "clean-orders")
+def _clean_orders(spark, params):
+    df = load_table(spark, params["sf_dir"], "orders")
+    cleaned = df.dropDuplicates(["o_orderkey"]).filter(F.col("o_totalprice") > 0)
+    cleaned.write.mode("overwrite").parquet(params["out"])
+    return TaskStatus(True, f"{cleaned.count()} rows")
+
+
+@register_processor("feature-mart", "build-mart")
+def _build_mart(spark, params):
+    orders = spark.read.parquet(params["inp"])
+    mart = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("spend")
+    )
+    mart.write.mode("overwrite").parquet(params["out"])
+    return TaskStatus(True, f"{mart.count()} customers")
+
+
+@register_processor("feature-mart", "boom")
+def _boom(spark, params):
+    raise RuntimeError("intentional failure")
+
+
+def test_job_plan_and_execute(spark, sf_dir, tmp_path):
+    clean_out = str(tmp_path / "clean")
+    mart_out = str(tmp_path / "mart")
+    spec = {
+        "name": "feature-mart",
+        "stages": [
+            {"name": "clean", "tasks": [{"name": "clean-orders", "params": {"sf_dir": sf_dir, "out": clean_out}}]},
+            {"name": "features", "tasks": [{"name": "build-mart", "params": {"inp": clean_out, "out": mart_out}}]},
+        ],
+    }
+    plan = create_job_plan(spec)
+    assert [s.name for s in plan.stages] == ["clean", "features"]
+    results = execute_job(spark, plan)
+    assert all(v.success for v in results.values())
+    assert spark.read.parquet(mart_out).count() > 0
+
+
+def test_failed_task_is_captured_not_raised(spark):
+    spec = {
+        "name": "feature-mart",
+        "stages": [{"name": "s", "tasks": [{"name": "boom", "params": {}}]}],
+    }
+    results = execute_job(spark, create_job_plan(spec))
+    st = results["s/boom"]
+    assert not st.success and "intentional failure" in st.message
+
+
+def test_cli_list_and_run(spark, sf_dir, tmp_path, capsys):
+    import yaml
+
+    from classification_pyspark_spark.plans.cli import main
+
+    clean_out = str(tmp_path / "clean2")
+    mart_out = str(tmp_path / "mart2")
+    catalog = {
+        "jobs": [
+            {
+                "name": "feature-mart",
+                "stages": [
+                    {"name": "clean", "tasks": [{"name": "clean-orders", "params": {"sf_dir": sf_dir, "out": clean_out}}]},
+                    {"name": "features", "tasks": [{"name": "build-mart", "params": {"inp": clean_out, "out": mart_out}}]},
+                ],
+            }
+        ]
+    }
+    cat_path = str(tmp_path / "jobs.yml")
+    with open(cat_path, "w") as f:
+        yaml.safe_dump(catalog, f)
+
+    assert main(["list", "-c", cat_path]) == 0
+    assert "feature-mart" in capsys.readouterr().out
+    assert main(["run", "-c", cat_path, "-j", "feature-mart"]) == 0
+    assert main(["run", "-c", cat_path, "-j", "nope"]) == 2
+    assert os.path.isdir(mart_out)
+
+
+def test_ml_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """EP3 shape: features -> outlier cap -> impute -> assemble ->
+    logistic fit -> score -> metrics + importances (SURVEY §3 EP3)."""
+    from classification_pyspark_spark.functions.metrics import (
+        auc_roc,
+        binary_classification_metrics,
+    )
+    from classification_pyspark_spark.operators.encode import generate_features_vector
+    from classification_pyspark_spark.operators.impute import Imputer
+    from classification_pyspark_spark.operators.models import (
+        feature_importance,
+        prediction_label_expr,
+        score,
+        train,
+    )
+    from classification_pyspark_spark.operators.outliers import IQR, OutlierTreatment
+    from classification_pyspark_spark.operators.sampling import stratified_split
+    from classification_pyspark_spark.queries import QUERIES
+    from classification_pyspark_spark.sources.io import load_model, save_model
+
+    mart = QUERIES["flagship_customer_features"](spark, sf_dir)
+    feats = ["recency_days", "n_orders", "total_spend", "total_qty", "total_revenue"]
+    capped = OutlierTreatment(feats, method=IQR).fit(mart).transform(mart)
+    imputed = Imputer(cols=feats).fit(capped).transform(capped)
+    assembled = generate_features_vector(imputed, feats).withColumnRenamed("target_var", "y")
+    train_df, test_df = stratified_split(assembled, "y", 0.3, seed=42)
+
+    model = train(train_df, "classification", "logistic", label_col="y")
+    path = str(tmp_path / "lr_model")
+    save_model(model, path)
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    loaded = load_model(LogisticRegressionModel, path)
+    scored = score(loaded, test_df).withColumn("score", prediction_label_expr())
+    from pyspark.ml.functions import vector_to_array
+
+    scored = scored.withColumn("p1", vector_to_array("probability")[1])
+    m = binary_classification_metrics(scored, "y", "p1", 0.5).first()
+    assert m.tp + m.fp + m.tn + m.fn == test_df.count()
+    auc = auc_roc(scored, "y", "p1").first()[0]
+    assert 0.0 <= auc <= 1.0
+
+    imp = feature_importance(assembled, "features", "y")
+    assert imp.numNonzeros() >= 0 and len(imp.toArray()) == len(feats)
