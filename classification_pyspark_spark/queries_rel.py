@@ -256,3 +256,43 @@ def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("o_custkey"),
         F.countDistinct("o_orderpriority").cast("long").alias("o_orderpriority"),
     ).unpivot([], ["o_custkey", "o_orderpriority"], "column", "exact_distinct")
+
+
+@query(
+    "asof_join_last_view_before_purchase",
+    sql="""
+    WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, event_id AS view_event_id, ts AS view_ts
+               FROM events WHERE event_type = 'view')
+    SELECT l.user_id, l.event_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           r.view_event_id,
+           strftime(r.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.view_ts <= l.ts
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 gap): each purchase gets the user's most
+    recent prior view. Engine plan: union tagged streams + one
+    partitioned sort + forward-fill window (one shuffle, linear);
+    oracle: DuckDB's native ASOF JOIN — two independent formulations
+    must agree row-for-row."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_event_id"), F.col("ts").alias("view_ts"))
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="view_ts",
+        value_cols=["view_event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.date_format("view_ts_asof", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
