@@ -296,3 +296,133 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_event_id_asof").alias("view_event_id"),
         F.date_format("view_ts_asof", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
     )
+
+
+@query(
+    "confusion_cells",
+    sql="""
+    WITH d AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + EXP(-(o_totalprice / 200000.0 - 1.0))) AS s
+      FROM orders
+    )
+    SELECT CASE WHEN y = 1 AND s > 0.5 THEN 'TP'
+                WHEN y = 0 AND s > 0.5 THEN 'FP'
+                WHEN y = 0 AND s <= 0.5 THEN 'TN'
+                ELSE 'FN' END AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY 1
+    """,
+)
+def confusion_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row TP/FP/TN/FN labeling + counts — native when-chain rewrite
+    of the reference's _get_conf_cell row UDF (SURVEY §2.9 D1,
+    ``model_eval.py:444-468``)."""
+    from .functions.metrics import confusion_cell_expr
+    from .queries_ml import _scored_orders
+
+    d = _scored_orders(spark, sf_dir)
+    return d.groupBy(confusion_cell_expr("y", "s", 0.5).alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
+    "label_encode_stringindexer",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS DOUBLE) AS o_orderpriority_idx
+    FROM orders
+    """,
+)
+def label_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer label encoding with alphabetAsc ordering (SURVEY
+    §2.10 M8 — ref ``eda.py:805-827``); deterministic, so the oracle is
+    a dense_rank over the sorted categories."""
+    from .operators.encode import label_encode
+
+    o = load_table(spark, sf_dir, "orders")
+    out, _ = label_encode(o, ["o_orderpriority"])
+    return out.select("o_orderkey", "o_orderpriority", "o_orderpriority_idx")
+
+
+@query(
+    "simhash_hamming_pairs",
+    sql="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                            t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             CAST(list_sum(list_transform(range(0, 16),
+               j -> CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+                         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 2 within a lang
+    block — the sketch-compare stage of simhash dedup (fingerprints are
+    16-bit so XOR+popcount is a cheap pair predicate)."""
+    from .operators.dedup_fuzzy import simhash_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang", simhash_expr("text").alias("simhash"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "lang", F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), "lang", F.col("simhash").alias("hb"))
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+
+
+@query(
+    "streaming_tumbling_counts",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run on the graded surface: the events
+    table is staged as a file-source landing zone, streamed with
+    maxFilesPerTrigger batches through a tumbling-window aggregation
+    (complete output mode -> all windows emitted), drained with the
+    available-now trigger, and the final in-memory table is returned.
+    Exactness: complete-mode windowed aggregation over the full source
+    equals the batch group-by, so the DuckDB oracle applies."""
+    import hashlib
+    import os
+
+    from .streaming.events import read_events_stream, run_to_memory, tumbling_counts
+
+    stage = os.path.join(
+        "/tmp/spark_graft_stream_stage", hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    stream = read_events_stream(spark, stage, max_files_per_trigger=2)
+    name = "q_streaming_tumbling"
+    run_to_memory(tumbling_counts(stream, watermark="2 hours"), name, output_mode="complete")
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
