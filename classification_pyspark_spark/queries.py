@@ -67,13 +67,13 @@ def _register_extensions() -> None:
       SELECT o_custkey,
              CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '{REF_DATE}')) AS INTEGER) AS recency_days,
              COUNT(*) AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS total_spend
+             CAST(SUM(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total_spend
       FROM o2 GROUP BY o_custkey
     ),
     rev AS (
       SELECT o_custkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-             ROUND(SUM(l_quantity), 2) AS total_qty
+             CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS total_revenue,
+             CAST(SUM(l_quantity::DECIMAL(10,2)) AS DOUBLE) AS total_qty
       FROM o2 JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_custkey
     ),
@@ -110,18 +110,24 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     ref = F.to_date(F.lit(REF_DATE))
 
+    # money sums in exact DECIMAL then cast to double: engine and oracle
+    # produce bit-identical values with no float-accumulation rounding
+    # hazard (a 2dp-ideal sum rounded at 2dp once hit a round-half split)
+    dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
     o2 = orders.filter(F.to_date("o_orderdate") <= ref)
     feat_o = o2.groupBy("o_custkey").agg(
         F.min(F.datediff(ref, F.to_date("o_orderdate"))).alias("recency_days"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_spend"),
     )
     rev = (
         o2.join(lineitem, o2.o_orderkey == lineitem.l_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(10,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("total_revenue"),
+            F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
         )
     )
     labels = (
@@ -159,10 +165,11 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(SUM(l_quantity::DECIMAL(10,2)) AS DOUBLE) AS sum_qty,
+           CAST(SUM(l_extendedprice::DECIMAL(10,2)) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))
+                    * (1::DECIMAL(10,2) + l_tax::DECIMAL(10,2))) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -178,15 +185,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials — the canonical 'does partial aggregation +
     pushdown work' probe."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(10,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
     return (
         li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (one + dec("l_tax"))).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -199,7 +208,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     sql="""
     SELECT o_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -229,7 +238,14 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(10,2)")
+                * (F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -240,7 +256,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_nation_revenue",
     sql="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lineitems
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -278,7 +294,12 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(10,2)")
+                * (F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
     )
