@@ -426,3 +426,54 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_session_windows",
+    sql="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming session windows (F.session_window, 30-min gap,
+    complete mode, available-now) cross-checked against a batch
+    gaps-and-islands oracle. Session semantics note: Spark closes a
+    session when the NEXT event is >= gap after the previous one (the
+    window is [start, last_event + gap)), which equals the island
+    partitioning on gap >= 1800s."""
+    import hashlib
+    import os
+
+    from .streaming.events import read_events_stream, run_to_memory, session_windows
+
+    stage = os.path.join(
+        "/tmp/spark_graft_stream_stage", hashlib.md5(sf_dir.encode()).hexdigest()[:8] + "_s"
+    )
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    stream = read_events_stream(spark, stage, max_files_per_trigger=2)
+    name = "q_streaming_sessions"
+    run_to_memory(session_windows(stream, gap="30 minutes"), name, output_mode="complete")
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5 invariants:
+capped values within bounds, imputation leaves no missing, dedup
+idempotent, stratified split preserves class ratio, minhash containment.
+
+Data strategy: hypothesis generates small python lists; each property
+runs one Spark job on them (local[4] session reused). max_examples is
+kept small — each example is a Spark round-trip.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from classification_pyspark_spark.operators.dedup import drop_duplicates
+from classification_pyspark_spark.operators.impute import Imputer
+from classification_pyspark_spark.operators.outliers import CAP, DROP, IQR, OutlierTreatment
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(vals=st.lists(finite_doubles, min_size=4, max_size=40))
+@settings(**SETTINGS)
+def test_outlier_cap_within_bounds(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    model = OutlierTreatment(["x"], method=IQR, exact=True).fit(df)
+    lo, hi = model.bounds["x"]
+    capped = [r.x for r in model.transform(df, CAP).collect()]
+    assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in capped)
+    assert len(capped) == len(vals)  # capping never drops rows
+    dropped = model.transform(df, DROP).count()
+    assert dropped <= len(vals)
+
+
+@given(
+    vals=st.lists(st.one_of(finite_doubles, st.none()), min_size=3, max_size=30).filter(
+        lambda xs: any(v is not None for v in xs)
+    )
+)
+@settings(**SETTINGS)
+def test_impute_leaves_no_missing_and_preserves_present(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = Imputer(rules={"x": "mean"}, cols=["x"]).fit(df).transform(df)
+    got = [r.x for r in out.collect()]
+    assert all(v is not None and not math.isnan(v) for v in got)
+    present = sorted(v for v in vals if v is not None)
+    mean = sum(present) / len(present)
+    # non-missing values unchanged; missing ones equal the mean
+    assert sorted(got) == pytest.approx(
+        sorted(present + [mean] * (len(vals) - len(present))), rel=1e-9, abs=1e-9
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_idempotent_and_subset_of_input(spark, rows):
+    df = spark.createDataFrame(rows, "k int, g string")
+    once = drop_duplicates(df)
+    twice = drop_duplicates(once)
+    assert once.count() == twice.count() == len(set(rows))
+    got = {(r.k, r.g) for r in once.collect()}
+    assert got == set(rows)
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(**SETTINGS)
+def test_stratified_split_preserves_ratio(spark, seed):
+    from classification_pyspark_spark.operators.sampling import stratified_split
+
+    df = spark.range(0, 1000).withColumn("y", (F.col("id") % 5 == 0).cast("int"))
+    train, test = stratified_split(df, "y", 0.3, seed=seed)
+    assert train.count() + test.count() == 1000
+    n_test = test.count()
+    if n_test > 50:
+        ratio = test.filter("y=1").count() / n_test
+        assert 0.1 < ratio < 0.3  # population ratio 0.2 ± sampling noise
+
+
+@given(text=st.text(alphabet="ab cd", min_size=10, max_size=60))
+@settings(**SETTINGS)
+def test_minhash_identical_texts_share_signature(spark, text):
+    from classification_pyspark_spark.operators.dedup_fuzzy import minhash_signatures
+
+    df = spark.createDataFrame([(0, text), (1, text), (2, text + "zzz")], "doc_id long, text string")
+    rows = {r.doc_id: (r.minhash_0, r.minhash_1, r.minhash_2, r.minhash_3) for r in minhash_signatures(df, "text", "doc_id").collect()}
+    assert rows[0] == rows[1]
+    # containment: appending text can only keep-or-lower each min
+    assert all(rows[2][i] <= rows[0][i] for i in range(4))
