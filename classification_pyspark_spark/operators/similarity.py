@@ -102,26 +102,73 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query row.
 
-    ``queries`` (small) is broadcast against ``df`` (huge): the corpus
-    is scanned once, never shuffled; only the per-query top-k heap
-    shuffles (k rows per query per partition after partial top-k via
-    window over AQE-coalesced partitions). ``vectorized`` scores with
-    the Arrow+numpy kernel; False falls back to pure JVM expressions.
+    Scale shape: the (small, parameter-sized) query set becomes a numpy
+    matrix shipped in the ``mapInPandas`` closure; the corpus is
+    scanned ONCE, never shuffled — each Arrow batch is one matmul
+    against all queries, and only the per-batch top-k survivors (k
+    rows x n_queries per batch) leave the executors. A final window
+    reduces partial top-ks to the global top-k. ``vectorized=False``
+    falls back to the pure-JVM broadcast-join formulation.
 
     Output: (query_id, neighbor_id, cosine rounded 4, rank).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    c = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv"))
-    scored = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = (
-        _cosine_pudf(F.col("qv"), F.col("nv"))
-        if vectorized
-        else cosine_expr(F.col("qv"), F.col("nv"))
-    )
-    scored = scored.select("query_id", "neighbor_id", cos.alias("__cos"))
+    import pandas as pd  # noqa: F811 — local for the closure
+
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+
+    if not vectorized:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        c = df.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("nv"))
+        scored = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("nv")).alias("__cos")
+            )
+        )
+    else:
+        q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+        def score_batches(it):
+            for pdf in it:
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = Vn @ Qn.T  # (batch, n_queries)
+                nids = pdf[id_col].to_numpy().astype(np.int64)
+                out = []
+                top = min(k + 1, len(nids))  # +1: a query may see itself
+                for j, qid in enumerate(q_ids):
+                    col = S[:, j]
+                    idx = np.argpartition(-col, top - 1)[:top] if len(col) > top else np.arange(len(col))
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": nids[idx],
+                                "__cos": col[idx],
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("__cos", T.DoubleType()),
+            ]
+        )
+        scored = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(score_batches, schema)
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
