@@ -67,7 +67,12 @@ def _cosine_pudf(a: Column, b: Column) -> Column:
         B = np.stack(y.to_numpy()).astype(np.float64)
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
+        # zero-norm -> NULL, matching the JVM divide-by-zero semantics;
+        # emitting NaN instead would SORT FIRST under desc (Spark treats
+        # NaN as greater than every double) and poison top-k/thresholds
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vals = num / den
+        return pd.Series(vals, dtype="Float64").mask(den <= 0, pd.NA)
 
     return cos(a, b)
 
@@ -112,8 +117,6 @@ def knn_bruteforce(
 
     Output: (query_id, neighbor_id, cosine rounded 4, rank).
     """
-    import pandas as pd  # noqa: F811 — local for the closure
-
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
 
     if not vectorized:
@@ -130,43 +133,71 @@ def knn_bruteforce(
             )
         )
     else:
-        q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        from pyspark.sql import types as T
+
+        id_type = df.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("neighbor_id", id_type),
+                T.StructField("__cos", T.DoubleType()),
+            ]
+        )
+        # NULL / zero-norm vectors have no defined cosine: exclude them
+        # (the JVM path scores them NULL, which desc-sorts last — same
+        # top-k whenever k valid neighbors exist)
+        valid = df.filter(F.col(vec_col).isNotNull()).select(F.col(id_col), F.col(vec_col))
+        q_rows = (
+            queries.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), F.col(vec_col))
+            .collect()
+        )
+        if not q_rows:
+            empty = valid.sparkSession.createDataFrame([], schema)
+            return empty.select(
+                "query_id",
+                "neighbor_id",
+                F.col("__cos").alias("cosine"),
+                F.lit(1).alias("rank"),
+            )
+        q_ids = [r[0] for r in q_rows]
         Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
         def score_batches(it):
             for pdf in it:
                 V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                norms = np.linalg.norm(V, axis=1)
+                ok = norms > 0
+                if not ok.all():
+                    V, norms, pdf = V[ok], norms[ok], pdf.iloc[ok]
+                if len(pdf) == 0:
+                    continue
+                Vn = V / norms[:, None]
                 S = Vn @ Qn.T  # (batch, n_queries)
-                nids = pdf[id_col].to_numpy().astype(np.int64)
-                out = []
+                nids = pdf[id_col].to_numpy()
                 top = min(k + 1, len(nids))  # +1: a query may see itself
+                qcol, ncol, ccol = [], [], []
                 for j, qid in enumerate(q_ids):
                     col = S[:, j]
-                    idx = np.argpartition(-col, top - 1)[:top] if len(col) > top else np.arange(len(col))
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qid,
-                                "neighbor_id": nids[idx],
-                                "__cos": col[idx],
-                            }
-                        )
-                    )
-                yield pd.concat(out, ignore_index=True)
+                    # deterministic per-batch top-k under (cos desc,
+                    # id asc): the union of per-batch top-ks under a
+                    # total order contains the global top-k, so the
+                    # final window reduction is exact — argpartition
+                    # alone would drop boundary ties arbitrarily
+                    order = np.lexsort((nids, -col))[:top]
+                    qcol.extend([qid] * len(order))
+                    ncol.append(nids[order])
+                    ccol.append(col[order])
+                yield pd.DataFrame(
+                    {
+                        "query_id": qcol,
+                        "neighbor_id": np.concatenate(ncol),
+                        "__cos": np.concatenate(ccol),
+                    }
+                )
 
-        import pyspark.sql.types as T
-
-        schema = T.StructType(
-            [
-                T.StructField("query_id", T.LongType()),
-                T.StructField("neighbor_id", T.LongType()),
-                T.StructField("__cos", T.DoubleType()),
-            ]
-        )
-        scored = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(score_batches, schema)
+        scored = valid.mapInPandas(score_batches, schema)
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
 
     return (
@@ -198,7 +229,7 @@ def lsh_buckets(
         if vectorized
         else lsh_bucket_expr(F.col(vec_col), dim)
     )
-    return df.select(F.col(id_col), bucket.alias("bucket"))
+    return df.filter(F.col(vec_col).isNotNull()).select(F.col(id_col), bucket.alias("bucket"))
 
 
 def knn_lsh(
@@ -214,7 +245,7 @@ def knn_lsh(
         if vectorized
         else lsh_bucket_expr(F.col(vec_col), dim)
     )
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         bucket.alias("bucket"),
@@ -257,7 +288,7 @@ def cosine_dup_pairs(
         if vectorized
         else lsh_bucket_expr(F.col(vec_col), dim)
     )
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         bucket.alias("bucket"),

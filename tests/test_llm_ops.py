@@ -165,3 +165,29 @@ def test_multimodal_decode_plumbing(spark):
     frames = frame_sample_plan(media, every_n_seconds=1.0)
     f = frames.groupBy("media_id").count().collect()
     assert f and all(r["count"] >= 1 for r in f)
+
+
+def test_knn_degenerate_inputs(spark):
+    """Review regressions: NULL vectors, zero-norm vectors, and empty
+    query sets must not crash or pollute the top-k."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero-norm: undefined cosine, excluded
+        (3, None),         # NULL vector: excluded
+        (4, [0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_bruteforce(df, df.filter("vec_id = 0"), "vec_id", "embedding", k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 4]
+    assert all(r.neighbor_id not in (2, 3) for r in out)
+
+    nothing = knn_bruteforce(df, df.filter("vec_id = 99"), "vec_id", "embedding", k=2)
+    assert nothing.count() == 0
+
+    # tie-break determinism: exact duplicates rank by neighbor_id asc
+    dups = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    top = knn_bruteforce(dups, dups.filter("vec_id = 5"), "vec_id", "embedding", k=3).collect()
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == [0, 1, 2]
