@@ -477,3 +477,24 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@query(
+    "grouped_pandas_zscore",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                 / STDDEV(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS price_z
+    FROM orders
+    """,
+)
+def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-group transform via applyInPandas (SURVEY §2.9 gap):
+    per-status z-score of the order price. Deliberately SQL-expressible
+    so the grouped-pandas machinery itself is oracle-verified; the real
+    use cases (per-group model fits, resampling) share this plumbing."""
+    from .operators.grouped_pandas import group_zscore
+
+    o = load_table(spark, sf_dir, "orders")
+    out = group_zscore(o, ["o_orderstatus"], "o_totalprice", "price_z")
+    return out.select("o_orderkey", "o_orderstatus", F.round("price_z", 6).alias("price_z"))

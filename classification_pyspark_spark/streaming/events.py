@@ -100,3 +100,74 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "app
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_stats(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running (count, sum, max) accumulator emitted on every
+    update — the pattern for custom aggregations Spark's built-in
+    windows can't express (counters, CUSUM/anomaly state, session
+    feature vectors). State per key is a 3-tuple; memory is bounded by
+    (active keys x state size).
+
+    ``timeout_minutes`` evicts state after that much processing-time
+    inactivity — set it on long-running continuous triggers so the key
+    space can't grow without bound. Leave it ``None`` for availableNow
+    /batch-drain runs: with ProcessingTimeTimeout the availableNow
+    trigger keeps scheduling "cleaning up state" batches until the
+    wall-clock timeout fires, so the drain never terminates.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("m", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            m = max(m, float(pdf["value"].max()))
+        state.update((n, s, m))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m]}
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )
