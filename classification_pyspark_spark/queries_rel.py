@@ -498,3 +498,42 @@ def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     out = group_zscore(o, ["o_orderstatus"], "o_totalprice", "price_z")
     return out.select("o_orderkey", "o_orderstatus", F.round("price_z", 6).alias("price_z"))
+
+
+@query(
+    "streaming_stateful_user_stats",
+    sql="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) on
+    the graded surface: per-user running (count, sum, max) accumulator
+    in update mode, drained with the available-now trigger. The LAST
+    emitted row per user (max n_events — the count is monotone) carries
+    the final accumulated state, which must equal the batch group-by —
+    that is the oracle. Only the exactly-reproducible fields (count,
+    max: no float accumulation order dependence) are graded; the
+    running sum is covered by tests/test_stateful.py."""
+    import hashlib
+    import os
+
+    from pyspark.sql import Window
+
+    from .streaming.events import read_events_stream, run_to_memory, running_user_stats
+
+    stage = os.path.join(
+        "/tmp/spark_graft_stream_stage", hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    stream = read_events_stream(spark, stage, max_files_per_trigger=2)
+    name = "q_streaming_stateful"
+    run_to_memory(running_user_stats(stream), name, output_mode="update")
+    out = spark.table(name)
+    last = F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events")))
+    return (
+        out.withColumn("__rn", last)
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("n_events").cast("long").alias("n_events"), "max_value")
+    )
