@@ -58,3 +58,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread_for_compute(df: DataFrame, min_ratio: int = 2) -> DataFrame:
+    """Repartition a scan to full core count BEFORE a compute-bound
+    stage (shingling/md5, tokenization, embedding kernels) when the
+    source is under-split — the classic small-files / single-row-group
+    problem, where a 32-core machine runs the whole codegen stage on
+    one task.
+
+    Gated: a no-op whenever the scan already has >= cores/min_ratio
+    partitions, so at production scale (many files / row groups) no
+    shuffle is added; locally it converts single-threaded md5/tokenize
+    stages into full-width ones for the cost of shuffling the raw rows
+    once.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_ratio >= target:
+        return df
+    return df.repartition(target)

@@ -112,7 +112,13 @@ def minhash_candidate_pairs(
     consecutive min-hashes to agree, which tames the candidate blowup
     that r=1 suffers on low-entropy corpora (collision probability
     j^r per band vs j). Pairs meet only inside band buckets — never a
-    cross join. Output (id_a < id_b, n_shared_bands)."""
+    cross join. Output (id_a < id_b, n_shared_bands).
+
+    The banded frame is persisted (MEMORY_AND_DISK) before the
+    self-join: without it both join sides re-run the whole
+    shingle->md5->agg signature pipeline — the dominant cost — doubling
+    it. Persisted state is 1 row x (id + n_bands hashes) per doc, tiny
+    relative to the corpus at any scale."""
     sig = minhash_signatures(df, text_col, id_col)
     n_bands = N_MINHASH // rows_per_band
     band_cols = [
@@ -123,7 +129,7 @@ def minhash_candidate_pairs(
         ).alias(f"band_{b}")
         for b in range(n_bands)
     ]
-    banded = sig.select(F.col(id_col), *band_cols)
+    banded = sig.select(F.col(id_col), *band_cols).persist()
     long = banded.selectExpr(
         id_col,
         "stack({n}, {args}) as (band, h)".format(
@@ -184,9 +190,11 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+    # posting feeds three branches (both join sides + sizes): persist so
+    # the tokenization/gram explode runs once, not three times
     posting = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(grams).alias("gram")
-    )
+    ).persist()
     sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = posting.select(F.col("id").alias("id_a"), "blk", "gram")
     b = posting.select(F.col("id").alias("id_b"), "blk", "gram")

@@ -152,14 +152,13 @@ def describe_numeric(
     ``percentile`` to allow oracle parity.
     """
     cols = list(cols or list_numerical_columns(df))
-    # approx path: one KLL-style sketch per column at accuracy 1000
-    # (error <= 0.1% of rank) computing all three quantiles — the scan
-    # cost at 100 TB, not the exact sort-based percentile
-    pct = (
-        (lambda c, p: f"percentile_approx({c}, {p}, 1000)")
-        if approx
-        else (lambda c, p: f"percentile({c}, {p})")
-    )
+    # ONE quantile aggregate per column computes all three quartiles
+    # (array-of-percentiles form): one sketch/sort buffer instead of
+    # three. approx = KLL-style sketch at accuracy 1000 (error <= 0.1%
+    # of rank) — the scan-cost plan at 100 TB; exact stays available
+    # for oracle parity.
+    fn = "percentile_approx" if approx else "percentile"
+    acc = ", 1000" if approx else ""
     aggs = []
     for c in cols:
         aggs += [
@@ -167,12 +166,18 @@ def describe_numeric(
             F.round(F.avg(c), 4).alias(f"mean__{c}"),
             F.round(F.stddev(c), 4).alias(f"stddev__{c}"),
             F.round(F.min(c).cast("double"), 4).alias(f"min__{c}"),
-            F.round(F.expr(pct(c, 0.25)), 4).alias(f"q25__{c}"),
-            F.round(F.expr(pct(c, 0.5)), 4).alias(f"median__{c}"),
-            F.round(F.expr(pct(c, 0.75)), 4).alias(f"q75__{c}"),
+            F.expr(f"{fn}({c}, array(0.25D, 0.5D, 0.75D){acc})").alias(f"pcts__{c}"),
             F.round(F.max(c).cast("double"), 4).alias(f"max__{c}"),
         ]
     one = df.agg(*aggs)
+    one = one.select(
+        "*",
+        *[
+            F.round(F.col(f"pcts__{c}")[i].cast("double"), 4).alias(f"{name}__{c}")
+            for c in cols
+            for i, name in ((0, "q25"), (1, "median"), (2, "q75"))
+        ],
+    )
     rows = one.select(
         F.explode(
             F.array(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, spread_for_compute
 from .queries import query
 
 EMB_DIM = 64
@@ -176,7 +176,7 @@ def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of scalable near-dup detection."""
     from .operators.dedup_fuzzy import minhash_signatures
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return minhash_signatures(d, "text", "doc_id")
 
 
@@ -209,7 +209,7 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside band buckets (no cross join), the 100 TB dedup join pattern."""
     from .operators.dedup_fuzzy import minhash_candidate_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return minhash_candidate_pairs(d, "text", "doc_id")
 
 
@@ -234,7 +234,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes) — hamming-distance near-dup sketch."""
     from .operators.dedup_fuzzy import simhash_expr
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", simhash_expr("text").alias("simhash"))
 
 
@@ -269,7 +269,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     list self-join — the exact-similarity complement to minhash)."""
     from .operators.dedup_fuzzy import ngram_jaccard_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.2)
 
 
