@@ -36,9 +36,11 @@ HEADLINE = [
     "sessionize_events",
     "window_tumbling_hourly",
     "text_stats",
+    "tfidf_top_terms",
     "dedup_exact_text",
     "minhash_dup_pairs",
     "knn_bruteforce",
+    "knn_ivf",
     "lsh_buckets",
 ]
 

@@ -14,7 +14,7 @@ can replay it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
@@ -114,4 +114,52 @@ def fingerprint_expr(col: Column | str, mod: int = MOD) -> Column:
         chars,
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % mod,
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Tokens are the non-empty pieces of the lowercased text split on
+    ``[^0-9a-z]+``; idf uses the smoothed form
+    ``ln((1 + N) / (1 + df)) + 1`` (never negative, never divides by
+    zero), tfidf = tf * idf rounded to 6.
+
+    Scale shape: two shuffles — (doc, term) term-frequency agg (partial
+    map-side combine collapses repeated terms per doc before the
+    shuffle) and the per-term document-frequency agg, whose output is
+    vocabulary-sized and re-joined to the tf frame (AQE picks broadcast
+    when the vocabulary fits). The corpus total is a 1-row broadcast,
+    not a driver-side ``count()``, so the whole thing is one job. The
+    final top-k is a per-doc window over at most |doc| terms.
+
+    Output: (``id_col``, term, tf, tfidf, rank), rank 1..k ordered by
+    (tfidf desc, term asc).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.round(
+                F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
     )

@@ -360,3 +360,123 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(e, "vec_id", "embedding", EMB_DIM, min_cosine=0.3)
+
+
+@query(
+    "tfidf_top_terms",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS t
+      FROM documents
+    ),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf) — the classic
+    corpus-keyword query; tf agg combines map-side, the vocabulary-sized
+    df frame joins back under AQE."""
+    from .operators.text import tfidf_top_terms
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return tfidf_top_terms(d, "text", "doc_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (SURVEY.md §7 Phase 5d) — media bytes are
+# opaque binary + typed metadata; the decode itself is the stubbed
+# md5-feature step (no codec libs in this container), but the byte
+# plumbing below is real and oracle-checked: documents.text utf-8 bytes
+# stand in for media payloads deterministically in BOTH engines.
+# ---------------------------------------------------------------------------
+@query(
+    "media_byte_stats",
+    sql="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-size profile of a binary media column per source: the
+    storage-planning query for multimodal corpora (bytes never leave
+    the executors — only per-group size aggregates)."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    n = F.length(blob)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum(n).cast("long").alias("total_bytes"),
+        F.round(F.avg(n), 4).alias("avg_bytes"),
+        F.max(n).cast("long").alias("max_bytes"),
+    )
+
+
+@query(
+    "media_decode_features",
+    sql="""
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` media decode on the graded
+    surface: documents' utf-8 bytes stand in for media payloads, typed
+    image/audio/video by id. The decode stub emits (n_bytes, md5
+    checksum, feature vector); the checksum column makes the Python
+    batch path oracle-checkable bit-for-bit (DuckDB md5 of the same
+    bytes). Raw bytes are dropped before anything shuffles."""
+    from .operators.multimodal import decode_media
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("bytes"),
+    )
+    return decode_media(media).select("media_id", "media_type", "n_bytes", "checksum")
+
+
+@query("knn_ivf")  # rows-only: the KMeans coarse quantizer is not SQL-expressible
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 neighbors (16-cell KMeans coarse
+    quantizer, 4 probes): the ANN scale path — scoring touches
+    ~n_probe/n_clusters of the corpus, and the cluster-partitioned
+    index variant (``build_ivf_index``) prunes the rest at scan time.
+    Exactness at n_probe=n_clusters is pytest-checked against
+    brute-force (tests/test_llm_ops.py)."""
+    from .operators.similarity import knn_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_clusters=16, n_probe=4
+    )

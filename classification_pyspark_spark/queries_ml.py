@@ -477,6 +477,44 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_sliding_30min",
+    sql="""
+    WITH starts AS (
+      SELECT unnest([
+               make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)),
+               make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800) * 1000000 AS BIGINT))
+             ]) AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def window_sliding_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute window aggregate via ``F.window`` —
+    each event lands in exactly two overlapping windows; the oracle
+    replays that by unnesting both 1800s-aligned window starts per row.
+    Batch twin of the streaming sliding-window agg (SURVEY §7 5a)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "woe_iv",
     sql="""
     WITH labeled AS (

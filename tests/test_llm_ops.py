@@ -191,3 +191,50 @@ def test_knn_degenerate_inputs(spark):
     )
     top = knn_bruteforce(dups, dups.filter("vec_id = 5"), "vec_id", "embedding", k=3).collect()
     assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == [0, 1, 2]
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 5")
+    exact = {(r.query_id, r.rank): r.neighbor_id for r in knn_bruteforce(e, q, "vec_id", "embedding", k=3).collect()}
+    # probing every cell degrades IVF to exact brute-force
+    full = {(r.query_id, r.rank): r.neighbor_id for r in
+            knn_ivf(e, q, "vec_id", "embedding", k=3, n_clusters=8, n_probe=8).collect()}
+    assert full == exact
+
+
+def test_knn_ivf_partial_probe_recall(spark):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, "vec_id", "embedding", k=3).collect()}
+    approx = knn_ivf(e, q, "vec_id", "embedding", k=3, n_clusters=8, n_probe=4).collect()
+    hits = {(r.query_id, r.neighbor_id) for r in approx}
+    # every query answered with k rows, and recall is nontrivial
+    assert len(approx) == len(exact)
+    assert len(hits & exact) / len(exact) >= 0.4
+
+
+def test_ivf_indexed_partition_pruning(spark, tmp_path):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter("vec_id < 3")
+    path = str(tmp_path / "ivf_index")
+    centers = build_ivf_index(e, path, "vec_id", "embedding", n_clusters=8)
+    out = knn_ivf_indexed(spark, path, q, "vec_id", "embedding", centers, k=3, n_probe=8)
+    expected = knn_ivf(e, q, "vec_id", "embedding", k=3, n_clusters=8, n_probe=8, centers=centers)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expected.collect()))
+    # the cluster isin filter must reach the scan as a partition filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
