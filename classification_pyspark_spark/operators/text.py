@@ -143,7 +143,14 @@ def tfidf_top_terms(
         lambda t: F.length(t) > 0,
     )
     terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    # tf feeds BOTH the df-frequency agg and the final join: persist it
+    # (corpus-vocab-sized, far smaller than the exploded token stream)
+    # or the tokenize+explode+agg pipeline runs twice
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -537,3 +537,77 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("__rn") == 1)
         .select("user_id", F.col("n_events").cast("long").alias("n_events"), "max_value")
     )
+
+
+@query(
+    "skew_salted_join_agg",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(SUM(l_extendedprice::DECIMAL(10,2)
+                    * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join through ``salted_join`` (hot join keys split
+    across n_salts tasks), then priority revenue rollup. The oracle is
+    the PLAIN join — salting must be result-invisible; decimal money
+    sums keep the two-stage addition exact."""
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, od, "orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(10,2)")
+            * (F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "skew_salted_groupby",
+    sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation vs the plain groupBy oracle —
+    quantity sums are integral doubles, so the re-associated addition
+    stays exact."""
+    from .operators.skew import salted_groupby
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_groupby(
+        li,
+        "l_returnflag",
+        {
+            "n": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("min_qty").cast("double").alias("min_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
