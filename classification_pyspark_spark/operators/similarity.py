@@ -436,41 +436,111 @@ def knn_ivf(
 ) -> DataFrame:
     """IVF approximate top-k cosine neighbors.
 
-    The corpus is scanned once, assigned to cells by one matmul per
-    Arrow batch, and only rows in probed cells are scored (broadcast
-    join on cluster id — no corpus shuffle). With
+    One ``mapInPandas`` pass over the corpus: each Arrow batch is
+    cluster-assigned by a single matmul, then only rows whose cell
+    some query probes are cosine-scored against exactly those queries
+    (the IVF win: scoring cost ~ n_probe/n_clusters of the corpus).
+    Only per-batch top-k survivors leave the executors; a final window
+    reduces them — no shuffle of the corpus, no join. With
     ``n_probe == n_clusters`` this degrades gracefully to exact
     brute-force (every pair scored), which is the correctness test.
+    For IO-side pruning as well, see ``build_ivf_index``.
 
     Output: (query_id, neighbor_id, cosine rounded 4, rank).
     """
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("__cos", T.DoubleType()),
+        ]
+    )
     valid = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     if centers is None:
         centers = fit_ivf_centroids(df, vec_col, n_clusters, seed)
-    corpus = valid.select("id", "v", make_cluster_assign_pudf(centers)(F.col("v")).alias("cluster"))
     q_rows = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), _as_double(F.col(vec_col)))
         .collect()
     )
     if not q_rows:
-        from pyspark.sql import types as T
-
         schema = T.StructType(
             [
-                T.StructField("query_id", df.schema[id_col].dataType),
-                T.StructField("neighbor_id", df.schema[id_col].dataType),
+                T.StructField("query_id", id_type),
+                T.StructField("neighbor_id", id_type),
                 T.StructField("cosine", T.DoubleType()),
                 T.StructField("rank", T.IntegerType()),
             ]
         )
         return df.sparkSession.createDataFrame([], schema)
-    probe_df = _probe_pairs_df(
-        df.sparkSession, q_rows, centers, n_probe, df.schema[id_col].dataType
+
+    C = np.asarray(centers, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    q_ids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    d = c2[None, :] - 2.0 * (Q @ C.T)
+    probes = np.argsort(d, axis=1)[:, : min(n_probe, len(C))]
+    # cell -> indices of the queries probing it (param-sized closure)
+    by_cell: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probes):
+        for c in cells:
+            by_cell.setdefault(int(c), []).append(qi)
+
+    def score_batches(it):
+        for pdf in it:
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            ok = norms > 0
+            if not ok.all():
+                V, norms, pdf = V[ok], norms[ok], pdf.iloc[ok]
+            if len(pdf) == 0:
+                continue
+            cluster = np.argmin(c2[None, :] - 2.0 * (V @ C.T), axis=1)
+            nids = pdf["id"].to_numpy()
+            Vn = V / norms[:, None]
+            qcol, ncol, ccol = [], [], []
+            for cell in np.unique(cluster):
+                qidx = by_cell.get(int(cell))
+                if not qidx:
+                    continue
+                mask = cluster == cell
+                sub_ids = nids[mask]
+                S = Vn[mask] @ Qn[qidx].T  # (cell rows, probing queries)
+                top = min(k + 1, len(sub_ids))  # +1: a query may see itself
+                for j, qi in enumerate(qidx):
+                    col = S[:, j]
+                    # deterministic per-batch top-k under (cos desc, id
+                    # asc) — the union of per-batch/cell top-ks under a
+                    # total order contains the global top-k
+                    order = np.lexsort((sub_ids, -col))[:top]
+                    qcol.extend([q_ids[qi]] * len(order))
+                    ncol.append(sub_ids[order])
+                    ccol.append(col[order])
+            if not qcol:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol,
+                    "neighbor_id": np.concatenate(ncol),
+                    "__cos": np.concatenate(ccol),
+                }
+            )
+
+    scored = valid.mapInPandas(score_batches, out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    return _ivf_topk(corpus, probe_df, k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cosine"), "rank")
+    )
 
 
 def build_ivf_index(

@@ -101,8 +101,10 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer recency / frequency / monetary features + 90-day
     forward label, built from orders+lineitem history.
 
-    Scale: both grouped aggs shuffle on o_custkey (partial aggregation
-    map-side); the three feature frames are per-customer (small) so AQE
+    Scale: orders is scanned ONCE for features + label (conditional
+    aggregates in one groupBy) and once more joined to lineitem; both
+    grouped aggs shuffle on o_custkey with map-side partial
+    aggregation; the per-customer feature frames are small so AQE
     broadcasts them into the final left joins against customer.
     """
     customer = load_table(spark, sf_dir, "customer")
@@ -114,11 +116,23 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produce bit-identical values with no float-accumulation rounding
     # hazard (a 2dp-ideal sum rounded at 2dp once hit a round-half split)
     dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
-    o2 = orders.filter(F.to_date("o_orderdate") <= ref)
-    feat_o = o2.groupBy("o_custkey").agg(
-        F.min(F.datediff(ref, F.to_date("o_orderdate"))).alias("recency_days"),
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_spend"),
+    d = F.to_date("o_orderdate")
+    past = d <= ref
+    fut = (d > ref) & (d <= F.date_add(ref, 90))
+    # ONE orders scan + ONE shuffle for BOTH the past-window features
+    # and the 90-day forward label, as conditional aggregates in the
+    # same groupBy — result-identical to the separate filtered
+    # agg + distinct-label scans (customers outside both windows get
+    # the same all-NULL row the left joins produced), but at 100 TB it
+    # drops a full orders scan and a shuffle
+    o2 = orders.filter(past)
+    feat_o = orders.groupBy("o_custkey").agg(
+        F.min(F.when(past, F.datediff(ref, d))).alias("recency_days"),
+        F.sum(F.when(past, 1).otherwise(0)).cast("long").alias("n_orders"),
+        F.sum(F.when(past, F.col("o_totalprice").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("total_spend"),
+        F.max(F.when(fut, 1).otherwise(0)).cast("int").alias("target_var"),
     )
     rev = (
         o2.join(lineitem, o2.o_orderkey == lineitem.l_orderkey)
@@ -130,19 +144,11 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
         )
     )
-    labels = (
-        orders.filter((F.to_date("o_orderdate") > ref) & (F.to_date("o_orderdate") <= F.date_add(ref, 90)))
-        .select("o_custkey")
-        .distinct()
-        .withColumn("target_var", F.lit(1))
-    )
     out = (
         customer.select("c_custkey", "c_mktsegment")
         .join(feat_o, customer.c_custkey == feat_o.o_custkey, "left")
         .drop("o_custkey")
         .join(rev, F.col("c_custkey") == rev.o_custkey, "left")
-        .drop("o_custkey")
-        .join(labels, F.col("c_custkey") == labels.o_custkey, "left")
         .drop("o_custkey")
     )
     return out.fillna(
@@ -154,6 +160,15 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue": 0.0,
             "target_var": 0,
         }
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "n_orders",
+        "total_spend",
+        "total_revenue",
+        "total_qty",
+        "target_var",
     )
 
 
