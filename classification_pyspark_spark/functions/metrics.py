@@ -122,16 +122,17 @@ def auc_roc(df: DataFrame, label_col: str, score_col: str, round_to: int = 6) ->
     AUC = (sum of average ranks of positives - n_pos*(n_pos+1)/2)
           / (n_pos * n_neg).
     Average ranks handle score ties exactly; one global sort window +
-    one aggregate."""
+    one aggregate. Tie-averaging uses a ``partitionBy(score)`` window —
+    NOT a self-join — so the input lineage is evaluated exactly once;
+    a self-join duplicates the plan subtree, and any nondeterministic
+    upstream (``F.rand`` splits, samples) can then disagree between the
+    two copies and push the statistic out of [0, 1]."""
     ranked = df.select(
         F.col(label_col).cast("int").alias("__y"),
         F.col(score_col).alias("__s"),
     ).withColumn("__r", F.row_number().over(Window.orderBy(F.col("__s").asc())))
-    # average rank within tied scores
-    avg_r = ranked.groupBy("__s").agg(
-        F.avg("__r").alias("__ar"), F.sum("__y").alias("__npos_s"), F.count(F.lit(1)).alias("__n_s")
-    )
-    joined = ranked.join(avg_r.select("__s", "__ar"), on="__s")
+    # average rank within tied scores (window over the already-ranked rows)
+    joined = ranked.withColumn("__ar", F.avg("__r").over(Window.partitionBy("__s")))
     agg = joined.agg(
         F.sum(F.when(F.col("__y") == 1, F.col("__ar")).otherwise(0.0)).alias("sum_rank_pos"),
         F.sum("__y").alias("n_pos"),

@@ -10,7 +10,7 @@ invariants: sizes, class ratios, determinism under a fixed seed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,18 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum fractions (``sampleBy``), the scalable form of R2/R4."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def hash_split_expr(id_col: str, train_pct: int = 80) -> Column:
+    """Deterministic hash-based train/test split label.
+
+    Bucket = first 16 bits of md5(id-as-string) mod 100 — a pure
+    function of the ID, so the split is reproducible across runs,
+    engines, repartitioning, and retries (unlike seeded RNG splits,
+    whose assignment depends on partition layout). The scale-correct
+    way to hold out data: rows never move, no sampling state.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("int") % 100
+    )
+    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))

@@ -170,3 +170,59 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # ordered: emails first so their digit runs aren't half-eaten
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    (r"[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}", "[PHONE]"),
+    (r"[0-9]{9,}", "[IDNUM]"),
+)
+
+
+def redact_pii_expr(col: Column | str) -> Column:
+    """PII scrub for LLM training corpora: emails, phone-shaped
+    numbers, and long digit runs replaced by typed placeholder tokens.
+    Chained ``regexp_replace`` — JVM-side, codegen, no shuffle; the
+    character classes are chosen to behave identically under Java
+    regex and DuckDB/RE2 so the oracle can replay the scrub."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, top_k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by count (tie-break: gram asc).
+
+    Tokenize -> generate n-grams per row (array ops, codegen) ->
+    explode -> hash-agg with map-side combine -> global top-k. The
+    only shuffle carries (gram, partial count) pairs — vocabulary-
+    sized, not corpus-sized.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    # guard: sequence(1, size-n+1) DESCENDS when size < n, so gate it
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # distributed top-k (TakeOrderedAndProject: per-partition heaps, no
+    # global sort / single-partition window over the whole vocabulary),
+    # then rank only the k survivors
+    top = counts.orderBy(F.desc("n"), F.asc("gram")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.asc("gram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select("gram", "n", "rank")

@@ -480,3 +480,67 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, n_clusters=16, n_probe=4
     )
+
+
+@query(
+    "text_redact_pii",
+    sql=r"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '[PHONE]', 'g'),
+               '[0-9]{9,}', '[IDNUM]', 'g') AS redacted,
+             text
+      FROM documents
+    )
+    SELECT doc_id, redacted,
+           CAST(CASE WHEN redacted <> text THEN 1 ELSE 0 END AS INT) AS was_redacted
+    FROM red
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / phone shapes / long digit runs -> typed
+    placeholders) — the pre-training privacy filter, pure codegen
+    regexp chain; oracle replays the same RE2-safe patterns."""
+    from .operators.text import redact_pii_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    red = redact_pii_expr("text")
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.when(red != F.col("text"), 1).otherwise(0).cast("int").alias("was_redacted"),
+    )
+
+
+@query(
+    "top_bigrams",
+    sql=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks
+    ),
+    counts AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY gram
+    )
+    SELECT gram, n,
+           CAST(row_number() OVER (ORDER BY n DESC, gram ASC) AS INT) AS rank
+    FROM counts ORDER BY rank LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: n-gram generation in array codegen,
+    counts hash-agg'ed with map-side combine (the shuffle carries
+    vocabulary-sized partials, not the token stream)."""
+    from .operators.text import top_ngrams
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return top_ngrams(d, "text", n=2, top_k=20)

@@ -611,3 +611,37 @@ def skew_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_qty").cast("double").alias("min_qty"),
         F.col("max_qty").cast("double").alias("max_qty"),
     )
+
+
+@query(
+    "deterministic_hash_split",
+    sql="""
+    WITH s AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split,
+             o_totalprice
+      FROM orders
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total_price
+    FROM s GROUP BY split
+    """,
+)
+def deterministic_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 80/20 split (md5-bucket of the key, SURVEY §2.7 gap):
+    reproducible across runs/engines/partitionings where seeded-RNG
+    splits are not — THE holdout mechanism at 100 TB. Oracle recomputes
+    the identical md5 buckets in DuckDB."""
+    from .operators.sampling import hash_split_expr
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(hash_split_expr("o_orderkey").alias("split"), "o_totalprice")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+        )
+    )
