@@ -544,3 +544,145 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return top_ngrams(d, "text", n=2, top_k=20)
+
+
+@query(
+    "embedding_centroids",
+    sql="""
+    SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 4) AS centroid_v
+    FROM (SELECT label, unnest(embedding) AS v,
+                 unnest(range(len(embedding))) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding (long format: label, dimension, value)
+    — the centroid build used by IVF coarse quantizers and class
+    prototypes. ``posexplode`` fans each vector into (pos, v) rows, but
+    map-side partial aggregation condenses every task's output to at
+    most labels x dim rows before the shuffle, so the exchange is
+    centroid-sized, not corpus-sized, at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 4).alias("centroid_v"))
+    )
+
+
+@query(
+    "corpus_curation",
+    sql=r"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 40 = 0
+    ),
+    scored AS (
+      SELECT doc_id, source, md5(text) AS digest,
+        ROUND(0.4 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+            + 0.3 * (1.0 - len(regexp_replace(lower(text), '[0-9a-z\s]', '', 'g')) * 1.0
+                           / GREATEST(len(text), 1))
+            + 0.3 * LEAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t IN ('the','a','of','and','to','in','is','it')))
+                     / GREATEST(len(string_split_regex(trim(text), '\s+')), 1) / 0.10, 1.0),
+          8) AS q,
+        (SELECT list_aggregate(
+             list_transform(list_filter(s, e -> e['hits'] = list_aggregate(
+                 list_transform(s, e2 -> e2['hits']), 'max')), e -> e['lang']), 'min')
+         FROM (SELECT [
+            {hits: len(list_filter(t, x -> x IN ('the','and','of','is','to'))), lang: 'en'},
+            {hits: len(list_filter(t, x -> x IN ('le','et','les','une','est'))), lang: 'fr'},
+            {hits: len(list_filter(t, x -> x IN ('der','die','und','das','ist'))), lang: 'de'},
+            {hits: len(list_filter(t, x -> x IN ('el','los','una','es','y'))), lang: 'es'},
+            {hits: len(list_filter(t, x -> x IN ('de','shi','le','bu','zai'))), lang: 'zh'}
+          ] AS s
+          FROM (SELECT string_split_regex(trim(lower(corpus.text)), '\s+') AS t))
+        ) AS lg
+      FROM corpus
+    ),
+    flags AS (
+      SELECT *, (lg = 'en') AS lang_ok, (q >= 0.65) AS q_ok FROM scored
+    ),
+    dd AS (
+      SELECT source, q,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      FROM flags WHERE lang_ok AND q_ok
+    ),
+    totals AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN NOT lang_ok THEN 1 END) AS BIGINT) AS n_dropped_lang,
+             CAST(COUNT(CASE WHEN lang_ok AND NOT q_ok THEN 1 END) AS BIGINT) AS n_dropped_quality
+      FROM flags GROUP BY source
+    ),
+    kept AS (
+      SELECT source,
+             CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped_dup,
+             CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+             ROUND(AVG(CASE WHEN rn = 1 THEN q END), 4) AS avg_quality_kept
+      FROM dd GROUP BY source
+    )
+    SELECT totals.source, n_docs, n_dropped_lang, n_dropped_quality,
+           COALESCE(n_dropped_dup, 0) AS n_dropped_dup,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(avg_quality_kept, 0.0) AS avg_quality_kept
+    FROM totals LEFT JOIN kept ON totals.source = kept.source
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: language filter + quality filter +
+    exact dedup (keep lowest doc_id), reported per source with drop
+    attribution — the composed LLM training-data pipeline, proving the
+    text operators chain. Exact duplicates are injected (every 40th doc
+    under a shifted id) so the dedup stage provably fires.
+
+    Scale shape: scoring is one codegen projection (no shuffle); the
+    dedup window shuffles only the filtered survivors on the text
+    digest; the per-source report aggregates are dimension-sized.
+    """
+    from pyspark.sql import Window
+
+    from .operators.text import langid_expr, quality_score_expr
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    injected = d.filter(F.col("doc_id") % 40 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = d.unionByName(injected)
+    flags = corpus.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        quality_score_expr("text").alias("q"),
+        langid_expr("text").alias("lg"),
+    ).select(
+        "*",
+        (F.col("lg") == "en").alias("lang_ok"),
+        (F.col("q") >= 0.65).alias("q_ok"),
+    )
+    dd = (
+        flags.filter(F.col("lang_ok") & F.col("q_ok"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
+    )
+    totals = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_dropped_lang"),
+        F.sum(F.when(F.col("lang_ok") & ~F.col("q_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_quality"),
+    )
+    kept = dd.groupBy("source").agg(
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped_dup"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.round(F.avg(F.when(F.col("rn") == 1, F.col("q"))), 4).alias("avg_quality_kept"),
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .fillna({"n_dropped_dup": 0, "n_kept": 0, "avg_quality_kept": 0.0})
+        .select(
+            "source", "n_docs", "n_dropped_lang", "n_dropped_quality",
+            "n_dropped_dup", "n_kept", "avg_quality_kept",
+        )
+    )

@@ -645,3 +645,140 @@ def deterministic_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "range_join_value_bands",
+    sql="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('b0_under_1', 0.0, 1.0), ('b1_1_10', 1.0, 10.0),
+             ('b2_10_50', 10.0, 50.0), ('b3_50_100', 50.0, 100.0),
+             ('b4_100_plus', 100.0, 1000000.0)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value::DECIMAL(10,2)) AS DOUBLE) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — SURVEY §2.3 gap row: join a fact scalar
+    into a dimension of [lo, hi) intervals (the IP-to-geo / bucket-
+    lookup shape the reference lacks). The interval table is broadcast,
+    so the non-equi condition runs as BroadcastNestedLoopJoin with no
+    shuffle of the fact side: per-row interval probes, then an ordinary
+    partial+final hash agg on the band key. At 100 TB the fact table
+    never moves; only band partials shuffle."""
+    bands = spark.createDataFrame(
+        [
+            ("b0_under_1", 0.0, 1.0),
+            ("b1_1_10", 1.0, 10.0),
+            ("b2_10_50", 10.0, 50.0),
+            ("b3_50_100", 50.0, 100.0),
+            ("b4_100_plus", 100.0, 1000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "rolling_spend_30d",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(o_totalprice::DECIMAL(12,2)) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def rolling_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day spend per customer via a RANGE window frame
+    (SURVEY §2.5 gap: rank/lag/frames). Ordering key is days-since-
+    epoch so ``rangeBetween(-29, 0)`` means calendar days, not row
+    counts; same-day orders are frame peers, so the result is
+    deterministic under any partition layout. One shuffle on
+    o_custkey; the frame is evaluated with a sliding aggregate buffer,
+    never materializing per-row subwindows. Money summed in exact
+    DECIMAL inside the frame (see module docstring)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-29, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@query(
+    "pivot_status_counts",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS status_o,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (SURVEY §2.4 A14's other half: groupBy().pivot()).
+    Pivot values are DECLARED — ``pivot(col, values)`` — so Spark skips
+    the extra distinct-values job and keeps a stable output schema,
+    which is also the 100 TB posture (a pivot on unbounded cardinality
+    is a schema explosion)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["F", "O", "P"])
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").cast("long").alias("status_f"),
+        F.col("O").cast("long").alias("status_o"),
+        F.col("P").cast("long").alias("status_p"),
+    )
+
+
+@query(
+    "grouped_quantiles",
+    sql="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS median,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (SURVEY §2.4 A9/A10 generalized from
+    global to grouped). ``F.percentile`` computes all three in one
+    aggregate buffer per group — one shuffle, no per-quantile re-scan.
+    The at-scale swap is ``percentile_approx`` with the same call
+    shape (see describe_numeric_approx)."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.lit([0.25, 0.50, 0.75]))
+    return o.groupBy("o_orderpriority").agg(
+        F.round(pct[0], 4).alias("q25"),
+        F.round(pct[1], 4).alias("median"),
+        F.round(pct[2], 4).alias("q75"),
+    )
