@@ -782,3 +782,49 @@ def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[1], 4).alias("median"),
         F.round(pct[2], 4).alias("q75"),
     )
+
+
+@query(
+    "funnel_view_to_purchase",
+    sql="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: purchases joined to same-user views within
+    the preceding hour — a time-bounded self equi+range join. Both
+    sides filter on event_type at the scan, shuffle once on user_id,
+    and the range predicate prunes pairs inside the join. Streaming
+    twin (watermarked stream-stream join, bounded state):
+    ``streaming.events.view_purchase_conversions`` —
+    tests/test_streaming.py proves it emits the identical row set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts_raw"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts_raw"),
+        F.col("event_id").alias("purchase_id"), "value",
+    )
+    cond = (
+        (v.v_user == p.p_user)
+        & (F.col("purchase_ts_raw") >= F.col("view_ts_raw"))
+        & (F.col("purchase_ts_raw") <= F.col("view_ts_raw") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    return v.join(p, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.date_format("view_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )

@@ -171,3 +171,56 @@ def running_user_stats(events: DataFrame, timeout_minutes: int | None = None) ->
             timeoutConf=timeout_conf,
         )
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, left_key: str = "user_id", right_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch left-joins the
+    (batch) dimension frame, broadcast so the stream side never
+    shuffles. The static side is re-resolvable per batch — swap in a
+    slowly-changing dimension table and each trigger sees its current
+    snapshot."""
+    return events.join(F.broadcast(dim), events[left_key] == dim[right_key], "left")
+
+
+def view_purchase_conversions(
+    events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user views
+    within ``horizon_minutes`` before the purchase (the conversion
+    funnel). Both sides carry watermarks and the join condition bounds
+    event time in both directions, so Spark evicts buffered state for
+    rows older than watermark + horizon — bounded memory on an
+    unbounded stream. Batch twin with DuckDB oracle:
+    ``funnel_view_to_purchase`` in queries_rel."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return views.join(purchases, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "value",
+    )

@@ -77,3 +77,40 @@ def test_stateful_dedup_drops_duplicates(spark, events_dir, tmp_path_factory):
     assert got.select("event_id").distinct().count() == n_unique
     assert got.count() == n_unique
     shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_dir):
+    from classification_pyspark_spark.streaming.events import enrich_with_dim
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=10)
+    run_to_memory(
+        enrich_with_dim(stream, dim).select("event_id", "user_id", "c_mktsegment"),
+        "t_enriched",
+        output_mode="append",
+    )
+    got = spark.table("t_enriched")
+    base = spark.read.parquet(events_dir)
+    # left join: every event survives exactly once
+    assert got.count() == base.count()
+    batch_matched = (
+        base.join(dim, base.user_id == dim.c_custkey, "left")
+        .filter(F.col("c_mktsegment").isNotNull())
+        .count()
+    )
+    assert got.filter(F.col("c_mktsegment").isNotNull()).count() == batch_matched
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    from classification_pyspark_spark.queries import QUERIES
+    from classification_pyspark_spark.streaming.events import view_purchase_conversions
+
+    # single micro-batch drain (all files in one trigger): no watermark
+    # eviction can fire mid-stream, so the emitted set must equal batch
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    run_to_memory(view_purchase_conversions(stream), "t_conversions", output_mode="append")
+    got = spark.table("t_conversions").select("view_id", "purchase_id")
+    batch = QUERIES["funnel_view_to_purchase"](spark, sf_dir).select("view_id", "purchase_id")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
