@@ -42,6 +42,11 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_ivf",
     "lsh_buckets",
+    "rolling_spend_30d",
+    "funnel_view_to_purchase",
+    "top_bigrams",
+    "corpus_curation",
+    "embedding_centroids",
 ]
 
 

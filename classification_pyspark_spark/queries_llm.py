@@ -638,15 +638,21 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     text operators chain. Exact duplicates are injected (every 40th doc
     under a shifted id) so the dedup stage provably fires.
 
-    Scale shape: scoring is one codegen projection (no shuffle); the
-    dedup window shuffles only the filtered survivors on the text
-    digest; the per-source report aggregates are dimension-sized.
+    Scale shape: ONE linear dataflow — scoring is a single codegen
+    projection evaluated once (rank-among-survivors is a window keyed
+    on (digest, ok) over the same lineage, so no branch recomputes the
+    expensive text exprs), one shuffle for the dedup window, then one
+    dimension-sized groupBy(source). An earlier two-branch form
+    (separate totals/kept aggregates joined back) evaluated the
+    scoring subtree twice — 2x the heavy projection at any scale.
     """
     from pyspark.sql import Window
 
     from .operators.text import langid_expr, quality_score_expr
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    d = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     injected = d.filter(F.col("doc_id") % 40 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -659,30 +665,25 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         langid_expr("text").alias("lg"),
     ).select(
         "*",
-        (F.col("lg") == "en").alias("lang_ok"),
-        (F.col("q") >= 0.65).alias("q_ok"),
+        ((F.col("lg") == "en") & (F.col("q") >= 0.65)).alias("ok"),
+        (F.col("lg") != "en").alias("bad_lang"),
     )
-    dd = (
-        flags.filter(F.col("lang_ok") & F.col("q_ok"))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")))
-    )
-    totals = flags.groupBy("source").agg(
+    # rank within (digest, ok): survivors get their dedup rank; rejected
+    # rows rank among themselves and their rn is never consulted
+    rn = F.row_number().over(Window.partitionBy("digest", "ok").orderBy("doc_id"))
+    ranked = flags.withColumn("rn", rn)
+    keep = F.col("ok") & (F.col("rn") == 1)
+    return ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_dropped_lang"),
-        F.sum(F.when(F.col("lang_ok") & ~F.col("q_ok"), 1).otherwise(0))
+        F.sum(F.when(F.col("bad_lang"), 1).otherwise(0)).cast("long").alias("n_dropped_lang"),
+        F.sum(F.when(~F.col("bad_lang") & ~F.col("ok"), 1).otherwise(0))
         .cast("long")
         .alias("n_dropped_quality"),
-    )
-    kept = dd.groupBy("source").agg(
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped_dup"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
-        F.round(F.avg(F.when(F.col("rn") == 1, F.col("q"))), 4).alias("avg_quality_kept"),
-    )
-    return (
-        totals.join(kept, "source", "left")
-        .fillna({"n_dropped_dup": 0, "n_kept": 0, "avg_quality_kept": 0.0})
-        .select(
-            "source", "n_docs", "n_dropped_lang", "n_dropped_quality",
-            "n_dropped_dup", "n_kept", "avg_quality_kept",
-        )
+        F.sum(F.when(F.col("ok") & (F.col("rn") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_dup"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.round(F.avg(F.when(keep, F.col("q"))), 4), F.lit(0.0)).alias(
+            "avg_quality_kept"
+        ),
     )
