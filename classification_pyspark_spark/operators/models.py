@@ -102,3 +102,50 @@ def pca_2d(df: DataFrame, features_col: str = "features", k: int = 2):
 
     model = PCA(k=k, inputCol=features_col, outputCol="pca_features").fit(df)
     return model.transform(df), model
+
+
+def grid_search_cv(
+    df: DataFrame,
+    kind: str,
+    name: str,
+    param_grid: Mapping[str, Sequence[object] | object],
+    features_col: str = "features",
+    label_col: str = "y",
+    evaluator=None,
+    n_folds: int = 3,
+    parallelism: int = 4,
+    seed: int = 42,
+):
+    """K-fold cross-validated grid search over a registered estimator.
+
+    The reference expands config grids (``list_models_from_config``,
+    ``utils.py:23-57``) but fits each candidate once against a manual
+    holdout; ``CrossValidator`` is the Spark-first upgrade — candidate
+    x fold fits are scheduled ``parallelism`` at a time on the cluster
+    and every metric is an avg over folds. Returns
+    ``(best_model, [(param_dict, avg_metric), ...])``.
+    """
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    est = get_estimator(kind, name, featuresCol=features_col, labelCol=label_col)
+    evaluator = evaluator or BinaryClassificationEvaluator(labelCol=label_col)
+    builder = ParamGridBuilder()
+    for pname, values in param_grid.items():
+        vals = list(values) if isinstance(values, (list, tuple)) else [values]
+        builder.addGrid(est.getParam(pname), vals)
+    maps = builder.build()
+    cv = CrossValidator(
+        estimator=est,
+        estimatorParamMaps=maps,
+        evaluator=evaluator,
+        numFolds=n_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    fitted = cv.fit(df)
+    results = [
+        ({p.name: v for p, v in pm.items()}, m)
+        for pm, m in zip(maps, fitted.avgMetrics)
+    ]
+    return fitted.bestModel, results

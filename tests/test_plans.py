@@ -146,3 +146,24 @@ def test_ml_pipeline_end_to_end(spark, sf_dir, tmp_path):
 
     imp = feature_importance(assembled, "features", "y")
     assert imp.numNonzeros() >= 0 and len(imp.toArray()) == len(feats)
+
+
+def test_grid_search_cv(spark, sf_dir):
+    """CrossValidator over the registry grid: the Spark-first form of
+    the reference's sequential grid fits."""
+    from classification_pyspark_spark.operators.encode import generate_features_vector
+    from classification_pyspark_spark.operators.models import grid_search_cv
+    from classification_pyspark_spark.queries import QUERIES
+
+    mart = QUERIES["flagship_customer_features"](spark, sf_dir)
+    feats = ["recency_days", "n_orders", "total_spend"]
+    assembled = generate_features_vector(mart, feats).withColumnRenamed("target_var", "y")
+    best, results = grid_search_cv(
+        assembled, "classification", "logistic",
+        {"regParam": [0.0, 0.1], "maxIter": 10},
+        n_folds=2, parallelism=2,
+    )
+    assert len(results) == 2
+    assert all(0.0 <= m <= 1.0 for _, m in results)
+    assert {"regParam", "maxIter"} <= set(results[0][0])
+    assert best.summary.totalIterations <= 10

@@ -1,0 +1,70 @@
+"""Known-answer + invariant tests for the newest operators: PII
+redaction, n-gram counts, hash-based splits, and the RANGE-frame
+rolling aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_redact_pii_known_answers(spark):
+    from classification_pyspark_spark.operators.text import redact_pii_expr
+
+    rows = [
+        ("reach me at bob.smith+x@example.co.uk now", "reach me at [EMAIL] now"),
+        ("call 555-123-4567 or 555.1234.4567", "call [PHONE] or [PHONE]"),
+        ("ssn-ish 123456789 and id 9876543210", "ssn-ish [IDNUM] and id [IDNUM]"),
+        ("clean text stays clean 1234", "clean text stays clean 1234"),
+    ]
+    df = spark.createDataFrame(rows, "text string, expected string")
+    got = df.select("expected", redact_pii_expr("text").alias("redacted")).collect()
+    for r in got:
+        assert r.redacted == r.expected
+
+
+def test_top_ngrams_short_docs_and_counts(spark):
+    from classification_pyspark_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b",), ("one",), ("",)], "text string"
+    )
+    out = top_ngrams(df, "text", n=2, top_k=10).collect()
+    # docs shorter than n contribute nothing (the sequence() guard)
+    counts = {r.gram: r.n for r in out}
+    assert counts == {"a b": 3, "b a": 1}
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_hash_split_deterministic_under_repartition(spark):
+    from classification_pyspark_spark.operators.sampling import hash_split_expr
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = df.repartition(13).select("k", hash_split_expr("k", 80).alias("s"))
+    b = df.repartition(3).select("k", hash_split_expr("k", 80).alias("s"))
+    # identical assignment regardless of partition layout
+    assert a.join(b, "k").filter(a.s != b.s).count() == 0
+    frac = a.filter(F.col("s") == "train").count() / 5000
+    assert 0.75 < frac < 0.85
+
+
+def test_rolling_range_frame_known_answer(spark):
+    from classification_pyspark_spark.queries import QUERIES  # noqa: F401  (registry import path)
+    from pyspark.sql import Window
+
+    rows = [
+        (1, "2024-01-01", 10.0),
+        (1, "2024-01-15", 20.0),
+        (1, "2024-02-20", 40.0),  # >29d after both -> alone in frame
+        (2, "2024-01-01", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, d string, v double")
+    day = F.datediff(F.to_date("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("k").orderBy(day).rangeBetween(-29, 0)
+    got = {
+        (r.k, r.d): r.s
+        for r in df.select("k", "d", F.sum("v").over(w).alias("s")).collect()
+    }
+    assert got[(1, "2024-01-01")] == 10.0
+    assert got[(1, "2024-01-15")] == 30.0
+    assert got[(1, "2024-02-20")] == 40.0
+    assert got[(2, "2024-01-01")] == 5.0
