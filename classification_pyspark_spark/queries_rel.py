@@ -828,3 +828,63 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
+
+
+@query(
+    "psi_drift",
+    sql="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS INT), 9) AS bin,
+             (year(o_orderdate) <= 1997) AS is_ref
+      FROM orders
+    ),
+    bins AS (
+      SELECT bin,
+             COUNT(CASE WHEN is_ref THEN 1 END) AS n_ref,
+             COUNT(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+      FROM b GROUP BY bin
+    ),
+    props AS (
+      SELECT bin,
+             GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (), 1e-6) AS p,
+             GREATEST(n_cur * 1.0 / SUM(n_cur) OVER (), 1e-6) AS q
+      FROM bins
+    )
+    SELECT ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           CAST((SELECT SUM(n_ref) FROM bins) AS BIGINT) AS n_ref,
+           CAST((SELECT SUM(n_cur) FROM bins) AS BIGINT) AS n_cur
+    FROM props
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference window (orders
+    through 1997) and the current window (1998+) over fixed-width
+    o_totalprice bins — the model-monitoring drift check a deployed
+    classification pipeline runs on every scoring batch. One scan +
+    one 10-row hash agg; the proportion window and PSI fold run on the
+    bin-count frame (bins rows, not orders rows), so the heavy side is
+    a single map-side-combined aggregation at any scale. Zero-count
+    bins are floored at 1e-6 before the log ratio."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)).alias("bin"),
+        (F.year("o_orderdate") <= 1997).alias("is_ref"),
+    )
+    bins = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    props = bins.select(
+        F.greatest(F.col("n_ref") / F.sum("n_ref").over(w), F.lit(1e-6)).alias("p"),
+        F.greatest(F.col("n_cur") / F.sum("n_cur").over(w), F.lit(1e-6)).alias("q"),
+        "n_ref",
+        "n_cur",
+    )
+    return props.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("n_cur").cast("long").alias("n_cur"),
+    )
