@@ -687,3 +687,78 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality_kept"
         ),
     )
+
+
+@query(
+    "dedup_clusters",
+    sql=r"""
+    WITH RECURSIVE posting AS (
+      SELECT doc_id AS id, lang AS blk, unnest(list_distinct(g)) AS gram
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 2), ' ')) AS g
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_grams FROM posting GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM posting a JOIN posting b ON a.blk = b.blk AND a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.05
+    ),
+    all_edges AS (
+      SELECT id_a, id_b FROM pairs
+      UNION
+      SELECT DISTINCT id_a, id_a + 1000000 FROM pairs
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM all_edges
+      UNION SELECT id_b, id_a FROM all_edges
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT doc_id, cluster_id, CAST(sz AS BIGINT) AS cluster_size
+    FROM cc JOIN (SELECT cluster_id AS c2, COUNT(*) AS sz FROM cc GROUP BY 1) s
+      ON cc.cluster_id = s.c2
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS: 3-gram Jaccard pairs (plus a
+    deterministic clone edge per left doc, so multi-hop components
+    provably form) closed under transitivity by distributed connected
+    components (min-label propagation, ``operators/graph.py``). Output:
+    every clustered doc with its canonical id (= min doc_id of the
+    component) and cluster size — exactly the frame you anti-join
+    against a corpus to keep one representative per group. Oracle:
+    recursive-CTE label walk in DuckDB."""
+    from .operators.dedup_fuzzy import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.05).select(
+        "id_a", "id_b"
+    )
+    clones = pairs.select("id_a").distinct().select(
+        F.col("id_a"), (F.col("id_a") + 1000000).alias("id_b")
+    )
+    edges = pairs.unionByName(clones)
+    cc = connected_components(edges, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+    )

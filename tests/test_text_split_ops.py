@@ -68,3 +68,19 @@ def test_rolling_range_frame_known_answer(spark):
     assert got[(1, "2024-01-15")] == 30.0
     assert got[(1, "2024-02-20")] == 40.0
     assert got[(2, "2024-01-01")] == 5.0
+
+
+def test_connected_components_known_graph(spark):
+    from classification_pyspark_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, pair 10-11, star 20<-21,22,23, isolated self-loopless
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (22, 20), (23, 20)],
+        "src bigint, dst bigint",
+    )
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
