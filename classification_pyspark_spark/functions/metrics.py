@@ -17,7 +17,7 @@ Mann-Whitney statistic — all shuffle-light, no py4j SerDe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -121,22 +121,32 @@ def auc_roc(df: DataFrame, label_col: str, score_col: str, round_to: int = 6) ->
     """Exact AUC-ROC via the rank-based Mann-Whitney U statistic:
     AUC = (sum of average ranks of positives - n_pos*(n_pos+1)/2)
           / (n_pos * n_neg).
-    Average ranks handle score ties exactly; one global sort window +
-    one aggregate. Tie-averaging uses a ``partitionBy(score)`` window —
-    NOT a self-join — so the input lineage is evaluated exactly once;
-    a self-join duplicates the plan subtree, and any nondeterministic
-    upstream (``F.rand`` splits, samples) can then disagree between the
-    two copies and push the statistic out of [0, 1]."""
-    ranked = df.select(
-        F.col(label_col).cast("int").alias("__y"),
-        F.col(score_col).alias("__s"),
-    ).withColumn("__r", F.row_number().over(Window.orderBy(F.col("__s").asc())))
-    # average rank within tied scores (window over the already-ranked rows)
-    joined = ranked.withColumn("__ar", F.avg("__r").over(Window.partitionBy("__s")))
-    agg = joined.agg(
-        F.sum(F.when(F.col("__y") == 1, F.col("__ar")).otherwise(0.0)).alias("sum_rank_pos"),
-        F.sum("__y").alias("n_pos"),
-        F.sum(1 - F.col("__y")).alias("n_neg"),
+    Scale path: ties are first collapsed with a ``groupBy(score)``
+    (map-side-combined — the frame shrinks to distinct scores), then
+    the cumulative row count over score order comes from
+    ``global_cumsum`` (range-partitioned prefix sums), NOT a
+    single-partition ``Window.orderBy`` — so no stage ever moves all
+    rows to one task. For a tie group at score s spanning rows
+    [cum_before+1 .. cum_before+t], every row's average rank is
+    cum_before + (t+1)/2; the input lineage is evaluated exactly once
+    (no self-join), so nondeterministic upstreams (``F.rand`` splits)
+    cannot push the statistic out of [0, 1]."""
+    from ..operators.windows import global_cumsum
+
+    per_score = (
+        df.select(F.col(label_col).cast("int").alias("__y"), F.col(score_col).alias("__s"))
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("double").alias("__p"),
+            F.count(F.lit(1)).cast("double").alias("__t"),
+        )
+    )
+    cum = global_cumsum(per_score, "__s", ["__t"])
+    before = F.col("cum___t") - F.col("__t")
+    agg = cum.agg(
+        F.sum(F.col("__p") * (before + (F.col("__t") + 1) / 2)).alias("sum_rank_pos"),
+        F.sum("__p").alias("n_pos"),
+        F.sum(F.col("__t") - F.col("__p")).alias("n_neg"),
     )
     return agg.select(
         F.round(

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,12 +35,31 @@ def quantile_bin_ml(df: DataFrame, col: str, n_bins: int, out_col: str | None = 
 
 
 def ntile_bin(df: DataFrame, col: str, n_bins: int, out_col: str | None = None) -> DataFrame:
-    """Deterministic rank-based n-quantile bins via ``ntile`` over a
-    total order (ties broken by all remaining columns is unnecessary:
-    ntile only needs a sort on the value; equal values may straddle a
-    boundary deterministically given a stable tie-break column)."""
-    w = Window.orderBy(F.col(col).asc())
-    return df.withColumn(out_col or f"{col}_bin", F.ntile(n_bins).over(w))
+    """Deterministic rank-based n-quantile bins with ``ntile``
+    semantics (bucket sizes differ by at most 1, larger buckets first)
+    — but computed from a distributed global row number
+    (range-partitioned prefix offsets), not ``ntile().over(
+    Window.orderBy(...))``, which would move every row to one task.
+    SQL ntile places ALL larger buckets first: with base = N div n and
+    rem = N mod n, buckets 1..rem hold base+1 rows and the rest hold
+    base. For global rank r: r <= rem*(base+1) -> bucket
+    floor((r-1)/(base+1))+1, else rem + floor((r-cut-1)/base)+1."""
+    from .windows import global_row_number
+
+    ranked = global_row_number(df, [col], row_col="__rn")
+    # N is needed per-row; derive it once via a tiny one-row cross join
+    n_total = ranked.agg(F.max("__rn").alias("__n"))
+    r, n_tot = F.col("__rn"), F.col("__n")
+    base = F.floor(n_tot / n_bins)
+    rem = n_tot % n_bins
+    cut = rem * (base + 1)
+    bucket = F.when(r <= cut, F.floor((r - 1) / (base + 1)) + 1).otherwise(
+        rem + F.floor((r - cut - 1) / base) + 1
+    )
+    out = ranked.crossJoin(F.broadcast(n_total)).withColumn(
+        out_col or f"{col}_bin", bucket.cast("int")
+    )
+    return out.drop("__rn", "__n")
 
 
 def explicit_bin(

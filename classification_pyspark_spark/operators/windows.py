@@ -62,6 +62,94 @@ def lag_delta(
     return out
 
 
+def _range_partition_with_offsets(
+    df: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    num_partitions: int | None = None,
+):
+    """Shared machinery for global-order computations WITHOUT a
+    single-partition window: range-partition on the order column, take
+    per-partition totals of ``value_cols`` (one tiny job — one row per
+    partition, metadata-sized like ``approxQuantile``), and return the
+    pinned partitioned frame plus a broadcastable exclusive-prefix
+    offset frame keyed by partition id.
+
+    Rows with equal ``order_col`` values never straddle a range-partition
+    boundary (RangePartitioner bounds are key values), so downstream
+    tie-group logic stays partition-local. The partitioned frame is
+    persisted so the offset job and the consumer see the same partition
+    assignment.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(n_part, F.col(order_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = (
+        part.groupBy("__pid")
+        .agg(*[F.sum(c).cast("double").alias(c) for c in value_cols])
+        .collect()
+    )
+    running = {c: 0.0 for c in value_cols}
+    rows = []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        rows.append((r["__pid"], *[running[c] for c in value_cols]))
+        for c in value_cols:
+            running[c] += r[c] or 0.0
+    schema = "__pid int, " + ", ".join(f"__off_{c} double" for c in value_cols)
+    offsets = spark.createDataFrame(rows, schema=schema)
+    grand_totals = dict(running)
+    return part, offsets, grand_totals
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive cumulative sums of ``value_cols`` over the global
+    ascending order of ``order_col``, fully distributed: range
+    repartition + per-partition local windows + broadcast-joined prefix
+    offsets. Adds ``cum_<col>`` (double) per value column.
+
+    This replaces ``F.sum().over(Window.orderBy(...))`` — which moves
+    ALL rows to one partition (WindowExec warning; OOM at 100 TB) —
+    with one range shuffle and a partition-count-sized driver exchange.
+    """
+    part, offsets, _ = _range_partition_with_offsets(df, order_col, value_cols, num_partitions)
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col).asc())
+    out = part.join(F.broadcast(offsets), "__pid")
+    for c in value_cols:
+        out = out.withColumn(f"cum_{c}", F.sum(F.col(c).cast("double")).over(w) + F.col(f"__off_{c}"))
+    return out.drop("__pid", *[f"__off_{c}" for c in value_cols])
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence,
+    row_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row numbers over a total order without a
+    single-partition window. ``order_cols[0]`` (a column name) drives
+    the range partitioning; remaining entries refine the within-
+    partition order."""
+    first = order_cols[0]
+    part, offsets, _ = _range_partition_with_offsets(
+        df.withColumn("__one", F.lit(1)), first, ["__one"], num_partitions
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() if isinstance(c, str) else c for c in order_cols])
+    out = (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(row_col, (F.row_number().over(w) + F.col("__off___one")).cast("long"))
+    )
+    return out.drop("__pid", "__one", "__off___one")
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

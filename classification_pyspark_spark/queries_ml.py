@@ -243,6 +243,40 @@ def binning_explicit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ntile_quantile_bins",
+    sql="""
+    WITH b AS (
+      SELECT o_totalprice AS v,
+             CAST(ntile(8) OVER (ORDER BY o_totalprice) AS INT) AS bin
+      FROM orders
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi,
+           CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM b GROUP BY bin
+    """,
+)
+def ntile_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based n-quantile binning (SURVEY §2.10 M4 — ref
+    ``features.py:319-325``) computed WITHOUT a single-partition ntile
+    window: ``ntile_bin`` derives the global rank from range-partitioned
+    prefix offsets (``windows.global_row_number``), so the sort never
+    collapses to one task. The per-bin aggregate is tie-invariant
+    (equal values straddling a boundary contribute identically on
+    either side), which makes SQL ``ntile`` an exact oracle."""
+    from .operators.binning import ntile_bin
+
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    b = ntile_bin(o, "v", 8, "bin")
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+        F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
     "scaling_minmax_standard",
     sql="""
     WITH p AS (
