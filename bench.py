@@ -42,6 +42,8 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_ivf",
     "lsh_buckets",
+    "q18_large_volume_customers",
+    "q10_returned_items",
     "rolling_spend_30d",
     "funnel_view_to_purchase",
     "top_bigrams",

@@ -52,3 +52,52 @@ def test_date_range_filter_fully_pushed(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
     assert "> 50000.0" in plan
     assert "Filter" in plan
+
+
+def test_q10_filters_push_and_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    # returnflag + order-date predicates reach the parquet scans
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1998-01-01" in plan
+    # top-20 is TakeOrderedAndProject (per-partition top-k + driver merge),
+    # never a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_q18_having_aggregates_before_joins(spark, sf_dir):
+    plan = _plan(QUERIES["q18_large_volume_customers"](spark, sf_dir))
+    # the only hash exchange is the orderkey aggregate: the HAVING filter
+    # runs on the aggregate BEFORE orders/customer join, so joins see only
+    # the rare qualifying orders
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    agg_pos = plan.index("HashAggregate")
+    join_pos = plan.index("Join")
+    assert agg_pos > join_pos  # tree prints top-down: agg sits BELOW joins
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    plan = _plan(QUERIES["q19_disjunctive_revenue"](spark, sf_dir))
+    # the OR-of-ANDs predicate reaches BOTH parquet scans (part gets the
+    # brand/size disjunction, lineitem the derived quantity disjunction)
+    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in plan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(QUERIES["q4_order_priority"](spark, sf_dir))
+    # EXISTS becomes a left_semi join (no duplication of multi-line
+    # orders, no distinct needed) with exactly one shuffle
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q15_scalar_max_reuses_revenue_shuffle(spark, sf_dir):
+    df = QUERIES["q15_top_supplier"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # both consumers of the per-supplier revenue (join probe and global
+    # max) share ONE shuffle: AQE stage reuse dedups the exchange, so
+    # lineitem is scanned once
+    assert "ReusedExchange" in plan
