@@ -288,3 +288,98 @@ def streaming_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_type", F.col("n_unique_users").cast("long").alias("n_unique_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from an event stream (CDC-shaped capability).
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_user_status_intervals",
+    sql="""
+    WITH dedup AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    transitions AS (
+      SELECT user_id, ts, event_id, event_type FROM dedup
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00')
+             AS valid_to,
+           CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM transitions
+    """,
+)
+def scd2_user_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from a change stream (CDC shape): collapse
+    consecutive identical statuses per user, then derive
+    [valid_from, valid_to) validity intervals with lag/lead windows.
+    Both windows share ONE (user_id)-partitioned sort — a single
+    shuffle; the interval build never leaves the user's partition, so
+    this scales per-key like any windowed CDC compaction. Determinism:
+    ties broken by event_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return transitions.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality: recall of the IVF approximate path vs exact brute force.
+# ---------------------------------------------------------------------------
+@query("knn_ivf_recall")  # rows-only: the KMeans quantizer is not SQL-expressible
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF approximate kNN against exact brute force —
+    the approximation-quality gauge every ANN deployment monitors.
+    Both paths scan the corpus once each (no cross join); the overlap
+    join runs on the tiny (n_queries x k) result frames. Returns one
+    row: mean/min recall + query count. pytest asserts a recall
+    floor; the driver records rows-only stability."""
+    from .operators.similarity import knn_bruteforce, knn_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(e, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = knn_ivf(
+        e, q, "vec_id", "embedding", k=5, n_clusters=16, n_probe=4
+    ).select("query_id", "neighbor_id")
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true")), "query_id")
+        .select("query_id", (F.col("n_hit") / F.col("n_true")).alias("recall"))
+    )
+    return per_q.agg(
+        F.round(F.avg("recall"), 4).alias("mean_recall_at_5"),
+        F.round(F.min("recall"), 4).alias("min_recall_at_5"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+    )

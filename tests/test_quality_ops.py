@@ -62,3 +62,36 @@ def test_token_zipf_rank_ordering(spark, sf_dir):
     assert ns == sorted(ns, reverse=True)
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     assert abs(rows[0]["zipf_ratio"] - 1.0) < 1e-9
+
+
+def test_scd2_intervals_cover_without_overlap(spark, sf_dir):
+    df = QUERIES["scd2_user_status_intervals"](spark, sf_dir)
+    # exactly one open (is_current) interval per user
+    open_per_user = (
+        df.groupBy("user_id").agg(F.sum("is_current").alias("n_open")).filter("n_open != 1")
+    )
+    assert open_per_user.count() == 0
+    # intervals chain: each valid_to equals the next valid_from (no gaps,
+    # no overlaps) within a user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    chained = df.withColumn("next_from", F.lead("valid_from").over(w)).filter(
+        F.col("next_from").isNotNull() & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert chained.count() == 0
+    # consecutive intervals never share a status (transitions collapsed)
+    rep = df.withColumn("next_status", F.lead("status").over(w)).filter(
+        F.col("next_status").isNotNull() & (F.col("status") == F.col("next_status"))
+    )
+    assert rep.count() == 0
+
+
+def test_knn_ivf_recall_floor(spark, sf_dir):
+    row = QUERIES["knn_ivf_recall"](spark, sf_dir).collect()[0]
+    assert row["n_queries"] == 10
+    # synthetic embeddings are near-unclustered, so IVF@(16 cells, 4
+    # probes) recall is well under 1.0 — but must beat the random-probe
+    # baseline (n_probe/n_clusters = 0.25) by a wide margin
+    assert row["mean_recall_at_5"] >= 0.4
+    assert row["min_recall_at_5"] > 0.0
