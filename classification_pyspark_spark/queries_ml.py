@@ -613,3 +613,38 @@ def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p_pos") - F.col("p_neg")) * F.log(F.col("p_pos") / F.col("p_neg"))), 6
         ).alias("iv"),
     )
+
+
+@query(
+    "calibration_curve",
+    sql="""
+    WITH d AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + EXP(-(o_totalprice / 200000.0 - 1.0))) AS s
+      FROM orders
+    )
+    SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(s), 6) AS mean_predicted,
+           ROUND(AVG(CAST(y AS DOUBLE)), 6) AS frac_positive
+    FROM d GROUP BY 1
+    """,
+)
+def calibration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) curve: fixed-width score bins with
+    mean predicted probability vs observed positive rate — the
+    companion diagnostic to threshold_sweep/auc_roc (SURVEY §2.10
+    M14). Fixed-width binning (not ntile) keeps it one hash
+    aggregate with NO global ordering — at 100 TB an ntile
+    calibration would funnel every score through one sort."""
+    d = _scored_orders(spark, sf_dir)
+    return (
+        d.groupBy(
+            F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_predicted"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_positive"),
+        )
+    )
