@@ -383,3 +383,147 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("recall"), 4).alias("min_recall_at_5"),
         F.count(F.lit(1)).cast("long").alias("n_queries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sampling (hash reservoir).
+# ---------------------------------------------------------------------------
+@query(
+    "hash_sample_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, rank
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INT) AS rank
+      FROM orders
+    )
+    WHERE rank <= 3
+    """,
+)
+def hash_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group
+    by the md5 of their key and keep the first 3 — the reproducible,
+    engine/partition-invariant alternative to seeded RNG sampling
+    (reference sampling: ``dp.py:885-915``; SURVEY §7 'What's hard'
+    #1). One window shuffle on the group key; the hash order is
+    uniform pseudo-random but bit-stable across engines, reruns, and
+    cluster layouts — so downstream train/eval sets are auditable."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank, fixed iterations (iterative DataFrame algorithm).
+# ---------------------------------------------------------------------------
+_PAGERANK_EDGES_SQL = """
+    edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+      FROM (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst, a.l_orderkey
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      )
+      GROUP BY src, dst
+      HAVING COUNT(*) >= 5
+    ),
+    outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
+"""
+
+
+@query(
+    "pagerank_supplier_influence",
+    sql=f"""
+    WITH {_PAGERANK_EDGES_SQL},
+    r0 AS (SELECT node, ROUND(1.0 / n, 9) AS rank FROM nodes, nn),
+    r1 AS (
+      SELECT e.dst AS node,
+             ROUND(0.15 / MAX(nn.n) + 0.85 * SUM(r0.rank * e.w / o.tw), 9) AS rank
+      FROM edges e JOIN r0 ON e.src = r0.node JOIN outw o ON e.src = o.src, nn
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             ROUND(0.15 / MAX(nn.n) + 0.85 * SUM(r1.rank * e.w / o.tw), 9) AS rank
+      FROM edges e JOIN r1 ON e.src = r1.node JOIN outw o ON e.src = o.src, nn
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             ROUND(0.15 / MAX(nn.n) + 0.85 * SUM(r2.rank * e.w / o.tw), 9) AS rank
+      FROM edges e JOIN r2 ON e.src = r2.node JOIN outw o ON e.src = o.src, nn
+      GROUP BY e.dst
+    )
+    SELECT node AS s_suppkey, rank AS pagerank FROM r3
+    """,
+)
+def pagerank_supplier_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 fixed iterations, d=0.85) over the
+    supplier co-supply graph (edge s1->s2 weighted by the number of
+    orders both supplied, thresholded >=5 to keep the graph sparse;
+    symmetric edges -> no dangling mass). The iterative-algorithm
+    pattern on DataFrames: each iteration is one join + one hash
+    aggregate keyed on the edge destination; ranks are rounded at
+    9dp per iteration, which makes the float pipeline bit-stable
+    across engines AND across Spark's own partition orderings (the
+    same trick that lets the oracle replay it as three unrolled
+    CTEs). At 100 TB the edge frame is hash-partitioned once and
+    reused; no driver-side graph state."""
+    so = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = so.alias("a")
+    b = so.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .filter(F.col("w") >= 5)
+    )
+    # edges feed every iteration: materialize once
+    edges = edges.persist()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = nodes.join(F.broadcast(nn)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 9).alias("rank")
+    )
+    contrib_src = edges.join(F.broadcast(outw), "src")
+    for _ in range(3):
+        ranks = (
+            contrib_src.join(ranks, contrib_src.src == ranks.node)
+            .join(F.broadcast(nn))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.round(
+                    F.lit(0.15) / F.max("n")
+                    + F.lit(0.85) * F.sum(F.col("rank") * F.col("w") / F.col("tw")),
+                    9,
+                ).alias("rank")
+            )
+            .withColumnRenamed("node2", "node")
+        )
+    return ranks.select(
+        F.col("node").alias("s_suppkey"), F.col("rank").alias("pagerank")
+    )

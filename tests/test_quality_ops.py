@@ -95,3 +95,25 @@ def test_knn_ivf_recall_floor(spark, sf_dir):
     # baseline (n_probe/n_clusters = 0.25) by a wide margin
     assert row["mean_recall_at_5"] >= 0.4
     assert row["min_recall_at_5"] > 0.0
+
+
+def test_hash_sample_per_group_invariants(spark, sf_dir):
+    df = QUERIES["hash_sample_per_group"](spark, sf_dir)
+    a = df.collect()
+    # at most 3 per group, ranks contiguous from 1
+    per = {}
+    for r in a:
+        per.setdefault(r["o_custkey"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in per.values())
+    # deterministic across reruns (no RNG)
+    b = QUERIES["hash_sample_per_group"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_mass_conservation(spark):
+    # symmetric edge set + no dangling nodes => total rank mass stays ~1
+    df = QUERIES["pagerank_supplier_influence"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 0.05, total
+    assert all(r["pagerank"] > 0 for r in rows)
