@@ -47,6 +47,7 @@ HEADLINE = [
     "rolling_spend_30d",
     "funnel_view_to_purchase",
     "top_bigrams",
+    "doc_chunks",
     "corpus_curation",
     "embedding_centroids",
 ]

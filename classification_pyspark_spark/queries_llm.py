@@ -762,3 +762,137 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@query(
+    "doc_chunks",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS t
+      FROM documents
+    ),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    starts AS (
+      SELECT doc_id, t, n, unnest(range(0, n, 40)) AS start
+      FROM nz
+    )
+    SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+           array_to_string(list_slice(t, start + 1, least(start + 50, n)), ' ')
+             AS chunk_text,
+           CAST(least(start + 50, n) - start AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 50-token
+    chunks with stride 40 (10-token overlap) — the canonical
+    LLM-pretraining windowing op. Pure JVM path: tokenize once,
+    generate chunk starts with ``sequence`` (no per-token lambda),
+    explode starts (each row fans out to ceil(n/stride) chunks, NOT
+    to n tokens), slice+join per chunk. Chunks inherit the doc's
+    partition — embarrassingly parallel, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), r"[^0-9a-z]+"), lambda t: F.length(t) > 0
+    )
+    return (
+        d.select("doc_id", toks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(40))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / 40).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("t"), F.col("start") + 1, F.lit(50)), " "
+            ).alias("chunk_text"),
+            (F.least(F.col("start") + 50, F.col("n")) - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "split_leakage_audit",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+                            i -> md5(substr(lower(text), i, 5))) AS dg
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, s,
+             list_aggregate(list_transform(dg, x -> substr(x, 8 * s + 1, 8)), 'min') AS h
+      FROM d, (SELECT unnest([0,1,2,3]) AS s)
+    ),
+    banded AS (
+      SELECT doc_id, s // 2 AS band, md5(string_agg(h, '|' ORDER BY s)) AS bh
+      FROM sig GROUP BY doc_id, s // 2
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(COUNT(CASE WHEN sa.split <> sb.split THEN 1 END) AS BIGINT)
+             AS n_cross_split,
+           ROUND(COALESCE(COUNT(CASE WHEN sa.split <> sb.split THEN 1 END)
+                          / NULLIF(CAST(COUNT(*) AS DOUBLE), 0), 0.0), 6)
+             AS leak_rate
+    FROM pairs
+    JOIN splits sa ON pairs.id_a = sa.doc_id
+    JOIN splits sb ON pairs.id_b = sb.doc_id
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: how many near-duplicate pairs
+    (minhash-LSH candidates) straddle the deterministic 80/20 hash
+    split — the leakage check an LLM data pipeline runs before
+    training (near-dups of eval docs inside train inflate evals).
+    Composes the LSH banding join (pairs meet only inside band
+    buckets) with the md5-bucket split; the split frame is doc-keyed
+    and joins the tiny pair set twice (broadcast under AQE)."""
+    from .operators.dedup_fuzzy import minhash_candidate_pairs
+    from .operators.sampling import hash_split_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        minhash_candidate_pairs(d, "text", "doc_id", rows_per_band=2)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    splits = d.select(
+        "doc_id", hash_split_expr("doc_id", train_pct=80).alias("split")
+    )
+    sa = splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a")
+    sb = splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b")
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    cross = F.count(F.when(F.col("split_a") != F.col("split_b"), F.lit(1)))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+        cross.cast("long").alias("n_cross_split"),
+        F.round(
+            F.coalesce(
+                cross / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("leak_rate"),
+    )

@@ -117,3 +117,43 @@ def test_pagerank_mass_conservation(spark):
     total = sum(r["pagerank"] for r in rows)
     assert abs(total - 1.0) < 0.05, total
     assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_doc_chunks_cover_every_token(spark, sf_dir):
+    chunks = QUERIES["doc_chunks"](spark, sf_dir)
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), r"[^0-9a-z]+"), lambda t: F.length(t) > 0
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(toks).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.min("chunk_id").alias("first_chunk"),
+        F.max("chunk_id").alias("last_chunk"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("chunk_id") * 40 + F.col("n_tokens")).alias("max_end"),
+        F.max("n_tokens").alias("max_len"),
+        F.min("n_tokens").alias("min_len"),
+    )
+    j = per_doc.join(docs, "doc_id", "full_outer")
+    # every non-empty doc is chunked; chunk ids are 0..k contiguous;
+    # the furthest chunk end lands exactly on the doc's last token;
+    # no chunk exceeds the 50-token window
+    bad = j.filter(
+        F.col("n").isNull()
+        | F.col("n_chunks").isNull()
+        | (F.col("first_chunk") != 0)
+        | (F.col("last_chunk") != F.col("n_chunks") - 1)
+        | (F.col("max_end") != F.col("n"))
+        | (F.col("max_len") > 50)
+        | (F.col("min_len") < 1)
+    )
+    assert bad.count() == 0
+
+
+def test_split_leakage_audit_bounds(spark, sf_dir):
+    row = QUERIES["split_leakage_audit"](spark, sf_dir).collect()[0]
+    assert row["n_cross_split"] <= row["n_neardup_pairs"]
+    assert 0.0 <= row["leak_rate"] <= 1.0
