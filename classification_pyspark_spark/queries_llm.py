@@ -896,3 +896,46 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("leak_rate"),
     )
+
+
+@query(
+    "media_frame_sample",
+    sql="""
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 30 + 1 AS DOUBLE) AS duration_s
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           ROUND(CAST(unnest(range(0, GREATEST(CAST(FLOOR(duration_s / 2.0) AS INT), 1)))
+                      * 2.0 AS DOUBLE), 2) AS frame_ts,
+           CAST(GREATEST(CAST(FLOOR(duration_s / 2.0) AS INT), 1) AS INT) AS n_frames
+    FROM vids
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out on the graded surface: every
+    'video' row (typed by id, duration derived deterministically)
+    expands to one row per sampled timestamp (1 frame / 2 s) via a
+    generated sequence — the exact plumbing a multimodal pipeline
+    uses before the (stubbed) per-frame decode, with rows fanning
+    out duration/interval-fold, not byte-fold. Zero shuffle: frames
+    inherit the video row's partition."""
+    from .operators.multimodal import frame_sample_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    vids = d.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        (F.col("doc_id") % 30 + 1).cast("double").alias("duration_s"),
+    )
+    frames = frame_sample_plan(vids, every_n_seconds=2.0)
+    n_frames = F.greatest((F.col("duration_s") / 2.0).cast("int"), F.lit(1))
+    return (
+        frames.join(vids.select("media_id", n_frames.alias("n_frames")), "media_id")
+        .select(
+            "media_id",
+            F.round(F.col("frame_ts").cast("double"), 2).alias("frame_ts"),
+            F.col("n_frames").cast("int").alias("n_frames"),
+        )
+    )
