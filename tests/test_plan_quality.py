@@ -101,3 +101,16 @@ def test_q15_scalar_max_reuses_revenue_shuffle(spark, sf_dir):
     # max) share ONE shuffle: AQE stage reuse dedups the exchange, so
     # lineitem is scanned once
     assert "ReusedExchange" in plan
+
+
+def test_every_query_plan_has_no_unexplained_scale_flags(spark, sf_dir):
+    """Full-registry audit: single-partition exchanges, cartesian
+    products, global windows, and row-at-a-time Python UDFs must all
+    be allowlisted with a justification (tools/plan_audit.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import plan_audit
+
+    assert plan_audit.audit(sf_dir, spark=spark, skip_eager=True) == 0

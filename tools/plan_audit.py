@@ -1,0 +1,182 @@
+"""Plan audit: sweep every registry query's physical plan for scale
+red flags — global single-partition exchanges, cartesian products,
+global windows, and row-at-a-time Python evaluation.
+
+Usage: python tools/plan_audit.py [sf_dir]
+
+A flag is not automatically a bug (a 1-row scalar aggregate legally
+produces Exchange SinglePartition; a vocabulary-sized global window
+is bounded) — the point is that every flag is KNOWN and justified.
+The allowlist below records the audited justifications; anything NOT
+allowlisted fails CI via tests/test_plan_quality.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from classification_pyspark_spark.queries import QUERIES  # noqa: E402
+from classification_pyspark_spark.session import get_spark  # noqa: E402
+
+# name -> {flag: justification}; audited by hand, enforced by CI.
+ALLOWLIST: dict[str, dict[str, str]] = {
+    # 1-row / k-row scalar aggregates: the single partition carries
+    # partial-agg outputs (one row per task), not data rows.
+    "q14_promo_revenue": {"single_partition": "global 1-row aggregate"},
+    "q15_top_supplier": {"single_partition": "1-row max broadcast"},
+    "q19_disjunctive_revenue": {"single_partition": "global 1-row aggregate"},
+    "q22_dormant_high_balance": {"single_partition": "1-row avg broadcast"},
+    "regression_metrics": {"single_partition": "global metric aggregate"},
+    "binary_classification_metrics": {"single_partition": "global confusion aggregate"},
+    "auc_roc": {
+        "single_partition": "global rank over (label,score) pairs; bounded by "
+        "distinct scores after pre-agg",
+        "global_window": "rank-based AUC needs a total order of scores; input "
+        "is the score-level aggregate, not raw rows",
+    },
+    "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "calibration_curve": {"single_partition": "10-bin aggregate"},
+    "health_report": {"single_partition": "global profile aggregate"},
+    "missing_value_summary": {"single_partition": "per-column 1-row aggregate"},
+    "describe_numeric": {"single_partition": "per-column profile aggregate"},
+    "describe_numeric_approx": {"single_partition": "per-column sketch merge"},
+    "describe_categorical": {"single_partition": "per-column top-1 aggregate"},
+    "distinct_counts": {"single_partition": "per-column 1-row aggregate"},
+    "approx_distinct_counts": {"single_partition": "HLL sketch merge (1 row)"},
+    "case_consistency": {"single_partition": "per-column 1-row aggregate"},
+    "zero_density": {"single_partition": "global 1-row aggregate"},
+    "coefficient_of_variation": {"single_partition": "global 1-row aggregate"},
+    "correlation_matrix": {"single_partition": "p^2-cell aggregate (p=#cols)"},
+    "outlier_summary": {"single_partition": "per-column bound aggregate"},
+    "duplicate_stats": {"single_partition": "global 1-row aggregate"},
+    "woe_iv": {"single_partition": "per-(col,bucket) aggregate, bounded by cardinality"},
+    "psi_drift": {"single_partition": "per-bucket aggregate (10 rows)"},
+    "knn_bruteforce": {
+        "single_partition": "final top-k merge of per-batch survivors "
+        "(k x n_queries rows)",
+        "global_window": "same bounded survivor frame",
+    },
+    "knn_ivf": {
+        "single_partition": "same survivor-merge shape",
+        "global_window": "same bounded survivor frame",
+    },
+    "knn_ivf_recall": {
+        "single_partition": "recall scalar over k x n_queries rows",
+        "global_window": "survivor merge",
+    },
+    "embedding_centroids": {"single_partition": "centroid-sized (k x dim) merge"},
+    "token_zipf": {
+        "single_partition": "vocabulary-sized rank (bounded, not corpus-sized)",
+        "global_window": "same vocabulary frame",
+    },
+    "top_bigrams": {
+        "single_partition": "vocabulary-sized top-k",
+        "global_window": "vocabulary-sized rank",
+    },
+    "tfidf_top_terms": {"single_partition": "1-row corpus count broadcast"},
+    "minhash_dup_pairs": {"single_partition": "band-signature agg is doc-keyed; "
+                          "the 1-row exchange is the injected-dup count check"},
+    "dedup_clusters": {"single_partition": "convergence check aggregate (1 row)"},
+    "funnel_view_to_purchase": {"single_partition": "global funnel totals (1 row)"},
+    "corpus_curation": {"single_partition": "per-source summary aggregate"},
+    "data_quality_checks": {"single_partition": "per-check 1-row aggregates"},
+    "pagerank_supplier_influence": {"single_partition": "node-count scalar (1 row)"},
+    "split_leakage_audit": {"single_partition": "global leak-rate scalar"},
+    "q4_order_priority": {},
+    "media_byte_stats": {},
+    "media_decode_features": {},
+    "media_frame_sample": {},
+    "label_encode_stringindexer": {
+        "single_partition": "StringIndexer label map is vocabulary-sized",
+        "global_window": "dense_rank over the distinct-value aggregate",
+    },
+    "ntile_quantile_bins": {
+        "single_partition": "percentile boundary aggregate (k rows)",
+    },
+    "grouped_quantiles": {"single_partition": "per-group boundary aggregate"},
+    "histogram_fixed_buckets": {"single_partition": "bucket-count aggregate"},
+    "scaling_minmax_standard": {"single_partition": "per-column min/max/mean/std (1 row)"},
+    "impute_missing": {"single_partition": "per-column impute-value aggregate"},
+    "outlier_cap": {"single_partition": "per-column bound aggregate"},
+    "target_encode": {"single_partition": "category-map aggregate (bounded)"},
+    "onehot_indicators": {"single_partition": "declared-category check aggregate"},
+    "class_balance": {"single_partition": "2-row class aggregate"},
+    "crosstab_counts": {"single_partition": "cell-count aggregate (bounded)"},
+    "pivot_status_counts": {"single_partition": "pivot cell aggregate (bounded)"},
+    "set_analysis": {"single_partition": "4-row set-cardinality aggregate"},
+    "union_distinct_intersect_except": {"single_partition": "4 count rows"},
+    "semi_anti_joins": {"single_partition": "2 count rows"},
+    "date_parse_roundtrip": {"single_partition": "format check aggregate"},
+    "simhash_hamming_pairs": {"single_partition": "16-bit simhash space is 65k "
+                              "buckets max (bounded)"},
+    "ngram_jaccard_pairs": {"single_partition": "pair-count scalar"},
+    "embedding_dup_pairs": {"single_partition": "pair survivor merge"},
+    "lsh_buckets": {"single_partition": "bucket-count aggregate"},
+    "streaming_tumbling_counts": {"single_partition": "memory-sink table scan (test harness)"},
+    "streaming_session_windows": {"single_partition": "memory-sink table scan"},
+    "streaming_stateful_user_stats": {"single_partition": "memory-sink table scan"},
+    "streaming_dedup_user_types": {"single_partition": "memory-sink table scan"},
+}
+
+FLAGS = {
+    "single_partition": re.compile(r"Exchange SinglePartition"),
+    "cartesian": re.compile(r"CartesianProduct"),
+    "global_window": re.compile(r"Window .*?(?=\n)", re.S),
+    "python_row_udf": re.compile(r"BatchEvalPython"),
+}
+
+
+EAGER_QUERIES = {
+    # these execute a real stream inside the query callable; their
+    # returned frame is a memory-sink scan (nothing to audit)
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "streaming_stateful_user_stats",
+    "streaming_dedup_user_types",
+}
+
+
+def audit(sf_dir: str, spark=None, skip_eager: bool = False) -> int:
+    spark = spark or get_spark("plan_audit")
+    bad = 0
+    for name in sorted(QUERIES):
+        if skip_eager and name in EAGER_QUERIES:
+            continue
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"SKIP {name}: {type(e).__name__}: {e}")
+            continue
+        found = {}
+        if FLAGS["single_partition"].search(plan):
+            found["single_partition"] = True
+        if FLAGS["cartesian"].search(plan):
+            found["cartesian"] = True
+        if re.search(r"Window \[", plan) and "partitionBy" not in plan:
+            # windows with an empty partition spec print without a
+            # partition column list before ORDER BY
+            for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+                pass
+            if re.search(r"Window \[[^\n]*\], \[\]", plan) or re.search(
+                r"Window \[[^\n]*windowspecdefinition\(([^,)]*ASC|[^,)]*DESC)", plan
+            ):
+                found["global_window"] = True
+        if FLAGS["python_row_udf"].search(plan):
+            found["python_row_udf"] = True
+        allowed = ALLOWLIST.get(name, {})
+        unexplained = {k: v for k, v in found.items() if k not in allowed}
+        if unexplained:
+            bad += 1
+            print(f"FLAG {name}: {sorted(unexplained)}")
+    print(f"\n{bad} queries with unexplained scale flags")
+    return bad
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    raise SystemExit(1 if audit(sf) else 0)
