@@ -939,3 +939,76 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_frames").cast("int").alias("n_frames"),
         )
     )
+
+
+@query(
+    "embedding_int8_quantization",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
+               AS scale_raw
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id,
+             CASE WHEN scale_raw = 0 THEN 1.0 ELSE scale_raw END AS sc,
+             scale_raw
+      FROM q
+    ),
+    e AS (
+      SELECT embeddings.vec_id, s.sc, s.scale_raw,
+             list_transform(embedding,
+                            x -> FLOOR(x::DOUBLE / s.sc * 127 + 0.5)) AS qv,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings JOIN s ON embeddings.vec_id = s.vec_id
+    )
+    SELECT vec_id,
+           ROUND(scale_raw, 8) AS scale,
+           CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS INT)
+             AS max_abs_q,
+           ROUND(list_aggregate(
+                   list_transform(range(1, len(v) + 1),
+                                  i -> abs(v[i] - qv[i] * sc / 127)),
+                   'sum') / len(v), 8) AS mean_abs_err
+    FROM e
+    """,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, round-half-up) with reconstruction-error stats —
+    the 4x storage compression every 100 TB embedding store applies
+    before ANN serving. Rounding is FLOOR(x+0.5) in BOTH engines (the
+    portable half-up; bare casts diverge: Spark truncates, DuckDB
+    rounds). Per-row array fold, embarrassingly parallel, no shuffle;
+    sequential left-to-right folds make the error sums bit-identical
+    across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale_raw = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    d = e.select("vec_id", v.alias("v"), scale_raw.alias("scale_raw")).withColumn(
+        "sc", F.when(F.col("scale_raw") == 0, F.lit(1.0)).otherwise(F.col("scale_raw"))
+    )
+    def quant(x):
+        return F.floor(x / F.col("sc") * 127 + F.lit(0.5))
+
+    d = d.withColumn("qv", F.transform(F.col("v"), quant))
+    err_sum = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, q: F.abs(x - q * F.col("sc") / 127)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale_raw", 8).alias("scale"),
+        F.aggregate(
+            F.transform(F.col("qv"), F.abs),
+            F.lit(float("-inf")),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        .cast("int")
+        .alias("max_abs_q"),
+        F.round(err_sum / F.size("v"), 8).alias("mean_abs_err"),
+    )

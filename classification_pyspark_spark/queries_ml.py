@@ -648,3 +648,78 @@ def calibration_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("y").cast("double")), 6).alias("frac_positive"),
         )
     )
+
+
+@query(
+    "auc_by_segment",
+    sql="""
+    WITH d AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + EXP(-(o_totalprice / 200000.0 - 1.0))) AS s
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_score AS (
+      SELECT segment, s, SUM(y)::DOUBLE AS p, COUNT(*)::DOUBLE AS t
+      FROM d GROUP BY segment, s
+    ),
+    cum AS (
+      SELECT segment, p, t,
+             SUM(t) OVER (PARTITION BY segment ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS ct
+      FROM per_score
+    )
+    SELECT segment,
+           ROUND((SUM(p * (ct - t + (t + 1) / 2)) - SUM(p) * (SUM(p) + 1) / 2)
+                 / (SUM(p) * SUM(t - p)), 6) AS auc_roc,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(t - p) AS BIGINT) AS n_neg
+    FROM cum GROUP BY segment
+    """,
+)
+def auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-wise exact AUC-ROC (rank-based Mann-Whitney per market
+    segment) — the sliced-evaluation every model monitoring stack
+    needs. Scale shape: ties collapse in a per-(segment, score) hash
+    aggregate FIRST (map-side combined), then the cumulative count
+    runs in a window partitioned BY SEGMENT over that shrunken frame
+    — each segment is one window partition of its distinct scores,
+    never a global single-partition order. Single lineage: the
+    per-score frame feeds both the cumsum and the final aggregate
+    without re-evaluation."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        (1.0 / (1.0 + F.exp(-(F.col("o_totalprice") / 200000.0 - 1.0)))).alias("s"),
+    )
+    per_score = d.groupBy("segment", "s").agg(
+        F.sum("y").cast("double").alias("p"),
+        F.count(F.lit(1)).cast("double").alias("t"),
+    )
+    w = Window.partitionBy("segment").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.withColumn("ct", F.sum("t").over(w))
+    avg_rank = F.col("ct") - F.col("t") + (F.col("t") + 1) / 2
+    return (
+        cum.groupBy("segment")
+        .agg(
+            F.sum(F.col("p") * avg_rank).alias("srp"),
+            F.sum("p").alias("np"),
+            F.sum(F.col("t") - F.col("p")).alias("nn"),
+        )
+        .select(
+            "segment",
+            F.round(
+                (F.col("srp") - F.col("np") * (F.col("np") + 1) / 2)
+                / (F.col("np") * F.col("nn")),
+                6,
+            ).alias("auc_roc"),
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+        )
+    )
