@@ -77,11 +77,11 @@ def binary_classification_metrics(
     tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
     return c.select(
         tp, fp, tn, fn,
-        F.round((tp + tn) / (tp + fp + tn + fn), round_to).alias("accuracy"),
-        F.round(tp / (tp + fp), round_to).alias("precision"),
-        F.round(tp / (tp + fn), round_to).alias("recall"),
-        F.round(fp / (fp + tn), round_to).alias("fpr"),
-        F.round(2 * tp / (2 * tp + fp + fn), round_to).alias("f1"),
+        F.round(F.try_divide(tp + tn, tp + fp + tn + fn), round_to).alias("accuracy"),
+        F.round(F.try_divide(tp, tp + fp), round_to).alias("precision"),
+        F.round(F.try_divide(tp, tp + fn), round_to).alias("recall"),
+        F.round(F.try_divide(fp, fp + tn), round_to).alias("fpr"),
+        F.round(F.try_divide(2 * tp, 2 * tp + fp + fn), round_to).alias("f1"),
     )
 
 
@@ -112,8 +112,8 @@ def threshold_sweep(
     return agg.select(
         "threshold", tp, fp, tn, fn,
         F.round(F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(1.0)), round_to).alias("precision"),
-        F.round(tp / (tp + fn), round_to).alias("recall"),
-        F.round(fp / (fp + tn), round_to).alias("fpr"),
+        F.round(F.try_divide(tp, tp + fn), round_to).alias("recall"),
+        F.round(F.try_divide(fp, fp + tn), round_to).alias("fpr"),
     )
 
 

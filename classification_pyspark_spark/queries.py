@@ -48,7 +48,14 @@ def _register_extensions() -> None:
     """Import sibling query modules for their registration side effects.
 
     Called at the bottom of this module (after ``query`` exists)."""
-    from . import queries_llm, queries_ml, queries_quality, queries_rel, queries_tpch  # noqa: F401
+    from . import (  # noqa: F401
+        queries_llm,
+        queries_ml,
+        queries_quality,
+        queries_rel,
+        queries_tpch,
+        queries_tpch2,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,671 @@
+"""Query registry batch 6: the remaining TPC-H query shapes (q2, q6,
+q8, q9, q11, q12, q13, q16, q17, q20, q21), completing all 22 classic
+shapes together with ``queries_tpch.py``.
+
+The testdata star schema is a slimmed TPC-H (no partsupp, no
+l_shipmode / l_commitdate / l_receiptdate, no p_container /
+ps_supplycost), so the partsupp-centric queries are adapted while
+keeping their *plan shape* — which is what exercises the engine:
+
+- q2  : per-group min + equality join-back (correlated MIN subquery)
+- q6  : pure pushdown filter + global agg (no joins)
+- q8  : market-share ratio via conditional agg over a 6-way join
+- q9  : computed profit measure over a 5-way join, grouped two ways
+- q11 : group agg filtered by a global-scalar broadcast threshold
+- q12 : join + conditional counts by category (priority classes)
+- q13 : left outer join with ON-clause filter + double aggregation
+- q16 : count-distinct over a de-duplicated link table + NOT-IN anti
+- q17 : per-key average threshold join-back (correlated AVG subquery)
+- q20 : two-level aggregate share threshold + semi-join chain
+- q21 : EXISTS + NOT-EXISTS on the same fact (semi then anti join)
+
+The reference has none of these shapes (its joins are plain key
+equality, ``production/feature_engineering.py:101-115``); they are
+the "free capability" rows of SURVEY.md §2.3/§2.4 made concrete and
+oracle-checked against DuckDB.
+
+Scale notes (100 TB discipline): dimension sides broadcast
+explicitly; scalar thresholds (total value, per-part totals) are
+1-row / key-sized aggregate frames broadcast back — never collected
+to the driver; every money aggregate runs in exact DECIMAL and is
+cast to double only at the end (bit-identical across engines, see
+MEMORY oracle-parity conventions); top-k outputs carry total
+deterministic orderings.
+
+Imported by ``queries`` for registration side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(10,2)")
+
+
+_ONE = "1::DECIMAL(10,2)"
+_REV_SQL = f"l_extendedprice::DECIMAL(10,2) * ({_ONE} - l_discount::DECIMAL(10,2))"
+
+
+def _rev_expr():
+    one = F.lit(1).cast("decimal(10,2)")
+    return _dec("l_extendedprice") * (one - _dec("l_discount"))
+
+
+def _nations_in_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """nation keyed frame restricted to one region (broadcast-sized)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6-shaped: forecast revenue change — pure scan-side pushdown.
+# ---------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT CAST(SUM(l_extendedprice::DECIMAL(10,2) * l_discount::DECIMAL(10,2))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast: revenue that would be gained by
+    eliminating mid-range discounts on small orders in 1997. The
+    whole predicate (date range, discount band, quantity cap) pushes
+    to the parquet scan — zero joins, zero shuffles beyond the final
+    1-row aggregate; the canonical scan-efficiency probe."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-shaped: national market share within a region's part-type market.
+# ---------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    sql=f"""
+    SELECT order_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE 0::DECIMAL(10,2) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 8) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+             ns.n_name AS supp_nation,
+             {_REV_SQL} AS volume
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region   ON nc.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND p_type = 'STANDARD'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    )
+    GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: NATION_3's share of STANDARD-part
+    revenue sold to EUROPE customers, per order year. Part, supplier
+    and both nation sides broadcast; the only shuffles are the
+    orders/customer key joins; share and total come from ONE
+    conditional-aggregate pass (no branch reuse)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = _nations_in_region(spark, sf_dir, "EUROPE").select(
+        F.col("n_nationkey").alias("c_nkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast("decimal(10,2)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", _rev_expr()).otherwise(zero)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("int").alias("order_year"))
+        .agg(
+            F.sum(nation_vol).cast("double").alias("nation_vol"),
+            F.sum(_rev_expr()).cast("double").alias("total_volume"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            "order_year",
+            F.round(F.col("nation_vol") / F.col("total_volume"), 8).alias("mkt_share"),
+            "total_volume",
+            "n_lines",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-shaped: product-line profit by supplier nation and year.
+# (Adapted: no ps_supplycost — cost modeled as 0.50 * p_retailprice
+# per unit, keeping the computed-measure-over-5-way-join shape.)
+# ---------------------------------------------------------------------------
+@query(
+    "q9_product_profit",
+    sql=f"""
+    SELECT n_name AS nation,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+           CAST(SUM({_REV_SQL}
+                    - 0.50::DECIMAL(10,2) * p_retailprice::DECIMAL(10,2)
+                      * l_quantity::DECIMAL(10,2)) AS DOUBLE) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped profit report: widget-part profit (revenue
+    minus a 50%-of-retail unit cost — the ps_supplycost stand-in) by
+    supplier nation and order year. Part/supplier/nation broadcast;
+    one orderkey shuffle; profit accumulates in exact decimal."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    half = F.lit(0.50).cast("decimal(10,2)")
+    profit = _rev_expr() - half * _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("o_orderdate")).cast("int").alias("order_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-shaped: late-shipment counts by line status and order priority.
+# (Adapted: no l_shipmode/l_commitdate — category is l_linestatus,
+# lateness is shipdate > orderdate + 90; the join + dual conditional
+# count shape is intact.)
+# ---------------------------------------------------------------------------
+@query(
+    "q12_late_lines_by_status",
+    sql="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped shipping-delay report: 1997 lines shipped
+    more than 90 days after their order date, counted per line
+    status and split into high- vs low-priority orders in one
+    conditional-aggregate pass."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 90))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped: distribution of customers by order count.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_order_distribution",
+    sql="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer distribution: how many customers
+    placed k non-pending orders, including zero (the left join keeps
+    order-less customers; the ON-clause filter must not turn the
+    join inner). Two chained aggregations, both key-local after one
+    custkey shuffle."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-shaped: small-quantity-order revenue (correlated AVG join-back).
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    sql="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS pk, AVG(l_quantity) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(l_extendedprice::DECIMAL(10,2)) AS DOUBLE) / 7.0, 8)
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part    ON l_partkey = p_partkey
+    JOIN avg_qty ON l_partkey = pk
+    WHERE p_brand = 'Brand#5' AND p_size <= 15
+      AND l_quantity < 0.2 * aq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-order revenue: average yearly revenue
+    lost if tiny orders (below 20% of the part's average quantity)
+    of Brand#5 small parts were not taken. The correlated AVG
+    subquery becomes a per-part aggregate broadcast-joined back to
+    the fact (quantities are integral doubles, so the AVG is exact
+    and the 0.2*avg threshold is engine-portable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 8
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-shaped: suppliers who kept orders waiting (EXISTS + NOT EXISTS).
+# (Adapted: lateness is shipdate > orderdate + 60 instead of
+# receipt/commit dates, region filter instead of a single nation so
+# the result is non-empty at every SF.)
+# ---------------------------------------------------------------------------
+@query(
+    "q21_suppliers_kept_waiting",
+    sql="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped waiting-supplier report: ASIA suppliers who
+    were the SOLE late shipper on a finished multi-supplier order.
+    The EXISTS becomes a left_semi join (another supplier shipped on
+    the order) and the NOT EXISTS a left_anti join (no OTHER
+    supplier was late) — both keyed on l_orderkey, so they ride the
+    same shuffle partitioning; supplier/nation/region broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    s_asia = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_nations_in_region(spark, sf_dir, "ASIA")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = late.join(F.broadcast(s_asia), late.l_suppkey == F.col("s_suppkey"))
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-shaped: best-price supplier per part (correlated MIN join-back).
+# (Adapted: the partsupp "cost" is the minimum discounted sale price
+# observed in lineitem per (part, supplier).)
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    sql=f"""
+    WITH offers AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN({_REV_SQL}) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT pk, sk, min_price, s_name, s_acctbal, n_name
+      FROM offers
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, CAST(min_price AS DOUBLE) AS best_price
+    FROM eu
+    JOIN part ON pk = p_partkey
+    WHERE p_size = 25
+      AND min_price = (SELECT MIN(min_price) FROM eu i WHERE i.pk = eu.pk)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped best-supplier lookup: for each size-25 part,
+    the EUROPE supplier(s) whose minimum discounted sale price is
+    the part's best price. The correlated MIN becomes a per-part
+    aggregate of the (part, supplier) offer frame joined back on
+    (part, price) equality — prices are exact decimals, so the
+    equality is portable. Offer building is the only fact shuffle;
+    everything downstream is supplier-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(_rev_expr()).alias("min_price"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n_eu = _nations_in_region(spark, sf_dir, "EUROPE")
+    eu = (
+        offers.join(F.broadcast(s), offers.sk == s.s_suppkey)
+        .join(F.broadcast(n_eu), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("pk", "sk", "min_price", "s_name", "s_acctbal", "n_name")
+    )
+    best = eu.groupBy(F.col("pk").alias("bpk")).agg(F.min("min_price").alias("best"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        eu.join(best, (eu.pk == best.bpk) & (eu.min_price == best.best))
+        .join(F.broadcast(p), eu.pk == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("min_price").cast("double").alias("best_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-shaped: important stock — parts above a global value threshold.
+# (Adapted: "stock value" is shipped quantity x retail price from
+# ASIA-based suppliers.)
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_stock",
+    sql="""
+    WITH vals AS (
+      SELECT l_partkey AS pk,
+             SUM(l_quantity::DECIMAL(10,2) * p_retailprice::DECIMAL(10,2)) AS v
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT pk AS p_partkey, CAST(v AS DOUBLE) AS stock_value
+    FROM vals
+    WHERE CAST(v AS DOUBLE) > 0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM vals)
+    ORDER BY stock_value DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important stock: parts whose ASIA-supplied
+    shipped value exceeds 0.1% of the total. The global total is a
+    1-row broadcast against the part-sized value frame (never a
+    driver collect); values aggregate in exact decimal so the
+    threshold comparison is engine-portable in double."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_asia = _nations_in_region(spark, sf_dir, "ASIA")
+    vals = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(_dec("l_quantity") * _dec("p_retailprice")).alias("v"))
+    )
+    total = vals.agg(F.sum("v").cast("double").alias("tot"))
+    return (
+        vals.join(
+            F.broadcast(total), F.col("v").cast("double") > 0.001 * F.col("tot")
+        )
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("v").cast("double").alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-shaped: supplier count by part attribute (distinct over links).
+# ---------------------------------------------------------------------------
+@query(
+    "q16_supplier_part_counts",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) links
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier diversity: distinct suppliers able
+    to supply each (brand, type, size) combination — the partsupp
+    link rebuilt as ``SELECT DISTINCT`` over lineitem — excluding
+    negative-balance suppliers via an anti join (the NOT IN). The
+    distinct and count-distinct share the partkey/suppkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-shaped: dominant suppliers of a part family (share threshold
+# + semi-join chain).
+# ---------------------------------------------------------------------------
+@query(
+    "q20_dominant_part_suppliers",
+    sql="""
+    WITH shipped AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, SUM(l_quantity) AS sq
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'cold%'
+        AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    dominant AS (
+      SELECT DISTINCT sk FROM shipped
+      JOIN (SELECT pk AS tpk, SUM(sq) AS tq FROM shipped GROUP BY pk) t
+        ON pk = tpk
+      WHERE sq > 0.5 * tq
+    )
+    SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT sk FROM dominant)
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped excess-stock probe: suppliers who shipped
+    more than half of 1997's total volume of some cold-family part
+    (the availqty>0.5*shipped threshold re-rooted on the data we
+    have). Two-level aggregate on the same (part, supplier) shuffle,
+    then a semi join into the supplier dimension. Quantities are
+    integral doubles — the sums and the 0.5x threshold are exact."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%")).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    totals = shipped.groupBy(F.col("pk").alias("tpk")).agg(F.sum("sq").alias("tq"))
+    dominant = (
+        shipped.join(totals, (shipped.pk == totals.tpk) & (F.col("sq") > 0.5 * F.col("tq")))
+        .select("sk")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.sk, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+        .orderBy("s_name")
+    )

@@ -87,6 +87,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "pagerank_supplier_influence": {"single_partition": "node-count scalar (1 row)"},
     "split_leakage_audit": {"single_partition": "global leak-rate scalar"},
     "q4_order_priority": {},
+    "q6_forecast_revenue": {"single_partition": "global 1-row aggregate"},
+    "q11_important_stock": {"single_partition": "1-row total-value broadcast"},
+    "q17_small_quantity_revenue": {"single_partition": "global 1-row aggregate"},
     "media_byte_stats": {},
     "media_decode_features": {},
     "media_frame_sample": {},
