@@ -36,3 +36,17 @@ def days_since_expr(col: Column | str, reference_date: str) -> Column:
     (parity: ``feature_engineering.py:119-124``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.datediff(F.to_date(F.lit(reference_date)), F.to_date(c))
+
+
+def epoch_seconds_expr(col: Column | str) -> Column:
+    """Seconds-since-epoch (long) for any time-like column.
+
+    Parquet written without timezone adjustment reads back as
+    TIMESTAMP_NTZ in Spark 4, which cannot be cast straight to a
+    numeric type. Routing through TIMESTAMP first is legal from
+    TIMESTAMP_NTZ, DATE, and TIMESTAMP alike, and with the session
+    timezone pinned to UTC (session.py) the NTZ->LTZ hop is the
+    identity mapping DuckDB's ``epoch()`` uses.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")

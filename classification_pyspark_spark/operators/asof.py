@@ -68,8 +68,12 @@ def asof_join(
     )
     out = filled.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
+        # route via TIMESTAMP so TIMESTAMP_NTZ inputs (Spark 4 parquet
+        # default for tz-naive data) cast cleanly; numeric ts columns
+        # round-trip unchanged under the UTC session timezone.
         in_tol = (
-            F.col("__ts").cast("double") - F.col(f"{right_ts}{suffix}").cast("double")
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col(f"{right_ts}{suffix}").cast("timestamp").cast("double")
         ) <= tolerance_seconds
         out = out.select(
             *[c for c in out.columns if not c.endswith(suffix)],

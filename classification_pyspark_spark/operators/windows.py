@@ -162,7 +162,10 @@ def sessionize(
 
     Adds ``session_id`` (1-based per user, long).
     """
+    from classification_pyspark_spark.functions.dates import epoch_seconds_expr
+
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    ts_sec = epoch_seconds_expr(ts_col)
+    gap = ts_sec - F.lag(ts_sec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(is_new).over(w).cast("long"))
