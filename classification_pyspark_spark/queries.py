@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .functions.money import cents_expr as cents
+from .functions.money import cents_sql
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -74,13 +76,13 @@ def _register_extensions() -> None:
       SELECT o_custkey,
              CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '{REF_DATE}')) AS INTEGER) AS recency_days,
              COUNT(*) AS n_orders,
-             CAST(SUM(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total_spend
+             (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0) AS total_spend
       FROM o2 GROUP BY o_custkey
     ),
     rev AS (
       SELECT o_custkey,
-             CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS total_revenue,
-             CAST(SUM(l_quantity::DECIMAL(10,2)) AS DOUBLE) AS total_qty
+             (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0) AS total_revenue,
+             (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0) AS total_qty
       FROM o2 JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_custkey
     ),
@@ -119,10 +121,9 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     ref = F.to_date(F.lit(REF_DATE))
 
-    # money sums in exact DECIMAL then cast to double: engine and oracle
-    # produce bit-identical values with no float-accumulation rounding
-    # hazard (a 2dp-ideal sum rounded at 2dp once hit a round-half split)
-    dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
+    # money sums in exact LONG-cents fixed point (functions/money.py):
+    # engine and oracle produce bit-identical values with no float-
+    # accumulation rounding hazard, on the primitive codegen fast path
     d = F.to_date("o_orderdate")
     past = d <= ref
     fut = (d > ref) & (d <= F.date_add(ref, 90))
@@ -136,19 +137,17 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat_o = orders.groupBy("o_custkey").agg(
         F.min(F.when(past, F.datediff(ref, d))).alias("recency_days"),
         F.sum(F.when(past, 1).otherwise(0)).cast("long").alias("n_orders"),
-        F.sum(F.when(past, F.col("o_totalprice").cast("decimal(12,2)")))
-        .cast("double")
-        .alias("total_spend"),
+        (F.sum(F.when(past, cents("o_totalprice"))) / F.lit(100.0)).alias("total_spend"),
         F.max(F.when(fut, 1).otherwise(0)).cast("int").alias("target_var"),
     )
     rev = (
         o2.join(lineitem, o2.o_orderkey == lineitem.l_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(10,2)") - dec("l_discount")))
-            .cast("double")
-            .alias("total_revenue"),
-            F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+            (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(1e4)).alias(
+                "total_revenue"
+            ),
+            (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("total_qty"),
         )
     )
     out = (
@@ -187,11 +186,11 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(l_quantity::DECIMAL(10,2)) AS DOUBLE) AS sum_qty,
-           CAST(SUM(l_extendedprice::DECIMAL(10,2)) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))
-                    * (1::DECIMAL(10,2) + l_tax::DECIMAL(10,2))) AS DOUBLE) AS sum_charge,
+           (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0) AS sum_qty,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0) AS sum_base_price,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0) AS sum_disc_price,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) / 1000000.0) AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -207,17 +206,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials — the canonical 'does partial aggregation +
     pushdown work' probe."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
-    one = F.lit(1).cast("decimal(10,2)")
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    disc_price = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         li.filter(F.to_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (one + dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_price) / F.lit(1e4)).alias("sum_disc_price"),
+            (F.sum(disc_price * (100 + cents("l_tax"))) / F.lit(1e6)).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -230,7 +227,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue_orders",
     sql="""
     SELECT o_orderkey,
-           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS revenue,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -261,12 +258,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(10,2)")
-                * (F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)"))
+            (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(1e4)).alias(
+                "revenue"
             )
-            .cast("double")
-            .alias("revenue")
         )
         .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -278,7 +272,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_nation_revenue",
     sql="""
     SELECT n_name,
-           CAST(SUM(l_extendedprice::DECIMAL(10,2) * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS revenue,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0) AS revenue,
            COUNT(*) AS n_lineitems
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -316,12 +310,9 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(10,2)")
-                * (F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)"))
-            )
-            .cast("double")
-            .alias("revenue"),
+            (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(1e4)).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
     )

