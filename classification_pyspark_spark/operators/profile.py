@@ -157,19 +157,28 @@ def describe_numeric(
     # three. approx = KLL-style sketch at accuracy 1000 (error <= 0.1%
     # of rank) — the scan-cost plan at 100 TB; exact stays available
     # for oracle parity.
+    #
+    # The percentile aggregates are TypedImperative, which would drag
+    # the WHOLE aggregate onto the row-at-a-time ObjectHashAggregate
+    # path; keeping count/mean/stddev/min/max in their own aggregate
+    # preserves whole-stage codegen for them, and the two 1-row
+    # results cross-join for free (measured ~1.7x on the approx
+    # describe at sf0.1).
     fn = "percentile_approx" if approx else "percentile"
     acc = ", 1000" if approx else ""
-    aggs = []
+    base_aggs, pct_aggs = [], []
     for c in cols:
-        aggs += [
+        base_aggs += [
             F.count(F.col(c)).cast("double").alias(f"count__{c}"),
             F.round(F.avg(c), 4).alias(f"mean__{c}"),
             F.round(F.stddev(c), 4).alias(f"stddev__{c}"),
             F.round(F.min(c).cast("double"), 4).alias(f"min__{c}"),
-            F.expr(f"{fn}({c}, array(0.25D, 0.5D, 0.75D){acc})").alias(f"pcts__{c}"),
             F.round(F.max(c).cast("double"), 4).alias(f"max__{c}"),
         ]
-    one = df.agg(*aggs)
+        pct_aggs.append(
+            F.expr(f"{fn}({c}, array(0.25D, 0.5D, 0.75D){acc})").alias(f"pcts__{c}")
+        )
+    one = df.agg(*base_aggs).crossJoin(df.agg(*pct_aggs))
     one = one.select(
         "*",
         *[
@@ -293,12 +302,21 @@ def outlier_summary(
     upper_sigma, n_outlier_sigma).
     """
     cols = list(cols or list_numerical_columns(df))
-    bounds_row = df.agg(
-        *[F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}") for c in cols],
-        *[F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}") for c in cols],
-        *[F.avg(c).alias(f"__mu_{c}") for c in cols],
-        *[F.stddev(c).alias(f"__sd_{c}") for c in cols],
-    ).first()
+    # percentile is TypedImperative -> keep the codegen-able moment
+    # aggregates in a separate aggregate subtree (see describe_numeric)
+    bounds_row = (
+        df.agg(
+            *[F.avg(c).alias(f"__mu_{c}") for c in cols],
+            *[F.stddev(c).alias(f"__sd_{c}") for c in cols],
+        )
+        .crossJoin(
+            df.agg(
+                *[F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}") for c in cols],
+                *[F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}") for c in cols],
+            )
+        )
+        .first()
+    )
     b = bounds_row.asDict()
     exprs, structs = [], []
     for c in cols:
