@@ -75,6 +75,27 @@ def spread_for_compute(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_ratio >= target:
+    # Estimate the scan's split count from file metadata (4 ms) instead
+    # of df.rdd.getNumPartitions() (forces physical planning + RDD
+    # conversion, ~100 ms warm / >1 s cold per call). Spark splits
+    # splittable parquet at maxPartitionBytes, so splits ~=
+    # ceil(total_bytes / maxPartitionBytes), floored at file count.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        total = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                total += max_bytes  # unknown scheme: assume one full split
+        est = max(len(files), -(-total // max_bytes))
+    else:
+        est = df.rdd.getNumPartitions()
+    if est * min_ratio >= target:
         return df
     return df.repartition(target)
