@@ -45,6 +45,7 @@ HEADLINE = [
     "q18_large_volume_customers",
     "q10_returned_items",
     "rolling_spend_30d",
+    "cdc_merge_upsert",
     "funnel_view_to_purchase",
     "top_bigrams",
     "doc_chunks",

@@ -885,3 +885,94 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ref").cast("long").alias("n_ref"),
         F.sum("n_cur").cast("long").alias("n_cur"),
     )
+
+
+@query(
+    "cdc_merge_upsert",
+    sql="""
+    WITH chg AS (
+      SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey
+                  WHEN o_custkey % 89 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS key,
+             CASE WHEN o_custkey % 97 = 0 THEN 'D'
+                  WHEN o_custkey % 89 = 0 THEN 'I'
+                  ELSE 'U' END AS op,
+             MAX(o_totalprice) AS new_bal
+      FROM orders
+      WHERE year(CAST(o_orderdate AS DATE)) = 1998
+      GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+             c.c_mktsegment, chg.key, chg.op, chg.new_bal
+      FROM customer c FULL JOIN chg ON c.c_custkey = chg.key
+    )
+    SELECT c_custkey, c_name, c_nationkey,
+           ROUND(CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END, 2) AS c_acctbal,
+           c_mktsegment
+    FROM m WHERE c_custkey IS NOT NULL AND (op IS NULL OR op = 'U')
+    UNION ALL
+    SELECT key, 'Customer#new_' || CAST(key AS VARCHAR),
+           CAST(key % 25 AS INTEGER), ROUND(new_bal, 2), 'NEW'
+    FROM m WHERE c_custkey IS NULL AND op = 'I'
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert): apply a change batch (update / delete /
+    insert ops) to a snapshot in one pass — the Delta-Lake MERGE INTO
+    semantics the reference's delta-format reads (``dp.py:63``)
+    gesture at, re-expressed as a plain full-outer join so it runs on
+    any store. The change batch is built deterministically from 1998
+    orders (op keyed off o_custkey residues; the new balance is the
+    customer's max 1998 order price — an exact 2dp value, so no
+    cross-engine float-rounding hazard) so both engines see the same
+    input.
+
+    Scale shape: ONE full-outer shuffle join on the merge key — the
+    canonical CDC-apply plan. Matched 'U' rows take the new balance,
+    matched 'D' rows drop, right-only 'I' rows materialize as inserts,
+    unmatched snapshot rows pass through untouched; the op routing is
+    a codegen CASE, not a second pass. At 100 TB both sides hash-
+    partition on the key once; no broadcast assumption on the change
+    batch (CDC batches can be arbitrarily large)."""
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_custkey")
+    chg = (
+        o.filter(F.year(F.to_date("o_orderdate")) == 1998)
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("new_bal"))
+        .select(
+            # delete takes precedence over insert (k=0 is in both
+            # residue classes), keeping op and key remap consistent
+            F.when(k % 97 == 0, k)
+            .when(k % 89 == 0, k + 1000000)
+            .otherwise(k)
+            .alias("key"),
+            F.when(k % 97 == 0, F.lit("D"))
+            .when(k % 89 == 0, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "new_bal",
+        )
+    )
+    m = cust.join(chg, cust.c_custkey == chg.key, "full_outer")
+    kept = m.filter(
+        F.col("c_custkey").isNotNull() & (F.col("op").isNull() | (F.col("op") == "U"))
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(
+            F.when(F.col("op") == "U", F.col("new_bal")).otherwise(F.col("c_acctbal")), 2
+        ).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = m.filter(F.col("c_custkey").isNull() & (F.col("op") == "I")).select(
+        F.col("key").alias("c_custkey"),
+        F.concat(F.lit("Customer#new_"), F.col("key").cast("string")).alias("c_name"),
+        (F.col("key") % 25).cast("int").alias("c_nationkey"),
+        F.round("new_bal", 2).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return kept.unionByName(inserts)

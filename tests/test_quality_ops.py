@@ -157,3 +157,42 @@ def test_split_leakage_audit_bounds(spark, sf_dir):
     row = QUERIES["split_leakage_audit"](spark, sf_dir).collect()[0]
     assert row["n_cross_split"] <= row["n_neardup_pairs"]
     assert 0.0 <= row["leak_rate"] <= 1.0
+
+
+def test_cdc_merge_upsert_semantics(spark, sf_dir):
+    """Deletes vanish, updates take the new balance, inserts appear
+    with synthetic keys, untouched rows pass through bit-identical."""
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.queries import QUERIES
+
+    merged = QUERIES["cdc_merge_upsert"](spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year(F.to_date("o_orderdate")) == 1998
+    )
+    chg_keys = o.select("o_custkey").distinct()
+    deleted = chg_keys.filter(F.col("o_custkey") % 97 == 0)
+    inserted = chg_keys.filter(
+        (F.col("o_custkey") % 89 == 0) & (F.col("o_custkey") % 97 != 0)
+    )
+
+    n_cust = cust.count()
+    n_del = cust.join(deleted, cust.c_custkey == deleted.o_custkey, "left_semi").count()
+    n_ins = inserted.count()
+    assert merged.count() == n_cust - n_del + n_ins
+    # every insert key present with the NEW segment marker
+    ins_rows = merged.filter(F.col("c_mktsegment") == "NEW")
+    assert ins_rows.count() == n_ins
+    # no deleted key survives
+    assert (
+        merged.join(deleted, merged.c_custkey == deleted.o_custkey, "left_semi").count()
+        == 0
+    )
+    # untouched rows unchanged (anti-join against all change keys)
+    untouched = merged.filter(F.col("c_mktsegment") != "NEW").join(
+        chg_keys, merged.c_custkey == chg_keys.o_custkey, "left_anti"
+    )
+    orig = cust.join(chg_keys, cust.c_custkey == chg_keys.o_custkey, "left_anti")
+    assert untouched.exceptAll(orig.select(*untouched.columns)).count() == 0
