@@ -104,3 +104,27 @@ def test_minhash_identical_texts_share_signature(spark, text):
     assert rows[0] == rows[1]
     # containment: appending text can only keep-or-lower each min
     assert all(rows[2][i] <= rows[0][i] for i in range(4))
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),  # value in cents
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_money_cents_sum_exact(spark, cents_vals):
+    """sum_money over LONG cents equals the decimal-exact sum for any
+    2dp inputs, including negatives and sums crossing round-half
+    boundaries (the case that motivated fixed point over float)."""
+    from classification_pyspark_spark.functions.money import cents_expr, decimal_sum, sum_money
+
+    rows = [(v / 100.0,) for v in cents_vals]
+    df = spark.createDataFrame(rows, "x double")
+    got = df.agg(
+        sum_money(cents_expr("x")).alias("fixed"),
+        decimal_sum(F.col("x")).alias("dec"),
+    ).first()
+    assert got["fixed"] == got["dec"]
+    assert got["fixed"] == pytest.approx(sum(cents_vals) / 100.0, abs=0)
