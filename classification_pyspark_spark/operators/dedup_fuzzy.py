@@ -104,7 +104,11 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, rows_per_band: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing a minhash BAND (bands of
     ``rows_per_band`` hashes ANDed together, bands ORed — standard LSH
@@ -118,7 +122,15 @@ def minhash_candidate_pairs(
     self-join: without it both join sides re-run the whole
     shingle->md5->agg signature pipeline — the dominant cost — doubling
     it. Persisted state is 1 row x (id + n_bands hashes) per doc, tiny
-    relative to the corpus at any scale."""
+    relative to the corpus at any scale.
+
+    ``max_bucket_size`` is the 100 TB guard: a degenerate band value
+    (empty or boilerplate docs) collects k members and would emit
+    k*(k-1)/2 pairs — one hot bucket can dwarf the rest of the job.
+    Buckets above the cap are dropped from pairing (their members are
+    near-certain exact duplicates; route them through the cheap
+    digest-based exact dedup instead). Default None preserves exhaustive
+    pairing for oracle parity at test scale."""
     sig = minhash_signatures(df, text_col, id_col)
     n_bands = N_MINHASH // rows_per_band
     band_cols = [
@@ -137,6 +149,13 @@ def minhash_candidate_pairs(
             args=", ".join(f"'{b}', band_{b}" for b in range(n_bands)),
         ),
     )
+    if max_bucket_size is not None:
+        sizes = long.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
+        long = (
+            long.join(sizes, on=["band", "h"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = long.select(F.col(id_col).alias("id_a"), "band", "h")
     b = long.select(F.col(id_col).alias("id_b"), "band", "h")
     return (
@@ -176,12 +195,23 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 3,
     min_jaccard: float = 0.2,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Token-n-gram Jaccard similarity for pairs within a blocking key.
 
     posting list (id, gram) -> self-join on (block, gram) -> pair
     intersection counts -> |A∩B| / (|A| + |B| - |A∩B|).
     Output: (id_a < id_b, jaccard rounded 4).
+
+    ``max_posting_size`` is the 100 TB guard (stop-gram removal): a
+    gram appearing in k docs of one block fans the self-join out to
+    k^2 rows, and the most common grams ("of the", boilerplate) are
+    exactly the least discriminative. Dropping postings longer than
+    the cap bounds join fan-out per gram at cap^2 while barely moving
+    Jaccard on real pairs — but it IS an approximation, so the default
+    None keeps exact semantics for oracle parity at test scale.
+    NOTE: with a cap, |A| / |B| still count all grams while the
+    intersection misses capped grams, so jaccard is a lower bound.
     """
     toks = tokens_expr(F.lower(text_col))
     grams = F.array_distinct(
@@ -196,8 +226,16 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(grams).alias("gram")
     ).persist()
     sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = posting.select(F.col("id").alias("id_a"), "blk", "gram")
-    b = posting.select(F.col("id").alias("id_b"), "blk", "gram")
+    paired = posting
+    if max_posting_size is not None:
+        plen = posting.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("__pn"))
+        paired = (
+            posting.join(plen, on=["blk", "gram"])
+            .filter(F.col("__pn") <= max_posting_size)
+            .drop("__pn")
+        )
+    a = paired.select(F.col("id").alias("id_a"), "blk", "gram")
+    b = paired.select(F.col("id").alias("id_b"), "blk", "gram")
     inter = (
         a.join(b, on=["blk", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))

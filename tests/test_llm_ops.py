@@ -238,3 +238,55 @@ def test_ivf_indexed_partition_pruning(spark, tmp_path):
     # the cluster isin filter must reach the scan as a partition filter
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """max_bucket_size drops degenerate LSH buckets (the O(k^2) hot
+    bucket at scale) while leaving normal pairs untouched."""
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.operators.dedup_fuzzy import minhash_candidate_pairs
+
+    # 6 identical boilerplate docs (one hot bucket) + 2 near-dup docs
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(6)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+
+    uncapped = minhash_candidate_pairs(df, "text", "doc_id")
+    capped = minhash_candidate_pairs(df, "text", "doc_id", max_bucket_size=4)
+
+    unc = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap
+    # the 15 boilerplate pairs are pruned by the cap
+    assert any(a < 6 and b < 6 for a, b in unc)
+    assert not any(a < 6 and b < 6 for a, b in cap)
+
+
+def test_ngram_posting_cap_is_lower_bound(spark):
+    """Capped postings only lower jaccard, never raise it, and true
+    near-dups survive a reasonable cap."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon eta", "en"),
+        (3, "unrelated words entirely different content here", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", "lang", min_jaccard=0.0).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", "lang", min_jaccard=0.0, max_posting_size=10
+        ).collect()
+    }
+    assert (1, 2) in capped
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
