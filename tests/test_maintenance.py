@@ -44,3 +44,47 @@ def test_compaction_partitioned_layout(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_zorder_write_narrows_per_file_ranges(spark, sf_dir, tmp_path):
+    """Z-order layout: each output file should cover a small
+    hyper-rectangle of (o_custkey, o_totalprice) space, so per-file
+    min/max ranges (what parquet stats pruning sees) are much
+    narrower than an unsorted write's on BOTH columns at once."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.sources.maintenance import save_zordered
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plain = str(tmp_path / "plain")
+    zed = str(tmp_path / "zorder")
+    # unsorted baseline with the same file count
+    o.repartition(8).write.mode("overwrite").parquet(plain)
+    save_zordered(o, zed, ["o_custkey", "o_totalprice"], bits=8, num_files=8)
+
+    def avg_range_product(path):
+        rows = duckdb.sql(
+            f"""
+            SELECT filename,
+                   MAX(o_custkey) - MIN(o_custkey) AS rk,
+                   MAX(o_totalprice) - MIN(o_totalprice) AS rp
+            FROM read_parquet('{path}/*.parquet', filename=true)
+            GROUP BY filename
+            """
+        ).fetchall()
+        return sum(r[1] * r[2] for r in rows) / len(rows)
+
+    # same rows either way
+    assert spark.read.parquet(zed).count() == o.count()
+    assert (
+        spark.read.parquet(zed)
+        .exceptAll(spark.read.parquet(plain))
+        .count()
+        == 0
+    )
+    # each z-ordered file covers a far smaller key x price rectangle
+    assert avg_range_product(zed) < 0.5 * avg_range_product(plain)
