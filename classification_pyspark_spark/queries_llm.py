@@ -1012,3 +1012,64 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_abs_q"),
         F.round(err_sum / F.size("v"), 8).alias("mean_abs_err"),
     )
+
+
+@query(
+    "sequence_packing",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                                  t -> len(t) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT CAST(floor((cum_tokens - 1) / 2048) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) / 2048.0, 4) AS fill_ratio
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents (in stable doc_id
+    order) to fixed token-budget packs of 2048 via the running token
+    total — the greedy contiguous packing every LLM pre-training
+    pipeline runs before batching. A doc whose running total crosses a
+    pack boundary lands in the pack its END falls in, so fill_ratio
+    can exceed 1.0 by at most (doc_len-1)/2048; chunk oversized docs
+    first (``doc_chunks``) for strict budgets.
+
+    Scale shape: the running total comes from
+    ``windows.global_cumsum`` — range-partition on doc_id +
+    per-partition local windows + broadcast prefix offsets — NOT a
+    single-partition ``Window.orderBy`` (which serializes the corpus
+    through one task; the classic 100 TB faceplant). Then one
+    pack-sized hash agg. The oracle replays the same rule with
+    DuckDB's ordered window."""
+    from .operators.text import token_count_expr
+    from .operators.windows import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").cast("long").alias("n_tokens")
+    )
+    cum = global_cumsum(d, "doc_id", ["n_tokens"])
+    return (
+        cum.select(
+            "n_tokens",
+            F.floor((F.col("cum_n_tokens") - 1) / 2048).cast("long").alias("pack_id"),
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(2048.0), 4).alias("fill_ratio"),
+        )
+    )
