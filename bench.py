@@ -49,6 +49,7 @@ HEADLINE = [
     "funnel_view_to_purchase",
     "top_bigrams",
     "doc_chunks",
+    "sequence_packing",
     "corpus_curation",
     "embedding_centroids",
 ]
