@@ -76,3 +76,22 @@ def test_lag_delta_previous_row(spark):
     assert rows[(1, 2)] == (1, 5.0)
     assert rows[(1, 3)] == (2, -3.0)
     assert rows[(2, 1)] == (None, None)
+
+
+def test_minhash_expr_and_explode_forms_agree(spark):
+    """The lambda-expression form and the explode+agg form (the
+    codegen-friendly rewrite used in production paths) must produce
+    identical signatures for identical input."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        minhash_signature_exprs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with five dozen jugs"), (3, "ab")],
+        "doc_id long, text string",
+    )
+    a = df.select("doc_id", *minhash_signature_exprs("text")).collect()
+    b = minhash_signatures(df, "text", "doc_id").collect()
+    key = lambda rows: {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("minhash")) for r in rows}  # noqa: E731
+    assert key(a) == key(b)
