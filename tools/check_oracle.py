@@ -28,8 +28,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and fixed-precision print
-        return f"{v + 0.0:.6f}"
+        # collapse -0.0; FULL precision (%.17g) — the driver's hash may
+        # be bit-strict, so local leniency would hide 1-ulp divergence
+        return f"{v + 0.0:.17g}"
     return str(v)
 
 
