@@ -1042,3 +1042,38 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("last_order"),
     )
+
+
+@query(
+    "window_percent_rank_cume",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (SURVEY §2.5 gap row): percentile
+    rank, cumulative distribution, and quartile of each order's price
+    within its priority class. One shuffle on the partition key; the
+    (price, orderkey) tie-break totalizes the order so ntile's
+    row-count splits are deterministic across engines. Partitions are
+    priority classes (bounded count, ~1/5 of rows each) — unlike a
+    global ORDER BY window, this parallelizes at any scale."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
