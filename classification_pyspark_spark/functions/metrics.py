@@ -148,10 +148,15 @@ def auc_roc(df: DataFrame, label_col: str, score_col: str, round_to: int = 6) ->
         F.sum("__p").alias("n_pos"),
         F.sum(F.col("__t") - F.col("__p")).alias("n_neg"),
     )
+    # try_divide: a single-class input (degenerate holdout) yields NULL
+    # instead of an ANSI divide-by-zero error; identical doubles when
+    # both classes are present.
     return agg.select(
         F.round(
-            (F.col("sum_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2)
-            / (F.col("n_pos") * F.col("n_neg")),
+            F.try_divide(
+                F.col("sum_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2,
+                F.col("n_pos") * F.col("n_neg"),
+            ),
             round_to,
         ).alias("auc_roc")
     )

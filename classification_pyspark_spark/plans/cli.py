@@ -14,6 +14,7 @@ import argparse
 import logging
 import sys
 
+from .. import production  # noqa: F401 — registers the 4-job pipeline's processors
 from ..session import get_spark
 from .planner import create_job_plan, load_job_catalog
 from .runner import execute_job

@@ -1,0 +1,135 @@
+"""The concrete 4-job production pipeline (SURVEY.md §0 item 6).
+
+Parity with the reference's ``production/`` scripts, re-expressed on
+this engine's operators over the driver's star schema:
+
+- ``data-cleaning``   = ``production/data_cleaning.py:21-58`` shape:
+  per-table dedup + date parsing + column-name cleaning -> parquet.
+- ``feature-engineering`` = ``production/feature_engineering.py:
+  101-172`` shape: the EP2 customer feature mart (joins + grouped
+  aggs + label attach) -> parquet.
+- ``training``        = ``production/training.py:23-107`` shape:
+  outlier cap -> impute -> assemble -> logistic fit -> model sink.
+- ``scoring``         = ``production/scoring.py:21-123`` shape:
+  model load -> transform -> labeled scores + binary metrics sinks.
+
+Every processor is ``(spark, params) -> TaskStatus``; registration is
+explicit import (``plans.cli`` imports this module), replacing the
+reference's ``*.py``-globbing side-effect loader
+(``processors.py:32-47``). Run end-to-end with::
+
+    python -m classification_pyspark_spark.plans.cli run \
+        -c examples/jobs.yml -j data-cleaning   # then feature-engineering,
+                                                # training, scoring
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .plans.registry import TaskStatus, register_processor
+
+FEATURES = ["recency_days", "n_orders", "total_spend", "total_qty", "total_revenue"]
+
+
+@register_processor("data-cleaning", "clean-tables")
+def clean_tables(spark: SparkSession, params: dict) -> TaskStatus:
+    """Dedup + snake_case names + typed dates for the mart's inputs."""
+    from .functions.strings import clean_column_names
+    from .operators.dedup import drop_duplicates
+
+    sf_dir = params["sf_dir"]
+    out = params["out"]
+    n = 0
+    for table, keys in (
+        ("customer", ["c_custkey"]),
+        ("orders", ["o_orderkey"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ):
+        df = load_table(spark, sf_dir, table)
+        # a PARTIAL key subset would dedup away real rows; use the key
+        # only when complete, else fall back to full-row dedup
+        keys = keys if all(k in df.columns for k in keys) else None
+        cleaned = drop_duplicates(clean_column_names(df), subset=keys)
+        if "o_orderdate" in cleaned.columns:
+            cleaned = cleaned.withColumn("o_orderdate", F.to_date("o_orderdate"))
+        if "l_shipdate" in cleaned.columns:
+            cleaned = cleaned.withColumn("l_shipdate", F.to_date("l_shipdate"))
+        cleaned.write.mode("overwrite").parquet(os.path.join(out, table))
+        n += 1
+    return TaskStatus(True, f"cleaned {n} tables -> {out}")
+
+
+@register_processor("feature-engineering", "build-mart")
+def build_mart(spark: SparkSession, params: dict) -> TaskStatus:
+    """EP2 customer feature mart over the data-cleaning job's output —
+    the same ``marts.customer_feature_mart`` dataflow the registry's
+    flagship query runs on the raw star schema."""
+    from .marts import customer_feature_mart
+    from .queries import REF_DATE
+
+    inp, out = params["inp"], params["out"]
+    mart = customer_feature_mart(
+        spark.read.parquet(os.path.join(inp, "customer")),
+        spark.read.parquet(os.path.join(inp, "orders")),
+        spark.read.parquet(os.path.join(inp, "lineitem")),
+        params.get("ref_date", REF_DATE),
+    )
+    mart.write.mode("overwrite").parquet(out)
+    return TaskStatus(True, f"mart -> {out}")
+
+
+@register_processor("training", "fit-classifier")
+def fit_classifier(spark: SparkSession, params: dict) -> TaskStatus:
+    """EP3 fit path: cap -> impute -> assemble -> stratified split ->
+    logistic fit -> model + holdout sinks."""
+    from .operators.encode import generate_features_vector
+    from .operators.impute import Imputer
+    from .operators.models import train
+    from .operators.outliers import IQR, OutlierTreatment
+    from .operators.sampling import stratified_split
+    from .sources.io import save_model
+
+    mart = spark.read.parquet(params["inp"])
+    capped = OutlierTreatment(FEATURES, method=IQR).fit(mart).transform(mart)
+    imputed = Imputer(cols=FEATURES).fit(capped).transform(capped)
+    assembled = generate_features_vector(imputed, FEATURES).withColumnRenamed(
+        "target_var", "y"
+    )
+    train_df, test_df = stratified_split(assembled, "y", 0.3, seed=42)
+    model = train(
+        train_df, "classification", "logistic", features_col="features", label_col="y"
+    )
+    save_model(model, params["model_out"])
+    test_df.drop("features").write.mode("overwrite").parquet(params["holdout_out"])
+    return TaskStatus(True, f"model -> {params['model_out']}")
+
+
+@register_processor("scoring", "score-and-evaluate")
+def score_and_evaluate(spark: SparkSession, params: dict) -> TaskStatus:
+    """EP3 score path: load -> transform holdout -> scores + metrics."""
+    from pyspark.ml.classification import LogisticRegressionModel
+    from pyspark.ml.functions import vector_to_array
+
+    from .functions.metrics import auc_roc, binary_classification_metrics
+    from .operators.encode import generate_features_vector
+    from .operators.models import prediction_label_expr
+
+    holdout = spark.read.parquet(params["holdout_inp"])
+    assembled = generate_features_vector(holdout, FEATURES)
+    model = LogisticRegressionModel.load(params["model_inp"])
+    scored = model.transform(assembled).select(
+        "c_custkey",
+        "y",
+        prediction_label_expr("probability", threshold=0.5).alias("pred"),
+        vector_to_array("probability")[1].cast("double").alias("score"),
+    )
+    scored.write.mode("overwrite").parquet(params["scores_out"])
+    metrics = binary_classification_metrics(scored, "y", "score", threshold=0.5)
+    auc = auc_roc(scored, "y", "score")
+    metrics.crossJoin(auc).write.mode("overwrite").parquet(params["metrics_out"])
+    return TaskStatus(True, f"scores -> {params['scores_out']}")

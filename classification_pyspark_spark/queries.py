@@ -115,67 +115,17 @@ def flagship_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggs shuffle on o_custkey with map-side partial
     aggregation; the per-customer feature frames are small so AQE
     broadcasts them into the final left joins against customer.
+
+    Implementation shared with the production feature-engineering job
+    (``production.py``): see ``marts.customer_feature_mart`` for the
+    dataflow and its scale notes.
     """
+    from .marts import customer_feature_mart
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    ref = F.to_date(F.lit(REF_DATE))
-
-    # money sums in exact LONG-cents fixed point (functions/money.py):
-    # engine and oracle produce bit-identical values with no float-
-    # accumulation rounding hazard, on the primitive codegen fast path
-    d = F.to_date("o_orderdate")
-    past = d <= ref
-    fut = (d > ref) & (d <= F.date_add(ref, 90))
-    # ONE orders scan + ONE shuffle for BOTH the past-window features
-    # and the 90-day forward label, as conditional aggregates in the
-    # same groupBy — result-identical to the separate filtered
-    # agg + distinct-label scans (customers outside both windows get
-    # the same all-NULL row the left joins produced), but at 100 TB it
-    # drops a full orders scan and a shuffle
-    o2 = orders.filter(past)
-    feat_o = orders.groupBy("o_custkey").agg(
-        F.min(F.when(past, F.datediff(ref, d))).alias("recency_days"),
-        F.sum(F.when(past, 1).otherwise(0)).cast("long").alias("n_orders"),
-        (F.sum(F.when(past, cents("o_totalprice"))) / F.lit(100.0)).alias("total_spend"),
-        F.max(F.when(fut, 1).otherwise(0)).cast("int").alias("target_var"),
-    )
-    rev = (
-        o2.join(lineitem, o2.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_custkey")
-        .agg(
-            (F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / F.lit(1e4)).alias(
-                "total_revenue"
-            ),
-            (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("total_qty"),
-        )
-    )
-    out = (
-        customer.select("c_custkey", "c_mktsegment")
-        .join(feat_o, customer.c_custkey == feat_o.o_custkey, "left")
-        .drop("o_custkey")
-        .join(rev, F.col("c_custkey") == rev.o_custkey, "left")
-        .drop("o_custkey")
-    )
-    return out.fillna(
-        {
-            "recency_days": 9999,
-            "n_orders": 0,
-            "total_spend": 0.0,
-            "total_qty": 0.0,
-            "total_revenue": 0.0,
-            "target_var": 0,
-        }
-    ).select(
-        "c_custkey",
-        "c_mktsegment",
-        "recency_days",
-        "n_orders",
-        "total_spend",
-        "total_revenue",
-        "total_qty",
-        "target_var",
-    )
+    return customer_feature_mart(customer, orders, lineitem, REF_DATE)
 
 
 # ---------------------------------------------------------------------------

@@ -167,3 +167,54 @@ def test_grid_search_cv(spark, sf_dir):
     assert all(0.0 <= m <= 1.0 for _, m in results)
     assert {"regParam", "maxIter"} <= set(results[0][0])
     assert best.summary.totalIterations <= 10
+
+
+def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """The committed 4-job pipeline (production.py + examples/jobs.yml
+    shape) chains data-cleaning -> feature-engineering -> training ->
+    scoring through the CLI, like the reference's production/ scripts
+    (SURVEY §0 item 6)."""
+    import yaml
+
+    from classification_pyspark_spark.plans.cli import main
+
+    base = tmp_path / "pipe"
+    params = {
+        "clean": str(base / "clean"),
+        "mart": str(base / "mart"),
+        "model": str(base / "model"),
+        "holdout": str(base / "holdout"),
+        "scores": str(base / "scores"),
+        "metrics": str(base / "metrics"),
+    }
+    catalog = {
+        "jobs": [
+            {"name": "data-cleaning", "stages": [{"name": "clean", "tasks": [
+                {"name": "clean-tables", "params": {"sf_dir": sf_dir, "out": params["clean"]}}]}]},
+            {"name": "feature-engineering", "stages": [{"name": "features", "tasks": [
+                {"name": "build-mart", "params": {"inp": params["clean"], "out": params["mart"]}}]}]},
+            {"name": "training", "stages": [{"name": "fit", "tasks": [
+                {"name": "fit-classifier", "params": {"inp": params["mart"],
+                 "model_out": params["model"], "holdout_out": params["holdout"]}}]}]},
+            {"name": "scoring", "stages": [{"name": "score", "tasks": [
+                {"name": "score-and-evaluate", "params": {"model_inp": params["model"],
+                 "holdout_inp": params["holdout"], "scores_out": params["scores"],
+                 "metrics_out": params["metrics"]}}]}]},
+        ]
+    }
+    cat_path = str(tmp_path / "pipeline.yml")
+    with open(cat_path, "w") as f:
+        yaml.safe_dump(catalog, f)
+
+    for job in ("data-cleaning", "feature-engineering", "training", "scoring"):
+        assert main(["run", "-c", cat_path, "-j", job, "--fail-fast"]) == 0, job
+        capsys.readouterr()
+
+    mart = spark.read.parquet(params["mart"])
+    assert mart.count() > 0 and "target_var" in mart.columns
+    scores = spark.read.parquet(params["scores"])
+    assert scores.count() > 0
+    assert set(scores.columns) == {"c_custkey", "y", "pred", "score"}
+    metrics = spark.read.parquet(params["metrics"])
+    row = metrics.first()
+    assert 0.0 <= row["auc_roc"] <= 1.0
