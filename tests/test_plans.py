@@ -218,3 +218,17 @@ def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path, capsys):
     metrics = spark.read.parquet(params["metrics"])
     row = metrics.first()
     assert 0.0 <= row["auc_roc"] <= 1.0
+
+
+def test_examples_catalog_parses_and_lists(capsys):
+    """The committed examples/jobs.yml must stay loadable and name all
+    four pipeline jobs."""
+    import os
+
+    from classification_pyspark_spark.plans.cli import main
+
+    cat = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "jobs.yml")
+    assert main(["list", "-c", cat]) == 0
+    out = capsys.readouterr().out
+    for job in ("data-cleaning", "feature-engineering", "training", "scoring"):
+        assert job in out
