@@ -1073,3 +1073,101 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens") / F.lit(2048.0), 4).alias("fill_ratio"),
         )
     )
+
+
+@query(
+    "decontamination_ngram_overlap",
+    sql=r"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split, unnest(list_distinct(g)) AS gram
+      FROM (
+        SELECT doc_id, split,
+               list_transform(
+                 range(1, greatest(len(toks) - 4, 1) + 1),
+                 i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS g
+        FROM (
+          SELECT doc_id, split,
+                 list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                             t -> len(t) > 0) AS toks
+          FROM split
+        )
+      )
+    ),
+    train_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+    eval_hits AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(t.gram) AS BIGINT) AS n_overlap
+      FROM grams g LEFT JOIN train_grams t ON g.gram = t.gram
+      WHERE g.split = 'test'
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_overlap,
+           ROUND(n_overlap / CAST(n_grams AS DOUBLE), 6) AS contamination_ratio
+    FROM eval_hits
+    WHERE n_overlap > 0
+    ORDER BY contamination_ratio DESC, doc_id
+    """,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination by exact token-5-gram collision — the
+    GPT-3-style check: an eval document sharing 5-grams with the
+    training split is flagged with its contamination ratio. The split
+    is the deterministic md5-hash holdout (``hash_split_expr``), so
+    both engines and any rerun see identical membership.
+
+    Scale shape: one tokenize+explode pass produces (doc, split,
+    distinct gram); the train-side gram set collapses to DISTINCT
+    (vocabulary-bounded, far smaller than the corpus) before the join;
+    eval grams LEFT-join it on gram (AQE broadcasts when it fits,
+    hash-join otherwise) and a doc-keyed agg emits ratios. No pairwise
+    doc x doc work anywhere — collisions aggregate through the gram
+    key, which is what makes exact decontamination tractable at
+    100 TB (pair-based jaccard would be quadratic)."""
+    from .operators.sampling import hash_split_expr
+    from .operators.text import tokens_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", hash_split_expr("doc_id").alias("split")
+    )
+    toks = tokens_expr(F.lower(F.col("text")))
+    five = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        )
+    )
+    grams = d.select("doc_id", "split", F.explode(five).alias("gram"))
+    train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
+    ev = grams.filter(F.col("split") == "test").alias("g")
+    hits = (
+        ev.join(
+            train_grams.select(F.col("gram").alias("tgram")),
+            F.col("g.gram") == F.col("tgram"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("tgram").cast("long").alias("n_overlap"),
+        )
+    )
+    return (
+        hits.filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_grams").cast("double"), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+        .orderBy(F.desc("contamination_ratio"), "doc_id")
+    )
