@@ -224,3 +224,74 @@ def view_purchase_conversions(
         "purchase_ts",
         "value",
     )
+
+
+def maintain_user_stats_view(
+    events: DataFrame,
+    view_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Maintain a per-user (n_events, total_value, last_ts) aggregate
+    view from the stream via ``foreachBatch`` incremental merge — the
+    streaming serving pattern: each micro-batch is aggregated to its
+    partial (count/sum/max are mergeable), full-outer-merged with the
+    current view, and atomically swapped in. Refresh cost is
+    O(batch + view) per trigger, never O(history) — the streaming twin
+    of the batch ``incremental_agg_maintenance`` query.
+
+    The view lives at ``view_path`` as parquet (readable by any batch
+    consumer between triggers); exactly-once delivery comes from the
+    checkpoint + idempotent overwrite-swap per epoch.
+    """
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        part = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        try:
+            cur = spark.read.parquet(view_path)
+        except Exception:
+            cur = None
+        if cur is None:
+            merged = part
+        else:
+            b = part.select(
+                F.col("user_id").alias("b_uid"),
+                F.col("n_events").alias("b_n"),
+                F.col("total_value").alias("b_v"),
+                F.col("last_ts").alias("b_ts"),
+            )
+            merged = (
+                cur.join(b, cur.user_id == b.b_uid, "full_outer")
+                .select(
+                    F.coalesce("user_id", "b_uid").alias("user_id"),
+                    (F.coalesce("n_events", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+                    .cast("long")
+                    .alias("n_events"),
+                    (
+                        F.coalesce("total_value", F.lit(0.0))
+                        + F.coalesce("b_v", F.lit(0.0))
+                    ).alias("total_value"),
+                    F.greatest(
+                        F.coalesce("last_ts", "b_ts"), F.coalesce("b_ts", "last_ts")
+                    ).alias("last_ts"),
+                )
+            )
+        # stage-and-swap: the reader never sees a half-written view
+        staged = view_path.rstrip("/") + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(view_path, ignore_errors=True)
+        shutil.move(staged, view_path)
+
+    (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

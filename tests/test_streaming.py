@@ -114,3 +114,39 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_foreachbatch_view_maintenance_matches_batch(spark, sf_dir, events_dir, tmp_path_factory):
+    """The foreachBatch-maintained per-user view must equal a batch
+    recompute over the full history after the stream drains —
+    mergeable-partials correctness under multi-trigger arrival."""
+    from classification_pyspark_spark.streaming.events import maintain_user_stats_view
+
+    base = tmp_path_factory.mktemp("view_maint")
+    view = str(base / "view")
+    ckpt = str(base / "ckpt")
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    maintain_user_stats_view(stream, view, ckpt)
+
+    got = spark.read.parquet(view)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    assert got.count() == want.count()
+    # counts and max-ts merge exactly; float sums merge to rounding noise
+    diff = (
+        got.alias("g")
+        .join(want.alias("w"), "user_id")
+        .filter(
+            (F.col("g.n_events") != F.col("w.n_events"))
+            | (F.col("g.last_ts") != F.col("w.last_ts"))
+            | (F.abs(F.col("g.total_value") - F.col("w.total_value")) > 1e-6)
+        )
+    )
+    assert diff.count() == 0
