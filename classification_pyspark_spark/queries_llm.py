@@ -1171,3 +1171,66 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("contamination_ratio"), "doc_id")
     )
+
+
+@query(
+    "edit_distance_pairs",
+    sql=r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             substr(trim(lower(text)), 1, 60) AS head,
+             len(list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                             t -> len(t) > 0)) // 40 AS band
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head)
+            <= CAST(0.25 * greatest(len(a.head), len(b.head)) AS BIGINT)
+    ORDER BY id_a, id_b
+    """,
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs on 60-char document
+    heads — the classic fuzzy-matching curation method, completing the
+    dedup family (exact / minhash / simhash / n-gram Jaccard /
+    embedding cosine / edit distance).
+
+    Scale shape: levenshtein is O(m*n) per pair, so the self-join is
+    BLOCKED on (lang, token-count band) — candidates only meet inside
+    a block, bounding pair fan-out like the LSH band join; the 60-char
+    head cap bounds per-pair cost. At 100 TB you'd tighten blocks
+    (band width, simhash prefix) rather than widen the scan — the
+    blocked-join shape is unchanged."""
+    from .operators.text import token_count_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.substring(F.trim(F.lower("text")), 1, 60).alias("head"),
+        F.floor(token_count_expr("text") / 40).cast("long").alias("band"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "lang", "band", F.col("head").alias("ha")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lb"),
+        F.col("band").alias("bb"),
+        F.col("head").alias("hb"),
+    )
+    dist = F.levenshtein("ha", "hb")
+    return (
+        a.join(
+            b,
+            (a.lang == b.lb) & (a.band == b.bb) & (a.id_a < b.id_b),
+        )
+        .filter(
+            dist
+            <= (0.25 * F.greatest(F.length("ha"), F.length("hb"))).cast("long")
+        )
+        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+        .orderBy("id_a", "id_b")
+    )
