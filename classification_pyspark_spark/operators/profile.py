@@ -140,7 +140,10 @@ def health_report(df: DataFrame, subset: Sequence[str] | None = None) -> DataFra
 
 
 def describe_numeric(
-    df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = False,
+    accuracy: int = 1000,
 ) -> DataFrame:
     """Numeric profile, long format, one aggregate pass (parity:
     ``eda.describe_data``, ``eda.py:400-438`` — there via driver-side
@@ -164,8 +167,12 @@ def describe_numeric(
     # preserves whole-stage codegen for them, and the two 1-row
     # results cross-join for free (measured ~1.7x on the approx
     # describe at sf0.1).
+    # accuracy=1000 is the production sketch (error <= 0.1% of rank);
+    # accuracy=2**31-1 makes percentile_approx EXACT (discrete
+    # percentiles), which is how the registered query oracle-checks
+    # this code path against DuckDB quantile_disc.
     fn = "percentile_approx" if approx else "percentile"
-    acc = ", 1000" if approx else ""
+    acc = f", {int(accuracy)}" if approx else ""
     base_aggs, pct_aggs = [], []
     for c in cols:
         base_aggs += [
