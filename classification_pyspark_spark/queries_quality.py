@@ -210,9 +210,10 @@ def token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token frequency-rank (Zipf) profile of the corpus: top-50
     tokens with rank and the Zipf invariant n*rank/max_n (~1 for a
     natural corpus; skew flags boilerplate/duplication). The token
-    explode feeds ONE hash aggregate (vocabulary-sized partials);
-    rank+max run on the tiny vocabulary aggregate, so the top-k is
-    TakeOrdered — no global sort of the token stream."""
+    explode feeds ONE hash aggregate (vocabulary-sized partials); the
+    top-50 is TakeOrderedAndProject over the vocabulary aggregate and
+    only those 50 survivors are ranked — no global sort or window over
+    the vocabulary, which at 100 TB is 1e8+ rows."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
@@ -226,11 +227,14 @@ def token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = counts.agg(F.max("n").alias("max_n"))
     from pyspark.sql import Window
 
-    # vocabulary-sized frame: a global row_number here is a single
-    # partition of ~|vocab| rows (bounded, not corpus-sized); the limit
-    # then keeps 50.
+    # top-k FIRST (TakeOrderedAndProject: each partition forwards only
+    # its local top-50, the driver merges 50) — then rank just the 50
+    # survivors. The rank window is single-partition but bounded by k,
+    # never by vocabulary size (a 100 TB corpus vocabulary is 1e8+
+    # rows; ranking it globally was the round-2 scale flag).
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(50)
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = counts.withColumn("rank", F.row_number().over(w).cast("int"))
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("int"))
     return (
         ranked.join(F.broadcast(mx))
         .select(
@@ -242,7 +246,6 @@ def token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("rank")
-        .limit(50)
     )
 
 

@@ -70,8 +70,8 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     },
     "embedding_centroids": {"single_partition": "centroid-sized (k x dim) merge"},
     "token_zipf": {
-        "single_partition": "vocabulary-sized rank (bounded, not corpus-sized)",
-        "global_window": "same vocabulary frame",
+        "single_partition": "rank of the 50 TakeOrdered survivors (k-bounded)",
+        "global_window": "same 50-row survivor frame",
     },
     "top_bigrams": {
         "single_partition": "vocabulary-sized top-k",
