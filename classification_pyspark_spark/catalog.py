@@ -11,6 +11,7 @@ DataFrame API and ``spark.sql`` can address every table.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,7 +86,9 @@ def spread_for_compute(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     except Exception:
         files = []
     if files:
-        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        max_bytes = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
         total = 0
         for f in files:
             p = f.removeprefix("file:")
@@ -95,7 +98,40 @@ def spread_for_compute(df: DataFrame, min_ratio: int = 2) -> DataFrame:
                 total += max_bytes  # unknown scheme: assume one full split
         est = max(len(files), -(-total // max_bytes))
     else:
-        est = df.rdd.getNumPartitions()
+        # No file list (in-memory / non-file source): assume
+        # under-split. Such frames are parameter-sized in this engine,
+        # so the widening shuffle is cheap; estimating via
+        # df.rdd.getNumPartitions() would force physical planning + an
+        # RDD conversion inside an operator path.
+        est = 1
     if est * min_ratio >= target:
         return df
     return df.repartition(target)
+
+
+_SIZE_SUFFIX = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _parse_byte_size(s: str | int, default: int = 128 << 20) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b',
+    '128m', '1g', ...) into bytes; fall back to ``default`` on any
+    unrecognized rendering rather than crashing the partition
+    estimate."""
+    if isinstance(s, int):
+        return s
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(s))
+    if not m:
+        return default
+    mult = _SIZE_SUFFIX.get(m.group(2).lower())
+    return int(m.group(1)) * mult if mult else default

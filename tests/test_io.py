@@ -49,3 +49,33 @@ def test_register_views_sql(spark, sf_dir):
         "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1"
     )
     assert out.count() == 5
+
+
+def test_parse_byte_size_suffixes():
+    from classification_pyspark_spark.catalog import _parse_byte_size
+
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size("134217728b") == 134217728  # Spark's own rendering
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("128MB") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("garbage") == 128 << 20  # fallback, not a crash
+    assert _parse_byte_size(42) == 42
+
+
+def test_spread_for_compute_suffixed_conf_and_no_rdd_fallback(spark, sf_dir):
+    from classification_pyspark_spark.catalog import load_table, spread_for_compute
+
+    # a size-suffixed session conf must not crash the estimate
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        docs = load_table(spark, sf_dir, "documents")
+        assert spread_for_compute(docs).count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # file-less (in-memory) frames take the assume-under-split path,
+    # never the physical-planning RDD fallback
+    mem = spark.range(10).toDF("x")
+    out = spread_for_compute(mem)
+    assert out.count() == 10
