@@ -26,6 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 _READ_FORMATS = {"parquet", "csv", "json", "delta", "orc"}
 
 
+def _require_delta() -> None:
+    """Delta is an optional dependency (delta-spark + its JVM jars);
+    fail with an actionable message instead of an opaque Spark
+    ClassNotFoundException when it isn't installed."""
+    import importlib.util
+
+    if importlib.util.find_spec("delta") is None:
+        raise ValueError(
+            "format 'delta' requires the optional delta-spark package "
+            "(pip install delta-spark) and a session built with "
+            "delta.DeltaSparkSessionExtension; it is not installed in "
+            "this environment"
+        )
+
+
 def read_data(
     spark: SparkSession,
     paths: str | Sequence[str],
@@ -43,6 +58,8 @@ def read_data(
     """
     if fmt not in _READ_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READ_FORMATS)}")
+    if fmt == "delta":
+        _require_delta()
     reader = spark.read.format(fmt)
     if fmt in ("csv", "json"):
         reader = reader.option("header", header).option("inferSchema", inferschema)
@@ -68,6 +85,8 @@ def save_data(
     ``partition_by`` produces hive-style partitioned layout for
     partition pruning at read time.
     """
+    if fmt == "delta":
+        _require_delta()
     writer = df.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -79,3 +79,24 @@ def test_spread_for_compute_suffixed_conf_and_no_rdd_fallback(spark, sf_dir):
     mem = spark.range(10).toDF("x")
     out = spread_for_compute(mem)
     assert out.count() == 10
+
+
+def test_delta_format_honest_error_or_roundtrip(spark, sf_dir, tmp_path):
+    """The 'delta' format is advertised but optional: without
+    delta-spark it must fail with an actionable ValueError (not an
+    opaque JVM ClassNotFoundException); with it, it must round-trip."""
+    import importlib.util
+
+    import pytest
+
+    from classification_pyspark_spark.sources.io import read_data, save_data
+
+    region = load_table(spark, sf_dir, "region")
+    if importlib.util.find_spec("delta") is None:
+        with pytest.raises(ValueError, match="delta-spark"):
+            save_data(region, str(tmp_path / "region_delta"), fmt="delta")
+        with pytest.raises(ValueError, match="delta-spark"):
+            read_data(spark, str(tmp_path / "region_delta"), fmt="delta")
+    else:  # pragma: no cover - env-dependent branch
+        save_data(region, str(tmp_path / "region_delta"), fmt="delta")
+        assert read_data(spark, str(tmp_path / "region_delta"), fmt="delta").count() == region.count()
