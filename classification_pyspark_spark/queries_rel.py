@@ -892,7 +892,7 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH chg AS (
       SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey
-                  WHEN o_custkey % 89 = 0 THEN o_custkey + 1000000
+                  WHEN o_custkey % 89 = 0 THEN -o_custkey
                   ELSE o_custkey END AS key,
              CASE WHEN o_custkey % 97 = 0 THEN 'D'
                   WHEN o_custkey % 89 = 0 THEN 'I'
@@ -912,8 +912,8 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            c_mktsegment
     FROM m WHERE c_custkey IS NOT NULL AND (op IS NULL OR op = 'U')
     UNION ALL
-    SELECT key, 'Customer#new_' || CAST(key AS VARCHAR),
-           CAST(key % 25 AS INTEGER), ROUND(new_bal, 2), 'NEW'
+    SELECT key, 'Customer#new_' || CAST(abs(key) AS VARCHAR),
+           CAST(abs(key) % 25 AS INTEGER), ROUND(new_bal, 2), 'NEW'
     FROM m WHERE c_custkey IS NULL AND op = 'I'
     """,
 )
@@ -944,9 +944,13 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_totalprice").alias("new_bal"))
         .select(
             # delete takes precedence over insert (k=0 is in both
-            # residue classes), keeping op and key remap consistent
+            # residue classes), keeping op and key remap consistent.
+            # Inserts live in the NEGATIVE key namespace: customer
+            # keys are positive at every scale factor, so an insert
+            # key can never collide with a snapshot key (a fixed
+            # +1000000 offset collided once SF exceeded ~6).
             F.when(k % 97 == 0, k)
-            .when(k % 89 == 0, k + 1000000)
+            .when(k % 89 == 0, -k)
             .otherwise(k)
             .alias("key"),
             F.when(k % 97 == 0, F.lit("D"))
@@ -970,8 +974,8 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inserts = m.filter(F.col("c_custkey").isNull() & (F.col("op") == "I")).select(
         F.col("key").alias("c_custkey"),
-        F.concat(F.lit("Customer#new_"), F.col("key").cast("string")).alias("c_name"),
-        (F.col("key") % 25).cast("int").alias("c_nationkey"),
+        F.concat(F.lit("Customer#new_"), F.abs("key").cast("string")).alias("c_name"),
+        (F.abs("key") % 25).cast("int").alias("c_nationkey"),
         F.round("new_bal", 2).alias("c_acctbal"),
         F.lit("NEW").alias("c_mktsegment"),
     )

@@ -114,18 +114,17 @@ def save_zordered(
     joined = df.crossJoin(F.broadcast(sketch))
     rank_cols = []
     for c in cols:
-        # index of first bound >= value == approx rank bucket in [0, 2^bits)
+        # index of first bound >= value == approx rank bucket in [0, 2^bits).
+        # array_position returns 0 (not NULL) when no bound matches —
+        # i.e. the value exceeds every bound — so map 0 explicitly to
+        # the max bucket instead of relying on -1's two's-complement
+        # low bits happening to interleave like n_buckets-1.
+        pos = F.array_position(
+            F.transform(F.col(f"__bounds_{c}"), lambda b: b >= F.col(c)),
+            True,  # noqa: FBT003 - Spark API positional
+        )
         rank_cols.append(
-            F.coalesce(
-                F.array_position(
-                    F.transform(
-                        F.col(f"__bounds_{c}"), lambda b: b >= F.col(c)
-                    ),
-                    True,  # noqa: FBT003 - Spark API positional
-                )
-                - 1,
-                F.lit(n_buckets - 1),
-            ).alias(f"__rank_{c}")
+            F.when(pos == 0, F.lit(n_buckets - 1)).otherwise(pos - 1).alias(f"__rank_{c}")
         )
     ranked = joined.select("*", *rank_cols)
     # interleave bits: z = sum over bit j, col k of rank_k[j] << (j*K + k)

@@ -240,58 +240,88 @@ def maintain_user_stats_view(
     of the batch ``incremental_agg_maintenance`` query.
 
     The view lives at ``view_path`` as parquet (readable by any batch
-    consumer between triggers); exactly-once delivery comes from the
-    checkpoint + idempotent overwrite-swap per epoch.
+    consumer between triggers). foreachBatch alone is only
+    at-least-once: if the job dies after the swap but before the
+    checkpoint commits, the restarted trigger re-delivers the same
+    epoch. The merge is made effectively-once by recording the last
+    applied epoch_id inside the view directory (an underscore-prefixed
+    marker, invisible to parquet readers) and skipping any epoch that
+    is already applied.
     """
-
-    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        part = batch.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("value").alias("total_value"),
-            F.max("ts").alias("last_ts"),
-        )
-        try:
-            cur = spark.read.parquet(view_path)
-        except Exception:
-            cur = None
-        if cur is None:
-            merged = part
-        else:
-            b = part.select(
-                F.col("user_id").alias("b_uid"),
-                F.col("n_events").alias("b_n"),
-                F.col("total_value").alias("b_v"),
-                F.col("last_ts").alias("b_ts"),
-            )
-            merged = (
-                cur.join(b, cur.user_id == b.b_uid, "full_outer")
-                .select(
-                    F.coalesce("user_id", "b_uid").alias("user_id"),
-                    (F.coalesce("n_events", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
-                    .cast("long")
-                    .alias("n_events"),
-                    (
-                        F.coalesce("total_value", F.lit(0.0))
-                        + F.coalesce("b_v", F.lit(0.0))
-                    ).alias("total_value"),
-                    F.greatest(
-                        F.coalesce("last_ts", "b_ts"), F.coalesce("b_ts", "last_ts")
-                    ).alias("last_ts"),
-                )
-            )
-        # stage-and-swap: the reader never sees a half-written view
-        staged = view_path.rstrip("/") + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        import shutil
-
-        shutil.rmtree(view_path, ignore_errors=True)
-        shutil.move(staged, view_path)
-
     (
-        events.writeStream.foreachBatch(merge_batch)
+        events.writeStream.foreachBatch(
+            lambda batch, epoch_id: merge_stats_batch(batch, epoch_id, view_path)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
+
+
+def _last_applied_epoch(view_path: str) -> int:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(view_path, "_applied_epoch.json")) as f:
+            return int(json.load(f)["epoch_id"])
+    except Exception:
+        return -1
+
+
+def merge_stats_batch(batch: DataFrame, epoch_id: int, view_path: str) -> None:
+    """One foreachBatch merge step of ``maintain_user_stats_view``
+    (module-level so the replay-idempotence contract is directly
+    testable). Skips epochs already recorded in the view's marker."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    if epoch_id <= _last_applied_epoch(view_path):
+        return  # checkpoint replay of an epoch already merged
+    part = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    try:
+        cur = spark.read.parquet(view_path)
+    except Exception:
+        cur = None
+    if cur is None:
+        merged = part
+    else:
+        b = part.select(
+            F.col("user_id").alias("b_uid"),
+            F.col("n_events").alias("b_n"),
+            F.col("total_value").alias("b_v"),
+            F.col("last_ts").alias("b_ts"),
+        )
+        merged = (
+            cur.join(b, cur.user_id == b.b_uid, "full_outer")
+            .select(
+                F.coalesce("user_id", "b_uid").alias("user_id"),
+                (F.coalesce("n_events", F.lit(0)) + F.coalesce("b_n", F.lit(0)))
+                .cast("long")
+                .alias("n_events"),
+                (
+                    F.coalesce("total_value", F.lit(0.0))
+                    + F.coalesce("b_v", F.lit(0.0))
+                ).alias("total_value"),
+                F.greatest(
+                    F.coalesce("last_ts", "b_ts"), F.coalesce("b_ts", "last_ts")
+                ).alias("last_ts"),
+            )
+        )
+    # stage-and-swap: the reader never sees a half-written view.
+    # The applied-epoch marker travels INSIDE the staged dir, so
+    # marker and data swap in atomically together.
+    staged = view_path.rstrip("/") + f".epoch{epoch_id}"
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, "_applied_epoch.json"), "w") as f:
+        json.dump({"epoch_id": int(epoch_id)}, f)
+    import shutil
+
+    shutil.rmtree(view_path, ignore_errors=True)
+    shutil.move(staged, view_path)

@@ -150,3 +150,31 @@ def test_foreachbatch_view_maintenance_matches_batch(spark, sf_dir, events_dir, 
         )
     )
     assert diff.count() == 0
+
+
+def test_foreachbatch_merge_skips_replayed_epoch(spark, sf_dir, tmp_path_factory):
+    """foreachBatch is at-least-once: after a crash between swap and
+    checkpoint commit, the restarted trigger re-delivers the same
+    epoch. The merge must be effectively-once — replaying an applied
+    epoch_id must not double-count."""
+    from classification_pyspark_spark.streaming.events import merge_stats_batch
+
+    base = tmp_path_factory.mktemp("view_replay")
+    view = str(base / "view")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value", "ts")
+        .limit(200)
+    )
+    merge_stats_batch(batch, 0, view)
+    first = {r["user_id"]: (r["n_events"], r["total_value"]) for r in
+             spark.read.parquet(view).collect()}
+
+    merge_stats_batch(batch, 0, view)  # replay of the SAME epoch: no-op
+    replayed = {r["user_id"]: (r["n_events"], r["total_value"]) for r in
+                spark.read.parquet(view).collect()}
+    assert replayed == first
+
+    merge_stats_batch(batch, 1, view)  # a NEW epoch still merges
+    after = {r["user_id"]: r["n_events"] for r in spark.read.parquet(view).collect()}
+    assert after == {u: 2 * n for u, (n, _) in first.items()}
