@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("-c", "--catalog", required=True)
     p_run.add_argument("-j", "--job", required=True)
     p_run.add_argument("--fail-fast", action="store_true")
+    p_run.add_argument(
+        "--track",
+        metavar="RUNS_JSONL",
+        help="append per-task run records (params, status, wall time) to this JSONL file",
+    )
 
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
@@ -48,7 +53,11 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     plan = create_job_plan(spec)
     spark = get_spark(f"job:{plan.name}")
-    results = execute_job(spark, plan, fail_fast=args.fail_fast)
+    from .tracking import create_tracker
+
+    results = execute_job(
+        spark, plan, fail_fast=args.fail_fast, tracker=create_tracker(args.track)
+    )
     failed = [k for k, v in results.items() if not v.success]
     for k, v in results.items():
         print(f"{'OK ' if v.success else 'ERR'} {k}: {v.message}")

@@ -5,7 +5,10 @@ Re-expression of ``job_runner.executor`` / ``task_runner.run_task``
 ``task_runner.py:37-89``): stages run sequentially; each task looks up
 its processor and invokes it with (spark, params). Failures are
 captured as TaskStatus, logged, and do not abort the job (parity with
-the reference's safe-runner), unless ``fail_fast``."""
+the reference's safe-runner), unless ``fail_fast``. Pass a tracker
+(``tracking.create_tracker``) to record per-task run records —
+the tracked-runner parity with ``task_runner.run_tracked_task``
+(``task_runner.py:92-128``)."""
 
 from __future__ import annotations
 
@@ -16,6 +19,7 @@ from pyspark.sql import SparkSession
 
 from .planner import JobPlan
 from .registry import TaskStatus, get_processor
+from .tracking import NullTracker, TaskRunRecord
 
 log = logging.getLogger(__name__)
 
@@ -34,15 +38,52 @@ def run_task(spark: SparkSession, job_name: str, task_name: str, params: dict) -
     return TaskStatus(True, f"ok in {elapsed:.1f}s")
 
 
-def execute_job(spark: SparkSession, plan: JobPlan, fail_fast: bool = False) -> dict[str, TaskStatus]:
-    """Run all stages sequentially; returns {stage/task: status}."""
+def execute_job(
+    spark: SparkSession,
+    plan: JobPlan,
+    fail_fast: bool = False,
+    tracker=None,
+) -> dict[str, TaskStatus]:
+    """Run all stages sequentially; returns {stage/task: status}.
+
+    ``tracker`` (any object with start_job/log_task/end_job, see
+    ``plans.tracking``) receives one run record per task plus a job
+    summary; the default NullTracker records nothing."""
+    import uuid
+
+    tracker = tracker or NullTracker()
     results: dict[str, TaskStatus] = {}
-    for stage in plan.stages:
-        log.info("stage %s (%d tasks)", stage.name, len(stage.tasks))
-        for task in stage.tasks:
-            status = run_task(spark, plan.name, task.name, task.params)
-            results[f"{stage.name}/{task.name}"] = status
-            log.info("  %s/%s -> %s %s", stage.name, task.name, status.success, status.message)
-            if fail_fast and not status.success:
-                return results
-    return results
+    job_t0 = time.perf_counter()
+    tracker.start_job(plan.name)
+    try:
+        for stage in plan.stages:
+            log.info("stage %s (%d tasks)", stage.name, len(stage.tasks))
+            for task in stage.tasks:
+                t0 = time.time()
+                p0 = time.perf_counter()
+                status = run_task(spark, plan.name, task.name, task.params)
+                wall = time.perf_counter() - p0
+                results[f"{stage.name}/{task.name}"] = status
+                tracker.log_task(
+                    TaskRunRecord(
+                        run_id=uuid.uuid4().hex[:12],
+                        job=plan.name,
+                        stage=stage.name,
+                        task=task.name,
+                        params=task.params,
+                        success=status.success,
+                        message=status.message,
+                        wall_s=wall,
+                        started_at=t0,
+                        ended_at=t0 + wall,
+                    )
+                )
+                log.info(
+                    "  %s/%s -> %s %s", stage.name, task.name, status.success, status.message
+                )
+                if fail_fast and not status.success:
+                    return results
+        return results
+    finally:
+        n_failed = sum(1 for v in results.values() if not v.success)
+        tracker.end_job(plan.name, len(results), n_failed, time.perf_counter() - job_t0)

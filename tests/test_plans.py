@@ -206,9 +206,27 @@ def test_production_pipeline_end_to_end(spark, sf_dir, tmp_path, capsys):
     with open(cat_path, "w") as f:
         yaml.safe_dump(catalog, f)
 
+    runs_path = str(tmp_path / "runs.jsonl")
     for job in ("data-cleaning", "feature-engineering", "training", "scoring"):
-        assert main(["run", "-c", cat_path, "-j", job, "--fail-fast"]) == 0, job
+        assert main(["run", "-c", cat_path, "-j", job, "--fail-fast", "--track", runs_path]) == 0, job
         capsys.readouterr()
+
+    # O4 parity: every task of the 4-job pipeline left a tracked run
+    # record (params, status, wall time) plus a job summary line
+    import json
+
+    with open(runs_path) as f:
+        records = [json.loads(line) for line in f]
+    task_runs = [r for r in records if r["kind"] == "task_run"]
+    job_ends = [r for r in records if r["kind"] == "job_end"]
+    assert {r["task"] for r in task_runs} == {
+        "clean-tables", "build-mart", "fit-classifier", "score-and-evaluate"
+    }
+    assert all(r["success"] and r["wall_s"] > 0 and r["params"] for r in task_runs)
+    assert [r["job"] for r in job_ends] == [
+        "data-cleaning", "feature-engineering", "training", "scoring"
+    ]
+    assert all(r["success"] and r["n_failed"] == 0 for r in job_ends)
 
     mart = spark.read.parquet(params["mart"])
     assert mart.count() > 0 and "target_var" in mart.columns
@@ -232,3 +250,49 @@ def test_examples_catalog_parses_and_lists(capsys):
     out = capsys.readouterr().out
     for job in ("data-cleaning", "feature-engineering", "training", "scoring"):
         assert job in out
+
+
+def test_tracker_factory_and_failure_records(spark, tmp_path):
+    """create_tracker driver switch + a failing task still produces a
+    run record with success=False (safe-runner parity)."""
+    import json
+
+    import pytest
+
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.registry import register_processor
+    from classification_pyspark_spark.plans.runner import execute_job
+    from classification_pyspark_spark.plans.tracking import (
+        JsonlTracker,
+        NullTracker,
+        create_tracker,
+        mlflow_available,
+    )
+
+    assert isinstance(create_tracker(None), NullTracker)
+    assert isinstance(create_tracker({"driver": "none"}), NullTracker)
+    assert isinstance(create_tracker(str(tmp_path / "r.jsonl")), JsonlTracker)
+    with pytest.raises(ValueError, match="unknown tracker driver"):
+        create_tracker({"driver": "bogus"})
+    if not mlflow_available():
+        with pytest.raises(ValueError, match="mlflow"):
+            create_tracker({"driver": "mlflow"})
+
+    @register_processor("track-test", "boom")
+    def _boom(spark, params):
+        raise RuntimeError("kaput")
+
+    plan = create_job_plan(
+        {"name": "track-test",
+         "stages": [{"name": "s1", "tasks": [{"name": "boom", "params": {"x": 1}}]}]}
+    )
+    runs = str(tmp_path / "runs.jsonl")
+    results = execute_job(spark, plan, tracker=create_tracker(runs))
+    assert not results["s1/boom"].success
+    records = [json.loads(line) for line in open(runs)]
+    (task_run,) = [r for r in records if r["kind"] == "task_run"]
+    assert task_run["success"] is False
+    assert "RuntimeError" in task_run["message"]
+    assert task_run["params"] == {"x": 1}
+    (job_end,) = [r for r in records if r["kind"] == "job_end"]
+    assert job_end["n_failed"] == 1 and job_end["success"] is False
