@@ -103,12 +103,20 @@ def minhash_signatures(
     )
 
 
+# Hot-bucket guards default ON: a production caller that forgets to
+# think about degenerate boilerplate gets bounded fan-out for free
+# (one band bucket / posting list of k members would emit k*(k-1)/2
+# pairs). Oracle-parity queries opt OUT with an explicit None.
+DEFAULT_MAX_BUCKET_SIZE = 2000
+DEFAULT_MAX_POSTING_SIZE = 2000
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     rows_per_band: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing a minhash BAND (bands of
     ``rows_per_band`` hashes ANDed together, bands ORed — standard LSH
@@ -129,8 +137,9 @@ def minhash_candidate_pairs(
     k*(k-1)/2 pairs — one hot bucket can dwarf the rest of the job.
     Buckets above the cap are dropped from pairing (their members are
     near-certain exact duplicates; route them through the cheap
-    digest-based exact dedup instead). Default None preserves exhaustive
-    pairing for oracle parity at test scale."""
+    digest-based exact dedup instead). The guard is ON by default
+    (``DEFAULT_MAX_BUCKET_SIZE``); pass None for exhaustive pairing
+    (oracle parity at test scale)."""
     sig = minhash_signatures(df, text_col, id_col)
     n_bands = N_MINHASH // rows_per_band
     band_cols = [
@@ -195,7 +204,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 3,
     min_jaccard: float = 0.2,
-    max_posting_size: int | None = None,
+    max_posting_size: int | None = DEFAULT_MAX_POSTING_SIZE,
 ) -> DataFrame:
     """Token-n-gram Jaccard similarity for pairs within a blocking key.
 
@@ -208,8 +217,9 @@ def ngram_jaccard_pairs(
     k^2 rows, and the most common grams ("of the", boilerplate) are
     exactly the least discriminative. Dropping postings longer than
     the cap bounds join fan-out per gram at cap^2 while barely moving
-    Jaccard on real pairs — but it IS an approximation, so the default
-    None keeps exact semantics for oracle parity at test scale.
+    Jaccard on real pairs — but it IS an approximation, so it defaults
+    ON (``DEFAULT_MAX_POSTING_SIZE``) for production safety and oracle
+    queries pass None for exact semantics at test scale.
     NOTE: with a cap, |A| / |B| still count all grams while the
     intersection misses capped grams, so jaccard is a lower bound.
     """

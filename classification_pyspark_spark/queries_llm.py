@@ -210,7 +210,8 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup_fuzzy import minhash_candidate_pairs
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    return minhash_candidate_pairs(d, "text", "doc_id")
+    # oracle parity: exhaustive pairing, hot-bucket guard explicitly off
+    return minhash_candidate_pairs(d, "text", "doc_id", max_bucket_size=None)
 
 
 @query(
@@ -270,7 +271,9 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup_fuzzy import ngram_jaccard_pairs
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    return ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.2)
+    # oracle parity: exact semantics, stop-gram guard explicitly off
+    return ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.2,
+                               max_posting_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -767,7 +770,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.05).select(
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.05,
+                                max_posting_size=None).select(
         "id_a", "id_b"
     )
     clones = pairs.select("id_a").distinct().select(
@@ -896,7 +900,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     pairs = (
-        minhash_candidate_pairs(d, "text", "doc_id", rows_per_band=2)
+        minhash_candidate_pairs(d, "text", "doc_id", rows_per_band=2, max_bucket_size=None)
         .select("id_a", "id_b")
         .distinct()
     )

@@ -290,3 +290,27 @@ def test_ngram_posting_cap_is_lower_bound(spark):
     assert (1, 2) in capped
     for k, v in capped.items():
         assert v <= exact[k] + 1e-9
+
+
+def test_hot_bucket_guards_default_on(spark):
+    """Production posture: a degenerate boilerplate corpus (every doc
+    identical) must complete with BOUNDED pair counts under the
+    default guards — one hot band bucket / posting list would
+    otherwise emit k*(k-1)/2 pairs. Oracle queries opt out with an
+    explicit None."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    k = DEFAULT_MAX_BUCKET_SIZE + 100
+    boiler = spark.range(k).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate footer text appears in every scraped page' AS text",
+        "'en' AS lang",
+    )
+    # every doc lands in the same band bucket (size k > cap) -> dropped
+    assert minhash_candidate_pairs(boiler, "text", "doc_id").count() == 0
+    # every posting list has length k > cap -> stop-gram removal drops all
+    assert ngram_jaccard_pairs(boiler, "text", "doc_id", "lang").count() == 0
