@@ -102,6 +102,30 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "app
     q.awaitTermination()
 
 
+def run_to_files(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    fmt: str = "parquet",
+) -> None:
+    """Drain a streaming frame into a FILE sink with a durable
+    checkpoint, available-now trigger — the production landing-zone →
+    curated-zone hop. Unlike the memory-sink harness, this is the
+    recovery-semantics path: the checkpoint records source offsets +
+    sink commit log, so a stopped job restarted with the same
+    (path, checkpoint) pair resumes from where it left off and each
+    input file lands in the output exactly once."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def running_user_stats(events: DataFrame, timeout_minutes: int | None = None) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a per-user running (count, sum, max) accumulator emitted on every
