@@ -2,10 +2,18 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "baseline_delta": {name: sec/baseline_sec, ...},
+   "regressions": [names over the 2x gate]}
 
 Each query is executed to completion (results drained via a count-style
 action over all columns) but never collected to the driver.
+
+Per-query baselines live in bench_baseline.json (recorded from the
+round-2 driver run at sf0.1); any headline query slower than
+2x its baseline is reported in "regressions" and fails
+tools/bench_gate.py — the BASELINE.md "within 2x" bar as a gate.
+Deltas are only reported when the run matches the baseline's sf.
 """
 
 from __future__ import annotations
@@ -21,9 +29,14 @@ from classification_pyspark_spark.queries import QUERIES  # noqa: E402
 from classification_pyspark_spark.session import get_spark  # noqa: E402
 
 # Headline set: spans scans, multi-way joins, aggregation, window dedup,
-# profiling, windows/sessionization, and the LLM-pipeline extensions
-# (text stats, minhash dedup, embedding kNN + LSH).
+# profiling, windows/sessionization, the heaviest TPC-H shapes (q2/q9/
+# q21 multi-join + EXISTS plans), and the LLM-pipeline extensions
+# (text stats, minhash + n-gram dedup, embedding kNN + LSH).
 HEADLINE = [
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_suppliers_kept_waiting",
+    "ngram_jaccard_pairs",
     "flagship_customer_features",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -92,17 +105,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        if str(out["sf"]) == str(baseline.get("sf")):
+            base_q = baseline.get("queries", {})
+            deltas = {
+                n: round(t / base_q[n], 2) for n, t in timings.items() if base_q.get(n)
             }
-        )
-    )
+            out["baseline_delta"] = deltas
+            out["regressions"] = sorted(n for n, d in deltas.items() if d > 2.0)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

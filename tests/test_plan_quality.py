@@ -114,3 +114,33 @@ def test_every_query_plan_has_no_unexplained_scale_flags(spark, sf_dir):
     import plan_audit
 
     assert plan_audit.audit(sf_dir, spark=spark, skip_eager=True) == 0
+
+
+def test_bench_gate_logic(tmp_path):
+    """The bench regression gate fails on >2x deltas and passes
+    otherwise (pure JSON-level check; the full bench runs per-round)."""
+    import json
+    import subprocess
+    import sys
+
+    ok = tmp_path / "ok.json"
+    ok.write_text(json.dumps(
+        {"queries": {"a": 1.0}, "baseline_delta": {"a": 1.1}, "regressions": []}))
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps(
+        {"queries": {"a": 3.0}, "baseline_delta": {"a": 3.0}, "regressions": ["a"]}))
+    gate = "tools/bench_gate.py"
+    assert subprocess.run([sys.executable, gate, str(ok)]).returncode == 0
+    assert subprocess.run([sys.executable, gate, str(bad)]).returncode == 1
+
+
+def test_bench_baseline_covers_headline():
+    """Every headline query has a recorded per-query baseline, so the
+    2x gate covers the worst-case plans too."""
+    import json
+
+    import bench
+
+    baseline = json.load(open("bench_baseline.json"))
+    missing = [n for n in bench.HEADLINE if n not in baseline["queries"]]
+    assert missing == []
