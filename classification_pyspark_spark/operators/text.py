@@ -226,3 +226,69 @@ def top_ngrams(
     top = counts.orderBy(F.desc("n"), F.asc("gram")).limit(top_k)
     w = Window.orderBy(F.desc("n"), F.asc("gram"))
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select("gram", "n", "rank")
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Word n-grams from a token array (codegen; guards the descending
+    sequence() when the doc is shorter than n)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def distinct_token_ratio_expr(col: Column | str) -> Column:
+    """distinct tokens / tokens — 1.0 means no repeated token; low
+    values flag boilerplate/repetitive docs (Gopher-style repetition
+    filter). Zero-shuffle codegen."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col) if isinstance(col, str) else col)), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def top_gram_fraction_expr(col: Column | str, n: int = 2) -> Column:
+    """Fraction of the doc's n-grams taken by its single most frequent
+    n-gram — the Rae et al. (Gopher) duplicate-n-gram repetition
+    signal, computed WITHOUT any shuffle: sort the doc's gram array
+    (codegen) and fold once, tracking the longest equal run. Cost is
+    O(g log g) per doc locally; nothing leaves the row."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col) if isinstance(col, str) else col)), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    grams = F.array_sort(_word_grams(toks, n))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(grams, zero, step, lambda acc: acc["best"])
+    return F.when(
+        F.size(grams) > 0, best / F.size(grams).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length_expr(col: Column | str) -> Column:
+    """Mean token length (alnum tokens), 0.0 for empty docs."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(col) if isinstance(col, str) else col)), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        F.size(toks) > 0, total / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))

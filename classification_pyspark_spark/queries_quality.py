@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, spread_for_compute
 from .queries import query
 
 
@@ -529,4 +529,167 @@ def pagerank_supplier_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("node").alias("s_suppkey"), F.col("rank").alias("pagerank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style corpus quality; Rae et al. 2021).
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_stats",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                  ELSE []::VARCHAR[] END AS g,
+             t
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+      GROUP BY doc_id, gram
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS best, SUM(c) AS total FROM counts GROUP BY doc_id
+    )
+    SELECT grams.doc_id,
+           ROUND(len(list_distinct(t)) * 1.0 / GREATEST(len(t), 1), 6) AS distinct_token_ratio,
+           ROUND(COALESCE(best * 1.0 / total, 0.0), 6) AS top_bigram_fraction
+    FROM grams LEFT JOIN top ON grams.doc_id = top.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals for corpus curation: distinct-token
+    ratio and the fraction of bigrams taken by the doc's most frequent
+    bigram (the Gopher duplicate-n-gram filter). Both are ZERO-shuffle
+    codegen: the top-bigram multiplicity folds over the doc's sorted
+    gram array inside the row — at 100 TB nothing leaves the
+    executors but (doc_id, two doubles). The oracle recomputes the
+    mode via a per-doc unnest+group in DuckDB."""
+    from .operators.text import distinct_token_ratio_expr, top_gram_fraction_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.round(distinct_token_ratio_expr("text"), 6).alias("distinct_token_ratio"),
+        F.round(top_gram_fraction_expr("text", 2), 6).alias("top_bigram_fraction"),
+    )
+
+
+@query(
+    "gopher_quality_rules",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS t,
+             string_split_regex(trim(lower(text)), '\s+') AS wt
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(wt) AS INT) AS n_words,
+             CASE WHEN len(t) > 0
+                  THEN list_aggregate(list_transform(t, x -> len(x)), 'sum') * 1.0 / len(t)
+                  ELSE 0.0 END AS mwl,
+             len(list_filter(wt, x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+             len(regexp_replace(lower(text), '[0-9a-z\s]', '', 'g')) * 1.0
+               / GREATEST(len(text), 1) AS punct
+      FROM toks
+    )
+    SELECT doc_id, n_words,
+           (n_words BETWEEN 50 AND 100000) AS wc_ok,
+           (mwl BETWEEN 3.0 AND 10.0) AS mwl_ok,
+           (n_stop >= 2) AS stop_ok,
+           (punct <= 0.1) AS punct_ok,
+           ((n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+            AND (n_stop >= 2) AND (punct <= 0.1)) AS passes_gopher
+    FROM s
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (word-count bounds, mean
+    word length 3-10, >=2 stopwords, symbol/punct ratio <= 0.1) as
+    per-doc boolean flags + the conjunction — the standard pre-LLM
+    rule filter, entirely whole-stage-codegen expressions (one scan,
+    no shuffle, no UDF)."""
+    from .operators.text import (
+        mean_word_length_expr,
+        punct_ratio_expr,
+        stopword_count_expr,
+        token_count_expr,
+    )
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    n_words = token_count_expr("text").cast("int")
+    mwl = mean_word_length_expr("text")
+    n_stop = stopword_count_expr("text")
+    punct = punct_ratio_expr("text")
+    wc_ok = n_words.between(50, 100000)
+    mwl_ok = mwl.between(3.0, 10.0)
+    stop_ok = n_stop >= 2
+    punct_ok = punct <= 0.1
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        punct_ok.alias("punct_ok"),
+        (wc_ok & mwl_ok & stop_ok & punct_ok).alias("passes_gopher"),
+    )
+
+
+@query(
+    "domain_mix_weights",
+    sql=r"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share,
+           ROUND(LEAST((1.0 / COUNT(*) OVER ()) / (n_tokens * 1.0 / SUM(n_tokens) OVER ()),
+                       10.0), 4) AS sample_weight
+    FROM per_source
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights for training-data sampling: per-source
+    token counts -> token share -> the per-source sampling weight that
+    flattens the mix to uniform (capped at 10x upsampling). The heavy
+    side is ONE map-side-combined aggregation over the corpus; the
+    share/weight window runs on the source-count frame (|sources|
+    rows). Swap the uniform target for any published mixture vector
+    without touching the scan."""
+    from pyspark.sql import Window
+
+    from .operators.text import token_count_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_expr("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.least((F.lit(1.0) / n_sources) / share, F.lit(10.0)), 4).alias(
+            "sample_weight"
+        ),
     )

@@ -4,6 +4,7 @@ expectation-suite shape."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from classification_pyspark_spark.queries import QUERIES
@@ -196,3 +197,52 @@ def test_cdc_merge_upsert_semantics(spark, sf_dir):
     )
     orig = cust.join(chg_keys, cust.c_custkey == chg_keys.o_custkey, "left_anti")
     assert untouched.exceptAll(orig.select(*untouched.columns)).count() == 0
+
+
+def test_repetition_and_gopher_invariants(spark, sf_dir):
+    """Repetition signals and Gopher flags: bounds + a constructed
+    boilerplate doc scoring as repetitive."""
+    from classification_pyspark_spark.operators.text import (
+        distinct_token_ratio_expr,
+        mean_word_length_expr,
+        top_gram_fraction_expr,
+    )
+
+    probe = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+            (3, "x"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    ).select(
+        "doc_id",
+        distinct_token_ratio_expr("text").alias("dtr"),
+        top_gram_fraction_expr("text").alias("tbf"),
+        mean_word_length_expr("text").alias("mwl"),
+    )
+    rows = {r["doc_id"]: r for r in probe.collect()}
+    # pure boilerplate: 1 distinct token of 6, every bigram identical
+    assert rows[1]["dtr"] == pytest.approx(1 / 6)
+    assert rows[1]["tbf"] == pytest.approx(1.0)
+    # all-distinct doc: ratio 1, every bigram unique
+    assert rows[2]["dtr"] == pytest.approx(1.0)
+    assert rows[2]["tbf"] == pytest.approx(1 / 5)
+    # single-token / empty docs: no bigrams, defined outputs
+    assert rows[3]["tbf"] == 0.0 and rows[4]["tbf"] == 0.0
+    assert rows[4]["mwl"] == 0.0
+
+    from classification_pyspark_spark.queries import QUERIES
+
+    gq = QUERIES["gopher_quality_rules"](spark, sf_dir)
+    agg = gq.agg(
+        F.sum(F.col("passes_gopher").cast("int")).alias("n_pass"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert 0 <= agg["n_pass"] <= agg["n"]
+
+    dm = QUERIES["domain_mix_weights"](spark, sf_dir)
+    rows = dm.collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    assert all(0 < r["sample_weight"] <= 10.0 for r in rows)

@@ -55,6 +55,11 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "duplicate_stats": {"single_partition": "global 1-row aggregate"},
     "woe_iv": {"single_partition": "per-(col,bucket) aggregate, bounded by cardinality"},
     "psi_drift": {"single_partition": "per-bucket aggregate (10 rows)"},
+    "domain_mix_weights": {
+        "single_partition": "share/weight window over the per-source "
+        "aggregate (|sources| rows)",
+        "global_window": "same source-count frame",
+    },
     "knn_bruteforce": {
         "single_partition": "final top-k merge of per-batch survivors "
         "(k x n_queries rows)",
