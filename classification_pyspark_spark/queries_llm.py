@@ -1260,3 +1260,59 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "embedding_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+        (SELECT SUM(CASE WHEN (
+           SELECT SUM(v[j + 1] * SIN(p.p * 1000 + j)) FROM unnest(range(0, {EMB_DIM})) AS u(j)
+         ) > 0 THEN 1 << p.p ELSE 0 END)
+         FROM (SELECT unnest(range(0, 8)) AS p) p) AS bucket
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE {_COS.replace('b.', 'b2.')} >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e2.b, w.label FROM walk w JOIN edges e2 ON e2.a = w.node
+    ),
+    cc AS (SELECT node AS vec_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+    SELECT vec_id, cluster_id, CAST(sz AS BIGINT) AS cluster_size
+    FROM cc JOIN (SELECT cluster_id AS c2, COUNT(*) AS sz FROM cc GROUP BY 1) s
+      ON cc.cluster_id = s.c2
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTERS: LSH-blocked cosine pairs
+    (>= 0.3) closed under transitivity by the same distributed
+    min-label-propagation connected components that serves the text
+    pipeline (``operators/graph.py``) — the semantic-dedup composition
+    for multimodal corpora, where near-dups chain (A~B~C) and a pair
+    list alone over-keeps. Output: every clustered vector with its
+    canonical id and cluster size. Oracle: recursive-CTE label walk."""
+    from .operators.graph import connected_components
+    from .operators.similarity import cosine_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(e, "vec_id", "embedding", EMB_DIM, min_cosine=0.3).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("vertex").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )

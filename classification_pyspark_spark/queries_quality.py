@@ -693,3 +693,51 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_weight"
         ),
     )
+
+
+@query(
+    "adaptive_quality_threshold",
+    sql=r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        ROUND(0.4 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+            + 0.3 * (1.0 - len(regexp_replace(lower(text), '[0-9a-z\s]', '', 'g')) * 1.0
+                           / GREATEST(len(text), 1))
+            + 0.3 * LEAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t IN ('the','a','of','and','to','in','is','it')))
+                     / GREATEST(len(string_split_regex(trim(text), '\s+')), 1) / 0.10, 1.0),
+          8) AS q
+      FROM documents
+    ),
+    cutoffs AS (
+      SELECT lang, quantile_disc(q, 0.25) AS lang_q25 FROM scored GROUP BY lang
+    )
+    SELECT scored.doc_id, scored.lang, q, lang_q25,
+           (q >= lang_q25) AS keep
+    FROM scored JOIN cutoffs ON scored.lang = cutoffs.lang
+    """,
+)
+def adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language quality cutoff: each language keeps docs
+    at or above its own 25th-percentile quality score — the curation
+    pattern when one global threshold would gut low-resource
+    languages. The cutoff uses the EXACT discrete percentile
+    (percentile_approx at accuracy 2^31-1 == DuckDB quantile_disc, an
+    actual data value, so the >= comparison is bit-stable across
+    engines); the per-language cutoff frame is |langs| rows and
+    broadcasts back onto the scored scan. At-scale swap: accuracy 1000
+    sketch, same call shape."""
+    from .operators.text import quality_score_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    scored = d.select("doc_id", "lang", quality_score_expr("text").alias("q"))
+    cutoffs = scored.groupBy("lang").agg(
+        F.expr("percentile_approx(q, 0.25, 2147483647)").alias("lang_q25")
+    )
+    return scored.join(F.broadcast(cutoffs), "lang").select(
+        "doc_id",
+        "lang",
+        "q",
+        "lang_q25",
+        (F.col("q") >= F.col("lang_q25")).alias("keep"),
+    )
