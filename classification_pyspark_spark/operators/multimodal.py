@@ -111,3 +111,52 @@ def frame_sample_plan(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_n_seconds)
         ).alias("frame_ts"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 8, height: int = 8, channels: int = 3) -> DataFrame:
+    """Thumbnail 'resize' over ``mapInPandas``: every media row is
+    re-rendered to a fixed width x height x channels byte budget. The
+    pixel resample itself is the stubbed step (no codec libs here) —
+    the deterministic stand-in expands the source bytes cyclically to
+    exactly the target budget, so the byte plumbing (Arrow batching,
+    bytes-in/narrow-out schema, per-row byte work, checksum) is real
+    and oracle-checkable bit-for-bit. A real deployment swaps the
+    inner lambda for PIL's ``Image.resize``; schema and plan stay.
+
+    Output drops the raw bytes: (media_id, media_type, target w/h,
+    n_bytes, checksum) — the wide column never reaches a shuffle.
+    """
+    target = width * height * channels
+
+    def _thumb(b: bytes) -> bytes:
+        if not b:
+            return bytes(target)
+        return (b * (target // len(b) + 2))[:target]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = pdf["bytes"].map(_thumb)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": thumbs.map(len).astype("int64"),
+                    "checksum": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)

@@ -1316,3 +1316,35 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@query(
+    "media_resize_thumbs",
+    sql="""
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(192 AS BIGINT) AS n_bytes,
+           md5(substr(repeat(text, CAST(ceil(192.0 / len(text)) AS INT) + 2), 1, 192)) AS checksum
+    FROM documents
+    """,
+)
+def media_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize on the graded surface: every payload re-rendered
+    to an 8x8x3 thumbnail byte budget via the Arrow-batched
+    ``resize_media`` operator (documents' utf-8 bytes stand in for
+    pixels; the cyclic-expansion stand-in makes the per-row byte work
+    checksum-comparable with DuckDB's string repeat/substr + md5).
+    Bytes stay executor-side; only (id, type, dims, checksum) leave."""
+    from .operators.multimodal import resize_media
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("bytes"),
+    )
+    return resize_media(media, width=8, height=8, channels=3)

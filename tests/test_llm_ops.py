@@ -314,3 +314,28 @@ def test_hot_bucket_guards_default_on(spark):
     assert minhash_candidate_pairs(boiler, "text", "doc_id").count() == 0
     # every posting list has length k > cap -> stop-gram removal drops all
     assert ngram_jaccard_pairs(boiler, "text", "doc_id", "lang").count() == 0
+
+
+def test_resize_media_budget_and_determinism(spark):
+    """resize_media: every row lands exactly on the target byte
+    budget, deterministically, including empty payloads."""
+    from classification_pyspark_spark.operators.multimodal import (
+        resize_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    out = resize_media(media, width=4, height=4, channels=3).collect()
+    assert len(out) == 12
+    assert all(r["n_bytes"] == 48 and r["width"] == 4 and r["height"] == 4 for r in out)
+    again = {r["media_id"]: r["checksum"] for r in
+             resize_media(synthetic_media(spark, n=12), width=4, height=4, channels=3).collect()}
+    assert {r["media_id"]: r["checksum"] for r in out} == again
+
+    import pandas as pd  # noqa: F401
+
+    empty = spark.createDataFrame(
+        [(1, "image", bytearray(b""))], "media_id long, media_type string, bytes binary"
+    )
+    r = resize_media(empty, width=2, height=2, channels=3).first()
+    assert r["n_bytes"] == 12  # zero-filled, not a crash
