@@ -483,10 +483,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the part's best price. The correlated MIN becomes a per-part
     aggregate of the (part, supplier) offer frame joined back on
     (part, price) equality — prices are exact decimals, so the
-    equality is portable. Offer building is the only fact shuffle;
-    everything downstream is supplier-sized."""
+    equality is portable.
+
+    Scale shape: the p_size predicate (~2% of parts) broadcast-
+    semi-joins the fact scan BEFORE the offer aggregation, so the one
+    fact shuffle carries only qualifying parts' rows (~50x less than
+    aggregating all offers first); the offer frame is then consumed
+    twice (per-part best + join-back) while dim joins broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    offers = li.groupBy(
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25).select(
+        "p_partkey", "p_name"
+    )
+    li25 = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    offers = li25.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.min(_rev_expr()).alias("min_price"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
@@ -497,9 +508,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pk", "sk", "min_price", "s_name", "s_acctbal", "n_name")
     )
     best = eu.groupBy(F.col("pk").alias("bpk")).agg(F.min("min_price").alias("best"))
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 25).select(
-        "p_partkey", "p_name"
-    )
     return (
         eu.join(best, (eu.pk == best.bpk) & (eu.min_price == best.best))
         .join(F.broadcast(p), eu.pk == p.p_partkey)
