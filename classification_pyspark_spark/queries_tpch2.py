@@ -344,17 +344,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     of Brand#5 small parts were not taken. The correlated AVG
     subquery becomes a per-part aggregate broadcast-joined back to
     the fact (quantities are integral doubles, so the AVG is exact
-    and the 0.2*avg threshold is engine-portable)."""
+    and the 0.2*avg threshold is engine-portable).
+
+    Scale shape: the part predicate broadcast-semi-joins the fact scan
+    BEFORE the per-part AVG — the average is per part key, so
+    restricting to qualifying parts keeps whole groups and the same
+    averages while the aggregation shuffle carries only qualifying
+    rows (the q2 pushdown pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 15)
     ).select("p_partkey")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    li_q = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"), "left_semi")
+    avg_qty = li_q.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.avg("l_quantity").alias("aq")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(avg_qty, li.l_partkey == avg_qty.pk)
+        li_q.join(avg_qty, li_q.l_partkey == avg_qty.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
         .agg(
             F.round(
