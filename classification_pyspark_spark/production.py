@@ -133,3 +133,69 @@ def score_and_evaluate(spark: SparkSession, params: dict) -> TaskStatus:
     auc = auc_roc(scored, "y", "score")
     metrics.crossJoin(auc).write.mode("overwrite").parquet(params["metrics_out"])
     return TaskStatus(True, f"scores -> {params['scores_out']}")
+
+
+@register_processor("corpus-curation", "curate-documents")
+def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
+    """The LLM-corpus curation job (north-star extension; no reference
+    twin): language filter + Gopher quality rules + exact dedup +
+    minhash near-dup removal -> curated parquet + a per-source drop
+    report.
+
+    Production posture: the fuzzy-pair stage runs with the hot-bucket
+    guard ON (``max_bucket_size`` defaults in ``dedup_fuzzy``), so a
+    boilerplate-heavy drop never fans out k^2 pairs; exact dups go
+    through the cheap digest path first so the guard's drop-the-bucket
+    semantics only ever see already-exact-deduped docs.
+    """
+    from pyspark.sql import Window
+
+    from .operators.dedup_fuzzy import minhash_candidate_pairs
+    from .operators.text import langid_expr, quality_score_expr
+
+    sf_dir = params["sf_dir"]
+    out = params["out"]
+    report_out = params.get("report_out")
+    min_quality = float(params.get("min_quality", 0.65))
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
+    flagged = d.select(
+        "*",
+        langid_expr("text").alias("__lg"),
+        quality_score_expr("text").alias("__q"),
+        F.md5("text").alias("__digest"),
+    )
+    kept = flagged.filter((F.col("__lg") == F.col("lang")) & (F.col("__q") >= min_quality))
+    # exact dedup first (digest window, keep lowest doc_id) ...
+    rn = F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
+    exact = kept.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    # ... then near-dup removal: guarded banded pairs -> drop the
+    # higher doc_id of each candidate pair (transitive chains collapse
+    # to the minimum via iterating members, which pair lists cover at
+    # one hop; full chaining lives in dedup_clusters/graph)
+    pairs = minhash_candidate_pairs(exact, "text", "doc_id")  # guard ON by default
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = exact.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "text", "source", "lang", F.col("__q").alias("quality")
+    )
+    curated.write.mode("overwrite").parquet(out)
+    if report_out:
+        report = (
+            flagged.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("__lg") != F.col("lang"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_dropped_lang"),
+                F.sum(
+                    F.when(
+                        (F.col("__lg") == F.col("lang")) & (F.col("__q") < min_quality), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_dropped_quality"),
+            )
+        )
+        report.write.mode("overwrite").parquet(report_out)
+    n = curated.count()
+    return TaskStatus(True, f"{n} curated docs")

@@ -296,3 +296,30 @@ def test_tracker_factory_and_failure_records(spark, tmp_path):
     assert task_run["params"] == {"x": 1}
     (job_end,) = [r for r in records if r["kind"] == "job_end"]
     assert job_end["n_failed"] == 1 and job_end["success"] is False
+
+
+def test_corpus_curation_job(spark, sf_dir, tmp_path):
+    """The corpus-curation production job runs through the orchestrator
+    with the hot-bucket guards on, writing curated docs + drop report."""
+    from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    out = str(tmp_path / "curated")
+    report = str(tmp_path / "report")
+    plan = create_job_plan(
+        {"name": "corpus-curation",
+         "stages": [{"name": "curate", "tasks": [
+             {"name": "curate-documents",
+              "params": {"sf_dir": sf_dir, "out": out, "report_out": report}}]}]}
+    )
+    results = execute_job(spark, plan)
+    assert all(v.success for v in results.values()), results
+    curated = spark.read.parquet(out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert 0 < curated.count() <= docs.count()
+    # curated output is exact-dedup clean
+    assert curated.groupBy("text").count().filter("count > 1").count() == 0
+    rep = spark.read.parquet(report)
+    assert rep.count() == docs.select("source").distinct().count()
+    assert {"n_docs", "n_dropped_lang", "n_dropped_quality"} <= set(rep.columns)
