@@ -128,3 +128,42 @@ def test_money_cents_sum_exact(spark, cents_vals):
     ).first()
     assert got["fixed"] == got["dec"]
     assert got["fixed"] == pytest.approx(sum(cents_vals) / 100.0, abs=0)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_exprs_match_python_reference(spark, texts):
+    """distinct_token_ratio / top_gram_fraction agree with a pure-Python
+    recomputation on arbitrary low-alphabet docs (the high-collision
+    regime where the sorted-array run-length fold is most stressed)."""
+    import re as _re
+    from collections import Counter
+
+    from classification_pyspark_spark.operators.text import (
+        distinct_token_ratio_expr,
+        top_gram_fraction_expr,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dtr, r.tbf)
+        for r in df.select(
+            "doc_id",
+            distinct_token_ratio_expr("text").alias("dtr"),
+            top_gram_fraction_expr("text").alias("tbf"),
+        ).collect()
+    }
+    for i, t in rows:
+        toks = [x for x in _re.split(r"[^0-9a-z]+", t.strip().lower()) if x]
+        want_dtr = len(set(toks)) / max(len(toks), 1)
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        want_tbf = max(Counter(grams).values()) / len(grams) if grams else 0.0
+        assert got[i][0] == pytest.approx(want_dtr)
+        assert got[i][1] == pytest.approx(want_tbf)
