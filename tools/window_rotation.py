@@ -1,0 +1,55 @@
+"""Driver-window rotation helper.
+
+The driver's correctness harness samples the first 50 registry entries
+(see ``queries.DRIVER_WINDOW``). This tool reads every
+``CORRECTNESS_r*.json`` in the repo root and reports which
+oracle-checked queries have NEVER had a driver row — the rotation
+candidates for next round's window.
+
+Usage: python tools/window_rotation.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from classification_pyspark_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    seen: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("err") is None and row.get("hash_match"):
+                    seen.setdefault(name, rnd)
+    never = [n for n in QUERIES if n in ORACLES and n not in seen]
+    rows_only = [n for n in QUERIES if n not in ORACLES]
+    in_window_already_green = [n for n in DRIVER_WINDOW if n in seen]
+
+    print(f"registry: {len(QUERIES)} queries, {len(ORACLES)} oracle-checked")
+    print(f"driver-green somewhere: {len(seen)}")
+    print(f"\nnever driver-checked (rotation candidates, {len(never)}):")
+    for n in never:
+        marker = "  [in current window]" if n in DRIVER_WINDOW else ""
+        print(f"  {n}{marker}")
+    print(f"\nrows-only by design ({len(rows_only)}): {rows_only}")
+    print(
+        f"\ncurrent window slots already green in a prior round "
+        f"({len(in_window_already_green)}): rotate these out next"
+    )
+    for n in in_window_already_green:
+        print(f"  {n} (green in {seen[n]})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
