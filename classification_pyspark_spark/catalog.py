@@ -73,6 +73,14 @@ def spread_for_compute(df: DataFrame, min_ratio: int = 2) -> DataFrame:
     shuffle is added; locally it converts single-threaded md5/tokenize
     stages into full-width ones for the cost of shuffling the raw rows
     once.
+
+    Contract: intended for FILE-backed frames (everything in this
+    engine loads from parquet). A frame with no inputFiles() — pure
+    in-memory / non-file source — is assumed under-split and gets the
+    widening repartition unconditionally; such frames are
+    parameter-sized here, and estimating their split count would force
+    physical planning (the df.rdd fallback this replaced). Don't route
+    large well-partitioned non-file frames through this helper.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism

@@ -135,6 +135,12 @@ def resize_media(df: DataFrame, width: int = 8, height: int = 8, channels: int =
     and oracle-checkable bit-for-bit. A real deployment swaps the
     inner lambda for PIL's ``Image.resize``; schema and plan stay.
 
+    The checksum hashes the LOWERCASE HEX rendering of the thumb
+    bytes (not the raw bytes): DuckDB's md5 only accepts VARCHAR, and
+    hex is the byte-exact string rendering both engines agree on for
+    arbitrary (non-UTF8) payloads — char-domain string ops on raw
+    bytes would diverge on any multi-byte character.
+
     Output drops the raw bytes: (media_id, media_type, target w/h,
     n_bytes, checksum) — the wide column never reaches a shuffle.
     """
@@ -155,7 +161,9 @@ def resize_media(df: DataFrame, width: int = 8, height: int = 8, channels: int =
                     "width": width,
                     "height": height,
                     "n_bytes": thumbs.map(len).astype("int64"),
-                    "checksum": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "checksum": thumbs.map(
+                        lambda b: hashlib.md5(b.hex().encode()).hexdigest()
+                    ),
                 }
             )
 

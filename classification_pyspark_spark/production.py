@@ -179,6 +179,10 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
         "doc_id", "text", "source", "lang", F.col("__q").alias("quality")
     )
     curated.write.mode("overwrite").parquet(out)
+    # count from the written files (footer metadata), NOT from
+    # `curated` — that lineage would re-run the whole scoring +
+    # minhash pair join a second time just for the status message
+    n = spark.read.parquet(out).count()
     if report_out:
         report = (
             flagged.groupBy("source")
@@ -197,5 +201,4 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
             )
         )
         report.write.mode("overwrite").parquet(report_out)
-    n = curated.count()
     return TaskStatus(True, f"{n} curated docs")

@@ -1325,7 +1325,9 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
            CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
            CAST(192 AS BIGINT) AS n_bytes,
-           md5(substr(repeat(text, CAST(ceil(192.0 / len(text)) AS INT) + 2), 1, 192)) AS checksum
+           md5(substring(repeat(lower(to_hex(encode(text))),
+                                CAST(ceil(192.0 / octet_length(encode(text))) AS INT) + 2),
+                         1, 384)) AS checksum
     FROM documents
     """,
 )
@@ -1333,9 +1335,11 @@ def media_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media resize on the graded surface: every payload re-rendered
     to an 8x8x3 thumbnail byte budget via the Arrow-batched
     ``resize_media`` operator (documents' utf-8 bytes stand in for
-    pixels; the cyclic-expansion stand-in makes the per-row byte work
-    checksum-comparable with DuckDB's string repeat/substr + md5).
-    Bytes stay executor-side; only (id, type, dims, checksum) leave."""
+    pixels). The checksum compares in the HEX domain — repeat/truncate
+    commute with hex encoding (384 hex chars == 192 bytes), so the
+    oracle is byte-exact even for multi-byte characters, where a
+    char-domain repeat/substr would diverge. Bytes stay executor-side;
+    only (id, type, dims, checksum) leave."""
     from .operators.multimodal import resize_media
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))

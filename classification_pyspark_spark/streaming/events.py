@@ -274,7 +274,9 @@ def maintain_user_stats_view(
     """
     (
         events.writeStream.foreachBatch(
-            lambda batch, epoch_id: merge_stats_batch(batch, epoch_id, view_path)
+            lambda batch, epoch_id: merge_stats_batch(
+                batch, epoch_id, view_path, checkpoint_tag=checkpoint_path
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
@@ -283,36 +285,67 @@ def maintain_user_stats_view(
     )
 
 
-def _last_applied_epoch(view_path: str) -> int:
+def _read_marker(view_path: str) -> dict | None:
+    """Applied-epoch marker, preferring the live view dir; falls back
+    to the ``.old`` dir so a crash mid-swap never loses the marker."""
     import json
     import os
 
-    try:
-        with open(os.path.join(view_path, "_applied_epoch.json")) as f:
-            return int(json.load(f)["epoch_id"])
-    except Exception:
-        return -1
+    for d in (view_path, view_path.rstrip("/") + ".old"):
+        try:
+            with open(os.path.join(d, "_applied_epoch.json")) as f:
+                return json.load(f)
+        except Exception:
+            continue
+    return None
 
 
-def merge_stats_batch(batch: DataFrame, epoch_id: int, view_path: str) -> None:
+def _read_stats_view(spark, view_path: str):
+    """Current view frame, falling back to the ``.old`` dir (present
+    only if a previous merge crashed between its two swap renames)."""
+    for d in (view_path, view_path.rstrip("/") + ".old"):
+        try:
+            return spark.read.parquet(d)
+        except Exception:
+            continue
+    return None
+
+
+def merge_stats_batch(
+    batch: DataFrame, epoch_id: int, view_path: str, checkpoint_tag: str | None = None
+) -> None:
     """One foreachBatch merge step of ``maintain_user_stats_view``
     (module-level so the replay-idempotence contract is directly
-    testable). Skips epochs already recorded in the view's marker."""
+    testable). Skips epochs already recorded in the view's marker.
+
+    ``checkpoint_tag`` (the stream's checkpoint location) is stored in
+    the marker: epoch ids are only monotonic WITHIN one checkpoint, so
+    a marker from a different checkpoint means the operator reset the
+    checkpoint while keeping the view — silently continuing would
+    either drop new epochs (ids restart at 0) or double-merge
+    re-delivered history, so that state is refused loudly."""
     import json
     import os
 
     spark = batch.sparkSession
-    if epoch_id <= _last_applied_epoch(view_path):
-        return  # checkpoint replay of an epoch already merged
+    marker = _read_marker(view_path)
+    if marker is not None:
+        prior_tag = marker.get("checkpoint")
+        if checkpoint_tag is not None and prior_tag is not None and prior_tag != checkpoint_tag:
+            raise RuntimeError(
+                f"view at {view_path!r} was built by checkpoint {prior_tag!r} but this "
+                f"stream uses {checkpoint_tag!r}; epoch ids are not comparable across "
+                "checkpoints. Restore the original checkpoint or delete the view to "
+                "rebuild from scratch."
+            )
+        if epoch_id <= int(marker.get("epoch_id", -1)):
+            return  # checkpoint replay of an epoch already merged
     part = batch.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("value").alias("total_value"),
         F.max("ts").alias("last_ts"),
     )
-    try:
-        cur = spark.read.parquet(view_path)
-    except Exception:
-        cur = None
+    cur = _read_stats_view(spark, view_path)
     if cur is None:
         merged = part
     else:
@@ -338,14 +371,21 @@ def merge_stats_batch(batch: DataFrame, epoch_id: int, view_path: str) -> None:
                 ).alias("last_ts"),
             )
         )
-    # stage-and-swap: the reader never sees a half-written view.
-    # The applied-epoch marker travels INSIDE the staged dir, so
-    # marker and data swap in atomically together.
+    # stage-and-swap via two renames with a .old safety copy: the
+    # marker travels INSIDE the staged dir so data+marker move
+    # together, and the previous view is renamed aside (not deleted)
+    # before the staged dir moves in — a crash at ANY point leaves the
+    # accumulated state recoverable (readers and the marker fall back
+    # to .old while the live dir is briefly absent).
     staged = view_path.rstrip("/") + f".epoch{epoch_id}"
+    old = view_path.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(staged)
     with open(os.path.join(staged, "_applied_epoch.json"), "w") as f:
-        json.dump({"epoch_id": int(epoch_id)}, f)
+        json.dump({"epoch_id": int(epoch_id), "checkpoint": checkpoint_tag}, f)
     import shutil
 
-    shutil.rmtree(view_path, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(view_path):
+        shutil.move(view_path, old)
     shutil.move(staged, view_path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -235,3 +235,44 @@ def test_file_sink_checkpoint_restart_resumes(spark, sf_dir, tmp_path_factory):
         == events.groupBy("event_id").count().filter("count > 1").count()
     )
     assert got.count() > n_wave1
+
+
+def test_foreachbatch_merge_survives_crash_mid_swap(spark, sf_dir, tmp_path_factory):
+    """A crash between the swap's two renames leaves the view dir
+    absent and the previous state in .old; the next merge must recover
+    that state instead of rebuilding from the current batch alone."""
+    import os
+
+    from classification_pyspark_spark.streaming.events import merge_stats_batch
+
+    base = tmp_path_factory.mktemp("view_crash")
+    view = str(base / "view")
+    batch = load_table(spark, sf_dir, "events").select("user_id", "value", "ts").limit(200)
+    merge_stats_batch(batch, 0, view)
+
+    # simulate the crash window: view renamed aside, replacement never landed
+    shutil.move(view, view + ".old")
+    assert not os.path.exists(view)
+
+    merge_stats_batch(batch, 1, view)  # must merge WITH the .old state
+    after = {r["user_id"]: r["n_events"] for r in spark.read.parquet(view).collect()}
+    per_user = {r["user_id"]: r["n"] for r in
+                batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert after == {u: 2 * n for u, n in per_user.items()}
+    assert not os.path.exists(view + ".old")  # cleaned after a successful swap
+
+
+def test_foreachbatch_merge_refuses_foreign_checkpoint(spark, sf_dir, tmp_path_factory):
+    """Epoch ids are only monotonic within one checkpoint: a view built
+    under checkpoint A must refuse merges tagged with checkpoint B
+    (silently continuing would drop or double-merge batches)."""
+    import pytest
+
+    from classification_pyspark_spark.streaming.events import merge_stats_batch
+
+    base = tmp_path_factory.mktemp("view_ckpt")
+    view = str(base / "view")
+    batch = load_table(spark, sf_dir, "events").select("user_id", "value", "ts").limit(50)
+    merge_stats_batch(batch, 0, view, checkpoint_tag="ckpt-A")
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        merge_stats_batch(batch, 0, view, checkpoint_tag="ckpt-B")
