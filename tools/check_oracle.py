@@ -42,8 +42,18 @@ def frame_key(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    # --window: replicate exactly what the driver samples (the first
+    # 50 registry entries, i.e. queries.DRIVER_WINDOW)
+    window_only = "--window" in args
+    if window_only:
+        args.remove("--window")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if window_only:
+        from classification_pyspark_spark.queries import DRIVER_WINDOW
+
+        only = set(DRIVER_WINDOW) | only
     spark = get_spark("oracle-check")
 
     def fresh_con():
