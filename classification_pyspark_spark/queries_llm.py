@@ -1352,3 +1352,85 @@ def media_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("bytes"),
     )
     return resize_media(media, width=8, height=8, channels=3)
+
+
+@query(
+    "training_export",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                             t -> len(t) > 0)) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, unnest(range(0, n, 40)) AS start, n
+      FROM toks WHERE n > 0
+    ),
+    c2 AS (
+      SELECT doc_id,
+             CAST(start / 40 AS BIGINT) AS chunk_idx,
+             CAST(LEAST(40, n - start) AS BIGINT) AS n_tokens,
+             doc_id * 1000 + start / 40 AS ord
+      FROM chunks
+    ),
+    cum AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY ord
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_t
+      FROM c2
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(floor((cum_t - 1) / 256) AS BIGINT) AS pack_id,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                     % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM cum
+    """,
+)
+def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-of-pipeline export a pre-training run consumes:
+    chunk every doc into 40-token context windows, pack the chunks (in
+    stable (doc_id, chunk) order) into 256-token training sequences
+    via the distributed global running total, and stamp each chunk
+    with its reproducible md5-bucket train/test split — chunking,
+    packing, and splitting composed in ONE dataflow.
+
+    Scale shape: chunk fan-out is a sequence-explode (zero shuffle);
+    the running total is ``windows.global_cumsum`` (range partition +
+    broadcast prefix offsets — never a single-partition window); the
+    split is a pure hash of doc_id. One range shuffle total; chunk
+    TEXT is never materialized — only counts flow."""
+    from .operators.sampling import hash_split_expr
+    from .operators.windows import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    n = F.size(toks)
+    chunks = (
+        d.select("doc_id", n.alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(40))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / 40).cast("long").alias("chunk_idx"),
+            F.least(F.lit(40), F.col("n") - F.col("start")).cast("long").alias("n_tokens"),
+            (F.col("doc_id") * 1000 + (F.col("start") / 40).cast("long")).alias("ord"),
+        )
+    )
+    cum = global_cumsum(chunks, "ord", ["n_tokens"])
+    return cum.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.floor((F.col("cum_n_tokens") - 1) / 256).cast("long").alias("pack_id"),
+        hash_split_expr("doc_id", train_pct=90).alias("split"),
+    )
