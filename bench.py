@@ -65,6 +65,8 @@ HEADLINE = [
     "sequence_packing",
     "corpus_curation",
     "embedding_centroids",
+    "repetition_stats",
+    "training_export",
 ]
 
 
