@@ -357,6 +357,68 @@ def outlier_summary(
     return rows.select("s.*")
 
 
+def boxplot_stats(
+    df: DataFrame, cols: Sequence[str] | None = None, iqr_k: float = 1.5
+) -> DataFrame:
+    """Per-column box-and-whisker statistics — the aggregate data behind
+    the reference's distribution plots (``eda.density_plots``,
+    ``eda.py:509-524`` and the outlier boxes in ``eda.get_outliers``,
+    ``eda.py:310-362``): quartiles, Tukey whiskers (the most extreme
+    values still inside q1/q3 ± k·IQR), and per-side outlier counts.
+
+    Scale shape: one exact-percentile aggregate (parameter-sized driver
+    row, like ``outlier_summary``) followed by ONE conditional-aggregate
+    pass computing all whiskers and counts for all columns together —
+    never a per-column job loop, never a collect of data rows.
+
+    Output: (column, q1, median, q3, whisker_low, whisker_high,
+    n_outlier_low, n_outlier_high).
+    """
+    cols = list(cols or list_numerical_columns(df))
+    b = (
+        df.agg(
+            *[F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}") for c in cols],
+            *[F.expr(f"percentile({c}, 0.5)").alias(f"__md_{c}") for c in cols],
+            *[F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}") for c in cols],
+        )
+        .first()
+        .asDict()
+    )
+    exprs, structs = [], []
+    for c in cols:
+        q1, md, q3 = b[f"__q1_{c}"], b[f"__md_{c}"], b[f"__q3_{c}"]
+        iqr = q3 - q1
+        lo, hi = q1 - iqr_k * iqr, q3 + iqr_k * iqr
+        exprs += [
+            F.min(F.when(F.col(c) >= lo, F.col(c))).alias(f"__wl_{c}"),
+            F.max(F.when(F.col(c) <= hi, F.col(c))).alias(f"__wh_{c}"),
+            F.count(F.when(F.col(c) < lo, 1)).cast("long").alias(f"__nl_{c}"),
+            F.count(F.when(F.col(c) > hi, 1)).cast("long").alias(f"__nh_{c}"),
+        ]
+        structs.append((c, q1, md, q3))
+    counts = df.agg(*exprs)
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.round(F.lit(q1), 4).alias("q1"),
+                        F.round(F.lit(md), 4).alias("median"),
+                        F.round(F.lit(q3), 4).alias("q3"),
+                        F.round(F.col(f"__wl_{c}"), 4).alias("whisker_low"),
+                        F.round(F.col(f"__wh_{c}"), 4).alias("whisker_high"),
+                        F.col(f"__nl_{c}").alias("n_outlier_low"),
+                        F.col(f"__nh_{c}").alias("n_outlier_high"),
+                    )
+                    for c, q1, md, q3 in structs
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.*")
+
+
 def crosstab_counts(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Grouped counts for a two-way contingency table (parity:
     ``model_eval.py:572-577``). Long format keeps it join- and

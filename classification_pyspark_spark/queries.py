@@ -53,6 +53,7 @@ def _register_extensions() -> None:
     from . import (  # noqa: F401
         queries_llm,
         queries_ml,
+        queries_plots,
         queries_quality,
         queries_rel,
         queries_tpch,

@@ -1,0 +1,58 @@
+"""Invariant tests for the plot-data aggregate batch
+(queries_plots.py): the numbers behind the reference's matplotlib
+diagnostics, computed distributed instead of collect-and-plot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from classification_pyspark_spark.queries import QUERIES
+
+
+def test_boxplot_stats_invariants(spark, sf_dir):
+    rows = {r["column"]: r for r in QUERIES["boxplot_stats_lineitem"](spark, sf_dir).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount"}
+    for r in rows.values():
+        assert r["q1"] <= r["median"] <= r["q3"]
+        # whiskers bracket the box and sit inside the Tukey fences
+        assert r["whisker_low"] <= r["q1"]
+        assert r["whisker_high"] >= r["q3"]
+        assert r["n_outlier_low"] >= 0 and r["n_outlier_high"] >= 0
+
+
+def test_residual_distribution_totals(spark, sf_dir):
+    df = QUERIES["residual_distribution"](spark, sf_dir)
+    agg = df.agg(F.sum("n").alias("n"), F.min("bin").alias("lo"), F.max("bin").alias("hi")).first()
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert agg["n"] == n_li  # clamped bins lose no rows
+    assert 0 <= agg["lo"] and agg["hi"] <= 19
+
+
+def test_lift_gain_table_invariants(spark, sf_dir):
+    rows = QUERIES["lift_gain_table"](spark, sf_dir).orderBy("decile").collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    # equal-count deciles within rounding of n/10
+    assert max(r["n"] for r in rows) - min(r["n"] for r in rows) <= 1
+    # gain is a nondecreasing CDF ending at 1; top decile has lift >= 1
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains) and abs(gains[-1] - 1.0) < 1e-9
+    assert rows[0]["lift"] >= 1.0  # scores rank positives first by construction
+    assert rows[0]["pos_rate"] >= rows[-1]["pos_rate"]
+
+
+def test_class_density_fractions_sum_to_one(spark, sf_dir):
+    df = QUERIES["class_density_histogram"](spark, sf_dir)
+    sums = df.groupBy("class").agg(F.sum("frac").alias("tot")).collect()
+    assert len(sums) == 3
+    for r in sums:
+        assert abs(r["tot"] - 1.0) < 1e-3  # per-bin rounding only
+
+
+def test_pred_vs_actual_binned_diagonal(spark, sf_dir):
+    df = QUERIES["pred_vs_actual_binned"](spark, sf_dir)
+    # yhat = y*(1-disc) <= y, so predicted bin never exceeds actual bin
+    assert df.filter(F.col("yhat_bin") > F.col("y_bin")).count() == 0
+    # residual is nonpositive everywhere
+    assert df.filter(F.col("mean_residual") > 0).count() == 0

@@ -39,6 +39,14 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "boxplot_stats_lineitem": {
+        "single_partition": "per-column percentile + whisker aggregates (1 row)"
+    },
+    "lift_gain_table": {
+        "single_partition": "10-row decile frame (rank itself is the "
+        "range-partitioned global_row_number, not a global window over data)",
+        "global_window": "cumulative gain over the 10-row decile aggregate",
+    },
     "calibration_curve": {"single_partition": "10-bin aggregate"},
     "health_report": {"single_partition": "global profile aggregate"},
     "missing_value_summary": {"single_partition": "per-column 1-row aggregate"},
