@@ -124,7 +124,17 @@ def main() -> None:
                 n: round(t / base_q[n], 2) for n, t in timings.items() if base_q.get(n)
             }
             out["baseline_delta"] = deltas
-            out["regressions"] = sorted(n for n, d in deltas.items() if d > 2.0)
+            # Regression = over 2x the baseline AND at least +0.5 s
+            # absolute. A pure ratio gate false-positives on the
+            # sub-second queries, where a few hundred ms of task-
+            # scheduling / GC noise is routinely a 3-4x "ratio" while
+            # meaning nothing (observed: 0.148 s -> 0.56 s run to run
+            # on an otherwise idle box).
+            out["regressions"] = sorted(
+                n
+                for n, d in deltas.items()
+                if d > 2.0 and timings[n] - base_q[n] > 0.5
+            )
     print(json.dumps(out))
 
 

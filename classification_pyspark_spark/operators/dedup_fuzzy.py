@@ -266,3 +266,69 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    max_posting_size: int | None = None,
+) -> DataFrame:
+    """Per-document coverage by cross-document repeated n-gram spans —
+    the n-gram-granularity approximation of exact substring dedup
+    (Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" removes repeated 50-token spans; at n-gram granularity the
+    same signal is a posting-list aggregate instead of a distributed
+    suffix array).
+
+    A doc's distinct word n-grams are checked against the corpus: a
+    gram appearing in >= 2 distinct docs is "duplicated"; the output
+    reports how much of each doc is built from such shared spans —
+    the curation signal for boilerplate/template removal.
+
+    Scale shape: gram explode -> per-gram doc-count aggregate
+    (vocabulary-sized, map-side combined) -> join back on the gram key
+    -> per-doc aggregate. No doc-pair work at all, so there is no
+    quadratic term; ``max_posting_size`` (drop grams in more docs than
+    the cap from the JOIN, counting them as duplicated by definition)
+    bounds even the posting join's skew at 100 TB. None = exact.
+
+    Output: (``id_col``, n_grams long, n_dup_grams long,
+    dup_fraction double rounded 6).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    g = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    gd = g.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    if max_posting_size is not None:
+        # grams past the cap are duplicated by definition; skip the join
+        gd = gd.filter(F.col("n_docs") <= max_posting_size)
+        joined = g.join(gd, "gram", "left").select(
+            "id", F.coalesce(F.col("n_docs"), F.lit(max_posting_size + 1)).alias("n_docs")
+        )
+    else:
+        joined = g.join(gd, "gram").select("id", "n_docs")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

@@ -292,3 +292,143 @@ def mean_word_length_expr(col: Column | str) -> Column:
     return F.when(
         F.size(toks) > 0, total / F.size(toks).cast("double")
     ).otherwise(F.lit(0.0))
+
+
+def bigram_lm_perplexity(
+    df: DataFrame, text_col: str, id_col: str, keep_threshold: float = 31.0
+) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed bigram LM
+    trained on the corpus itself — the CCNet-style LM quality filter
+    (a real pipeline scores against a clean-reference KenLM; the
+    engine mechanics are identical: n-gram counts + a score join).
+
+    p(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V);  ppl = exp(-mean ln p).
+
+    Scale shape: one token explode feeds the unigram aggregate, one
+    bigram explode (built with an array ``transform`` — zero joins)
+    feeds the bigram aggregate; both are vocabulary-sized with
+    map-side combine. Scoring joins the data-sized bigram stream to
+    the bigram-count table on (w1, w2) — AQE broadcasts it when the
+    vocabulary fits — then aggregates per doc. The corpus never
+    collects to the driver; V rides along as a 1-row broadcast.
+
+    Output: (``id_col``, n_bigrams long, ppl double rounded 4,
+    keep int 0/1 at ``keep_threshold``).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("w"),
+    )
+    uni = (
+        toks.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cbg"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+    ).withColumn(
+        "keep", F.when(F.col("ppl") <= keep_threshold, 1).otherwise(0)
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    min_cosine: float = 0.85,
+    max_posting_size: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs within a blocking key —
+    lexical near-dup detection without embeddings: weight per (doc,
+    term) = tf · smoothed-idf, dot products accumulated through a
+    posting-list self-join on (block, term), normalized by per-doc
+    norms.
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — pairs only
+    ever meet inside a (block, term) posting, never all-pairs. The
+    ``max_posting_size`` guard drops terms whose in-block posting
+    exceeds the cap from the DOT PRODUCT only (norms stay exact);
+    capped terms are the highest-df/lowest-idf terms, so the cosine
+    loss is smallest exactly where the fan-out risk is largest. None
+    (default) = exact, for oracle parity at test scale; production
+    paths should pass a cap.
+
+    Output: (id_a < id_b, cosine double rounded 4) with
+    cosine >= ``min_cosine``.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    terms = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(toks).alias("term"))
+    tf = (
+        terms.groupBy("id", "blk", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "blk",
+            "term",
+            (F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)).alias("w"),
+        )
+        .persist()
+    )
+    norms = wts.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    paired = wts
+    if max_posting_size is not None:
+        plen = wts.groupBy("blk", "term").agg(F.count(F.lit(1)).alias("__pn"))
+        paired = (
+            wts.join(plen, ["blk", "term"]).filter(F.col("__pn") <= max_posting_size).drop("__pn")
+        )
+    a = paired.select(F.col("id").alias("id_a"), "blk", "term", F.col("w").alias("wa"))
+    b = paired.select(F.col("id").alias("id_b"), "blk", "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, ["blk", "term"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

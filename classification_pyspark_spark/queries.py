@@ -52,6 +52,7 @@ def _register_extensions() -> None:
     Called at the bottom of this module (after ``query`` exists)."""
     from . import (  # noqa: F401
         queries_llm,
+        queries_llm2,
         queries_ml,
         queries_plots,
         queries_quality,

@@ -1,0 +1,145 @@
+"""Query registry batch: corpus-curation depth ops (round 3).
+
+Three LLM-data-pipeline operators past the round-2 surface, each a
+standard technique from published pretraining pipelines re-expressed
+Spark-first:
+
+- ``lm_perplexity_filter``   — add-one bigram-LM perplexity per doc
+  (the CCNet-style LM quality filter; a production pipeline scores
+  against a clean-reference KenLM, but the engine mechanics — n-gram
+  count tables + a score join — are identical).
+- ``duplicated_ngram_spans`` — per-doc coverage by n-grams shared with
+  other docs: the posting-list approximation of exact substring dedup
+  (Lee et al. 2022) that needs no distributed suffix array.
+- ``tfidf_cosine_pairs``     — sparse lexical cosine near-dup pairs via
+  posting-list join: the no-embedding complement to
+  ``embedding_dup_pairs``.
+
+All three are oracle-checked; posting-size caps exist on the operators
+for production skew safety (oracle queries run exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import load_table
+from .queries import query
+
+
+@query(
+    "lm_perplexity_filter",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    t2 AS (SELECT doc_id, w FROM t WHERE len(w) >= 2),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM t2, unnest(range(1, len(w))) AS g(i)
+    ),
+    uni AS (
+      SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1
+    ),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2),
+    sc AS (
+      SELECT b.doc_id, LN((bgc.cbg + 1.0) / (u.c1 + vv.v)) AS lp
+      FROM bg b JOIN bgc USING (w1, w2) JOIN uni u ON b.w1 = u.w CROSS JOIN vv
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(EXP(-AVG(lp)), 4) AS ppl
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl,
+           CASE WHEN ppl <= 31.0 THEN 1 ELSE 0 END AS keep
+    FROM agg
+    """,
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality filter over the documents table
+    (keep threshold 31 ~ the corpus median on the synthetic data)."""
+    from .operators.text import bigram_lm_perplexity
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_perplexity(d, "text", "doc_id", keep_threshold=31.0)
+
+
+@query(
+    "duplicated_ngram_spans",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS gram
+      FROM t
+    ),
+    gd AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(CASE WHEN gd.n_docs >= 2 THEN 1 END) AS BIGINT) AS n_dup_grams,
+           ROUND(COUNT(CASE WHEN gd.n_docs >= 2 THEN 1 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+    FROM g JOIN gd USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def duplicated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram coverage per doc — the substring-
+    dedup signal at n-gram granularity, zero doc-pair work."""
+    from .operators.dedup_fuzzy import duplicated_ngram_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(d, "text", "doc_id", n=5)
+
+
+@query(
+    "tfidf_cosine_pairs",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS t
+      FROM documents
+    ),
+    terms AS (SELECT doc_id, lang, unnest(t) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    wts AS (
+      SELECT tf.doc_id, tf.lang, tf.term,
+             tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0) AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM wts GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM wts a JOIN wts b
+        ON a.term = b.term AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots JOIN norms na ON id_a = na.doc_id JOIN norms nb ON id_b = nb.doc_id
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.85
+    """,
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs: TF-IDF cosine >= 0.85 inside language
+    blocks, dot products via the (lang, term) posting join."""
+    from .operators.text import tfidf_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, "text", "doc_id", "lang", min_cosine=0.85)

@@ -39,6 +39,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "lm_perplexity_filter": {
+        "single_partition": "1-row vocabulary-size broadcast (V in the smoothing "
+        "denominator); all count tables are hash aggregates"
+    },
+    "tfidf_cosine_pairs": {
+        "single_partition": "1-row n_docs broadcast for the idf term"
+    },
     "boxplot_stats_lineitem": {
         "single_partition": "per-column percentile + whisker aggregates (1 row)"
     },
