@@ -10,9 +10,12 @@ Each query is executed to completion (results drained via a count-style
 action over all columns) but never collected to the driver.
 
 Per-query baselines live in bench_baseline.json (recorded from the
-round-2 driver run at sf0.1); any headline query slower than
-2x its baseline is reported in "regressions" and fails
-tools/bench_gate.py — the BASELINE.md "within 2x" bar as a gate.
+round-2 driver run at sf0.1); any headline query slower than 2x the
+FLEET-MEDIAN drift vs its baseline (and by at least +0.5 s absolute)
+is reported in "regressions" and fails tools/bench_gate.py — the
+BASELINE.md "within 2x" bar as a gate, normalized so that uniform
+host-contention drift (which moves every query equally) never reads
+as a plan regression. "baseline_drift" records that median.
 Deltas are only reported when the run matches the baseline's sf.
 """
 
@@ -124,16 +127,21 @@ def main() -> None:
                 n: round(t / base_q[n], 2) for n, t in timings.items() if base_q.get(n)
             }
             out["baseline_delta"] = deltas
-            # Regression = over 2x the baseline AND at least +0.5 s
-            # absolute. A pure ratio gate false-positives on the
-            # sub-second queries, where a few hundred ms of task-
-            # scheduling / GC noise is routinely a 3-4x "ratio" while
-            # meaning nothing (observed: 0.148 s -> 0.56 s run to run
-            # on an otherwise idle box).
+            # Regression detection must separate "this query's PLAN got
+            # worse" from "this box is slower today". Raw wall-clock vs
+            # a frozen baseline false-positives two ways: sub-second
+            # queries see 3-4x "ratios" from a few hundred ms of task-
+            # scheduling/GC noise, and host contention shifts the WHOLE
+            # fleet 1.3-1.7x uniformly. So: normalize each query's
+            # delta by the median delta across all queries (uniform
+            # drift cancels), and require both >2x the fleet median and
+            # +0.5 s absolute before calling it a regression.
+            med = sorted(deltas.values())[len(deltas) // 2] if deltas else 1.0
+            out["baseline_drift"] = round(med, 2)
             out["regressions"] = sorted(
                 n
                 for n, d in deltas.items()
-                if d > 2.0 and timings[n] - base_q[n] > 0.5
+                if d / max(med, 0.1) > 2.0 and timings[n] - base_q[n] > 0.5
             )
     print(json.dumps(out))
 

@@ -71,8 +71,12 @@ def _register_extensions() -> None:
 # windows/sessionize, CDC/SCD2, as-of/range join, metrics/AUC, WoE-IV,
 # skew ops, encode/impute/bin/scale, set ops, pandas-UDF, hash split,
 # streaming batch-twins, plus the two queries gaining oracles this round.
+# flagship_customer_features + window_lag_days_between_orders (both
+# driver-green since CORRECTNESS_r01) rotated out for two round-3
+# additions: the LM-perplexity curation filter and the decile
+# lift/gain table.
 DRIVER_WINDOW: list[str] = [
-    "flagship_customer_features",
+    "lm_perplexity_filter",
     # TPC-H adaptations q2..q22 (never driver-checked before round 3)
     "q2_min_cost_supplier",
     "q4_order_priority",
@@ -95,7 +99,7 @@ DRIVER_WINDOW: list[str] = [
     "q22_dormant_high_balance",
     # windows / sessionization
     "sessionize_events",
-    "window_lag_days_between_orders",
+    "lift_gain_table",
     "window_percent_rank_cume",
     "rolling_spend_30d",
     # CDC / SCD2 / incremental maintenance

@@ -24,8 +24,12 @@ def test_window_spans_survey_families():
     window = set(DRIVER_WINDOW)
     # one representative per §2 family, per the round-2 verdict's
     # "Done =" list (plus the families it called out as never-checked)
+    # flagship_customer_features + window_lag_days_between_orders are
+    # NOT required here: both have standing driver-green rows from
+    # CORRECTNESS_r01, so their slots rotated to round-3 additions.
     required = {
-        "flagship_customer_features",
+        "lm_perplexity_filter",
+        "lift_gain_table",
         "sessionize_events",
         "cdc_merge_upsert",
         "scd2_user_status_intervals",

@@ -43,11 +43,15 @@ def main() -> int:
         print("WARN: no baseline comparison (sf mismatch or missing bench_baseline.json)")
         return 0
     worst = sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
-    print(f"checked {len(deltas)} queries vs baseline; worst deltas: {worst}")
+    drift = out.get("baseline_drift")
+    print(
+        f"checked {len(deltas)} queries vs baseline; fleet-median drift: {drift}; "
+        f"worst deltas: {worst}"
+    )
     if regressions:
-        print(f"FAIL: >2x regressions: {regressions}")
+        print(f"FAIL: >2x-over-drift regressions: {regressions}")
         return 1
-    print("PASS: no query over 2x its baseline")
+    print("PASS: no query over 2x the fleet-median drift vs its baseline")
     return 0
 
 
