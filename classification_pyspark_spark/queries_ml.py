@@ -723,3 +723,37 @@ def auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nn").cast("long").alias("n_neg"),
         )
     )
+
+
+@query(
+    "per_group_ols",
+    sql="""
+    SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(POWER(corr(l_extendedprice, l_quantity), 2), 6) AS r2
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (the "many models" pattern): one
+    price-on-quantity regression per part brand, fitted with the ANSI
+    ``regr_slope`` / ``regr_intercept`` aggregates — thousands of
+    models in ONE hash aggregate with map-side partials, where the
+    naive pattern fits per-group models in a driver loop (the
+    reference's per-column job fan-out, ``features.py:699-700``, is
+    the same anti-pattern). The part join broadcasts under AQE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.pow(F.corr("l_extendedprice", "l_quantity"), 2), 6).alias("r2"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Query registry batch: the SQL front-end surface.
+
+The engine is DataFrame-first, but a complete Spark-native analytics
+engine must also serve users who write SQL: ``catalog.register_views``
+exposes the star schema as temp views and any ANSI query runs through
+``spark.sql`` on exactly the same scans/optimizer as the DataFrame
+API. The queries here are written ONCE in dialect-common ANSI SQL and
+executed verbatim by BOTH engines — the Spark side via
+``spark.sql(SQL)`` over registered views, the oracle side by DuckDB —
+so the correctness gate literally checks that the SQL front-end and
+the reference semantics agree character-for-character.
+
+Money aggregates follow the engine-wide LONG-cents discipline
+(functions/money.py): SUM(CAST(ROUND(x*100) AS BIGINT))/100.0, which
+is also dialect-common.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import register_views
+from .queries import query
+
+# One string, two engines: ANSI subset shared by Spark SQL and DuckDB.
+_REGIONAL_REVENUE_SQL = """
+WITH rev AS (
+  SELECT r.r_name AS region,
+         year(CAST(o.o_orderdate AS DATE)) AS yr,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, year(CAST(o.o_orderdate AS DATE))
+)
+SELECT region, yr, cents / CAST(100.0 AS DOUBLE) AS revenue,
+       CAST(row_number() OVER (PARTITION BY yr
+                               ORDER BY cents DESC, region ASC) AS INT) AS rank_in_year
+FROM rev
+"""
+
+
+@query("sql_interface_regional_revenue", sql=_REGIONAL_REVENUE_SQL)
+def sql_interface_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional revenue by year with an in-year rank, executed through
+    the SQL front-end: the SAME ANSI string the DuckDB oracle runs is
+    handed to ``spark.sql`` over ``register_views``. Catalyst plans it
+    identically to the DataFrame form (broadcast dim joins under AQE,
+    one hash aggregate on (region, yr), the rank window over the
+    years×regions aggregate frame)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_REGIONAL_REVENUE_SQL)
+
+
+_SEGMENT_PRIORITY_MIX_SQL = """
+WITH m AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+)
+SELECT segment, priority, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY segment), 6) AS frac
+FROM m
+"""
+
+
+@query("sql_interface_segment_priority_mix", sql=_SEGMENT_PRIORITY_MIX_SQL)
+def sql_interface_segment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix per market segment through the SQL
+    front-end (same dual-engine ANSI string): contingency counts plus
+    a within-segment share window over the segments×priorities
+    aggregate frame."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SEGMENT_PRIORITY_MIX_SQL)
