@@ -11,6 +11,7 @@ event" style features.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -169,3 +170,39 @@ def sessionize(
     gap = ts_sec - F.lag(ts_sec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return df.withColumn("session_id", F.sum(is_new).over(w).cast("long"))
+
+
+def time_decayed_mean(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    days_col,
+    half_life_days: float = 90.0,
+) -> DataFrame:
+    """Exponentially time-decayed mean of ``value_col`` per key — the
+    recency-weighted feature (EWMA-style) every propensity mart wants
+    next to plain recency/frequency/monetary aggregates.
+
+    The naive formulation is recursive (ewma_t from ewma_{t-1}:
+    an ordered per-key scan). Factoring the decay —
+    sum_i x_i·e^{-λ(T−t_i)} / sum_i e^{-λ(T−t_i)}
+    = sum_i x_i·e^{λt_i} / sum_i e^{λt_i} (the e^{-λT} cancels) —
+    turns it into ONE hash aggregate with map-side partials: no
+    window, no ordering, no second pass. λ = ln2 / half_life.
+
+    ``days_col``: integer day offsets from a fixed epoch; keep the
+    epoch inside the data's range so e^{λt} stays far from double
+    overflow (λ·Δdays ≈ 0.0077·3000 ≈ 23 → e²³ ≈ 1e10 for TPC-H-like
+    7-year spans; overflow needs λ·t > 709).
+
+    Output: key_cols + (n long, decayed_mean double rounded 4).
+    """
+    lam = math.log(2.0) / half_life_days
+    d = days_col if not isinstance(days_col, str) else F.col(days_col)
+    wgt = F.exp(F.lit(lam) * d.cast("double"))
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col(value_col) * wgt) / F.sum(wgt), 4
+        ).alias("decayed_mean"),
+    )

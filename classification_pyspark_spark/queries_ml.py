@@ -757,3 +757,39 @@ def per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.corr("l_extendedprice", "l_quantity"), 2), 6).alias("r2"),
         )
     )
+
+
+_EWMA_LAM = __import__("math").log(2.0) / 90.0  # half-life 90 days
+
+
+@query(
+    "ewma_customer_spend",
+    sql=f"""
+    SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice * EXP(CAST({_EWMA_LAM!r} AS DOUBLE)
+                     * date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))))
+                 / SUM(EXP(CAST({_EWMA_LAM!r} AS DOUBLE)
+                     * date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)))), 4)
+             AS decayed_mean
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (90-day half-life) mean order value per
+    customer — the EWMA feature computed as ONE hash aggregate via the
+    decay factorization in ``windows.time_decayed_mean`` (the naive
+    recursive EWMA needs an ordered per-key window scan; factoring
+    e^{-λT} out of numerator and denominator cancels it entirely, so
+    there is no ordering requirement, no window, and map-side partial
+    aggregation applies)."""
+    from .operators.windows import time_decayed_mean
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias(
+            "days"
+        ),
+    )
+    return time_decayed_mean(d, ["c_custkey"], "o_totalprice", "days", half_life_days=90.0)
