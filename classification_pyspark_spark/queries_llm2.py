@@ -22,6 +22,7 @@ for production skew safety (oracle queries run exact).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .queries import query
@@ -143,3 +144,115 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, "text", "doc_id", "lang", min_cosine=0.85)
+
+
+@query(
+    "corpus_mix_sample",
+    sql=r"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    probs AS (
+      SELECT source,
+             LEAST(LEAST((1.0 / COUNT(*) OVER ())
+                         / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 10.0), 1.0) AS keep_prob
+      FROM per_source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN probs p ON d.source = p.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+          / 16777216.0 < p.keep_prob
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the domain-rebalanced corpus: the
+    ``domain_mix_weights`` target turned into an actual deterministic
+    per-source Bernoulli sample — keep doc iff md5-fraction(doc_id) <
+    keep_prob(source). Hash-based (not RNG) so the sampled corpus is
+    byte-reproducible across runs, engines, and repartitioning; the
+    weight table is |sources| rows broadcast onto one corpus scan.
+    Downsampling only (keep_prob capped at 1; upsampling is a
+    repeat-explode on the same weights, left to the training loader).
+    """
+    from pyspark.sql import Window
+
+    from .operators.text import token_count_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(token_count_expr("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    keep = F.least(
+        F.least((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, F.lit(10.0)), F.lit(1.0)
+    )
+    probs = per_source.select("source", keep.alias("keep_prob"))
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+        / 16777216.0
+    )
+    return (
+        d.join(F.broadcast(probs), "source")
+        .filter(frac < F.col("keep_prob"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "negative_sampling_pairs",
+    sql="""
+    WITH pool AS (
+      SELECT doc_id AS neg_id, source AS neg_source FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+            / 16777216.0 < 0.1
+    ),
+    ranked AS (
+      SELECT d.doc_id, p.neg_id,
+             CAST(row_number() OVER (
+               PARTITION BY d.doc_id
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(p.neg_id AS VARCHAR)),
+                        p.neg_id) AS INT) AS rank
+      FROM documents d JOIN pool p
+        ON p.neg_id <> d.doc_id AND p.neg_source <> d.source
+    )
+    SELECT doc_id, neg_id, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc gets 3 cross-source negatives chosen by hash ranking
+    against a hash-selected candidate pool (~10% of the corpus).
+    Scale shape: the pool is a bounded broadcast, so the candidate
+    join is anchors × |pool| with NO shuffle of the corpus, and the
+    per-anchor top-3 window partitions on the anchor key. Hash-based
+    end to end: the pairs are reproducible across runs and engines —
+    no RNG state, unlike ``rand()``-based negative samplers whose
+    output depends on partition layout."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+        / 16777216.0
+    )
+    pool = (
+        d.filter(frac < 0.1)
+        .select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
+    )
+    anchors = d.select("doc_id", "source")
+    cand = anchors.join(
+        F.broadcast(pool),
+        (F.col("neg_id") != F.col("doc_id")) & (F.col("neg_source") != F.col("source")),
+    )
+    order_key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("neg_id").cast("string"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(order_key, F.col("neg_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "neg_id", "rank")
+    )

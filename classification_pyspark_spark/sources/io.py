@@ -72,6 +72,48 @@ def read_data(
     return reader.load(list(paths))
 
 
+def read_json_robust(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    schema,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """JSON-lines scan that CAPTURES malformed rows instead of
+    silently nulling or dropping them — the ingestion posture a 100 TB
+    crawl pipeline needs (at that scale malformed records are a
+    certainty, and DROPMALFORMED silently biases the corpus).
+
+    PERMISSIVE mode with an explicit corrupt-record column: well-formed
+    rows parse into ``schema``; malformed rows land with their raw text
+    in ``corrupt_col`` and NULLs elsewhere, so the caller can route
+    them to a quarantine sink and alert on the bad-row rate.
+
+    ``schema`` is REQUIRED (a ``StructType`` or DDL string; the
+    corrupt column is appended automatically if absent): Spark's
+    corrupt-record capture only works with an explicit schema, since
+    schema inference drops unparseable lines before they can be
+    captured.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+    reader = (
+        spark.read.format("json")
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if isinstance(paths, str):
+        paths = [paths]
+    return reader.load(list(paths))
+
+
 def save_data(
     df: DataFrame,
     path: str,

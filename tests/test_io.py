@@ -100,3 +100,30 @@ def test_delta_format_honest_error_or_roundtrip(spark, sf_dir, tmp_path):
     else:  # pragma: no cover - env-dependent branch
         save_data(region, str(tmp_path / "region_delta"), fmt="delta")
         assert read_data(spark, str(tmp_path / "region_delta"), fmt="delta").count() == region.count()
+
+
+def test_read_json_robust_captures_malformed_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.sources.io import read_json_robust
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        'this is not json at all\n'
+        '{"doc_id": "not-a-number", "text": 42\n'
+    )
+    df = read_json_robust(spark, str(p), "doc_id LONG, text STRING").cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2
+        assert bad.count() == 2
+        # quarantine keeps the raw line for forensics
+        raws = {r["_corrupt_record"] for r in bad.collect()}
+        assert "this is not json at all" in raws
+        # well-formed rows parse into the declared schema
+        assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    finally:
+        df.unpersist()

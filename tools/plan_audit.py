@@ -39,6 +39,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "corpus_mix_sample": {
+        "single_partition": "share/keep-prob window over the per-source "
+        "aggregate (|sources| rows), same frame as domain_mix_weights"
+    },
     "lm_perplexity_filter": {
         "single_partition": "1-row vocabulary-size broadcast (V in the smoothing "
         "denominator); all count tables are hash aggregates"
