@@ -741,3 +741,144 @@ def adaptive_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_q25",
         (F.col("q") >= F.col("lang_q25")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-sliced drift monitoring + gap-filled resampling.
+# ---------------------------------------------------------------------------
+@query(
+    "psi_weekly_drift",
+    sql="""
+    WITH e AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+             LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin
+      FROM events
+    ),
+    ref_wk AS (SELECT MIN(wk) AS ref FROM e),
+    bins AS (SELECT wk, bin, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+    ref_bins AS (
+      SELECT bin, n AS n_ref FROM bins, ref_wk WHERE wk = ref
+    ),
+    joined AS (
+      SELECT b.wk, b.bin, b.n, COALESCE(r.n_ref, 0) AS n_ref
+      FROM bins b LEFT JOIN ref_bins r ON b.bin = r.bin, ref_wk
+      WHERE b.wk <> ref
+    ),
+    props AS (
+      SELECT wk,
+             GREATEST(n * 1.0 / SUM(n) OVER (PARTITION BY wk), 1e-6) AS q,
+             GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (PARTITION BY wk), 1e-6) AS p,
+             n
+      FROM joined
+    )
+    SELECT wk AS week, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM props GROUP BY wk
+    """,
+)
+def psi_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the event-value distribution for EVERY week against the
+    first (reference) week — ``psi_drift`` generalized to the sliced
+    time series a monitoring dashboard plots. One scan into a
+    (week x bin) hash aggregate; the reference-week counts re-join on
+    the bin key and the proportion windows partition BY WEEK over that
+    bounded bin frame. Bins present only in the reference week drop
+    out of that week's sum (identical on both engines; the 1e-6 floor
+    covers bins missing from reference)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("wk"),
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bin"),
+    )
+    bins = e.groupBy("wk", "bin").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ref_wk = bins.agg(F.min("wk").alias("ref"))
+    ref_bins = (
+        bins.join(F.broadcast(ref_wk), bins.wk == F.col("ref"))
+        .select("bin", F.col("n").alias("n_ref"))
+    )
+    joined = (
+        bins.crossJoin(F.broadcast(ref_wk))
+        .filter(F.col("wk") != F.col("ref"))
+        .join(F.broadcast(ref_bins), "bin", "left")
+        .select("wk", "bin", "n", F.coalesce("n_ref", F.lit(0)).alias("n_ref"))
+    )
+    w = Window.partitionBy("wk")
+    props = joined.select(
+        "wk",
+        "n",
+        F.greatest(F.col("n") / F.sum("n").over(w), F.lit(1e-6)).alias("q"),
+        F.greatest(F.col("n_ref") / F.sum("n_ref").over(w), F.lit(1e-6)).alias("p"),
+    )
+    return props.groupBy(F.col("wk").alias("week")).agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias(
+            "psi"
+        ),
+        F.sum("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "resample_hourly_gapfill",
+    sql="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1 FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    per_hour AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 4) AS sum_value,
+             ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(p.n, 0) AS n,
+           COALESCE(p.sum_value, 0.0) AS sum_value,
+           last_value(p.avg_value IGNORE NULLS) OVER (
+             ORDER BY h.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_ffill
+    FROM hours h LEFT JOIN per_hour p ON h.hour = p.hour
+    """,
+)
+def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular hourly resampling with gap-fill: a dense hour spine
+    (sequence-explode between min and max, zero scan cost) left-joined
+    to the hourly aggregate; empty hours get zero counts and a
+    forward-filled last observed hourly mean — the time-series
+    regularization every downstream forecaster needs, done without a
+    driver-side date loop. The ffill window runs over the HOURS frame
+    (bounded by the time span, never by event count)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    per_hour = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum("value") / F.count(F.lit(1)), 4).alias("avg_value"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hours.join(per_hour, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_ffill"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            "sum_value",
+            "avg_value_ffill",
+        )
+    )

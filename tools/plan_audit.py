@@ -39,6 +39,15 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "psi_weekly_drift": {
+        "single_partition": "1-row reference-week broadcast; proportions "
+        "window the (weeks x bins) aggregate frame"
+    },
+    "resample_hourly_gapfill": {
+        "single_partition": "1-row min/max bounds aggregate feeding the hour spine",
+        "global_window": "forward-fill over the hour spine — bounded by the "
+        "time span (hours), never by event count",
+    },
     "corpus_mix_sample": {
         "single_partition": "share/keep-prob window over the per-source "
         "aggregate (|sources| rows), same frame as domain_mix_weights"
