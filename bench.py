@@ -70,6 +70,16 @@ HEADLINE = [
     "embedding_centroids",
     "repetition_stats",
     "training_export",
+    # round-3 additions: the heaviest new plan shapes.
+    # tfidf_cosine_pairs is deliberately NOT here: the synthetic corpus
+    # has a 31-token vocabulary, so single-token postings are ~|block|
+    # long and the exact posting self-join degenerates to all-pairs
+    # (~10 s at sf0.1) — a property of this data, not the plan; the
+    # production posture is the max_posting_size cap (tested), and the
+    # exact query stays oracle-checked at sf0.01.
+    "lm_perplexity_filter",
+    "duplicated_ngram_spans",
+    "lift_gain_table",
 ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, spread_for_compute
 from .queries import query
 
 
@@ -66,7 +66,7 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep threshold 31 ~ the corpus median on the synthetic data)."""
     from .operators.text import bigram_lm_perplexity
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return bigram_lm_perplexity(d, "text", "doc_id", keep_threshold=31.0)
 
 
@@ -100,7 +100,7 @@ def duplicated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup signal at n-gram granularity, zero doc-pair work."""
     from .operators.dedup_fuzzy import duplicated_ngram_spans
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return duplicated_ngram_spans(d, "text", "doc_id", n=5)
 
 
@@ -142,7 +142,7 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks, dot products via the (lang, term) posting join."""
     from .operators.text import tfidf_cosine_pairs
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return tfidf_cosine_pairs(d, "text", "doc_id", "lang", min_cosine=0.85)
 
 
