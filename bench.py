@@ -148,11 +148,25 @@ def main() -> None:
             # +0.5 s absolute before calling it a regression.
             med = sorted(deltas.values())[len(deltas) // 2] if deltas else 1.0
             out["baseline_drift"] = round(med, 2)
+            # Two regression signals:
+            # - moderate ratio-over-drift with a solid absolute delta
+            #   (>0.5 s) — catches real slowdowns on the bigger queries;
+            # - extreme ratio-over-drift (>4x) with a smaller absolute
+            #   floor (>0.25 s) — so sub-second queries aren't
+            #   permanently ungated, while the worst observed pure-noise
+            #   swing (3.5x over drift) still stays under the bar.
             out["regressions"] = sorted(
                 n
                 for n, d in deltas.items()
-                if d / max(med, 0.1) > 2.0 and timings[n] - base_q[n] > 0.5
+                for r in [d / max(med, 0.1)]
+                for dt in [timings[n] - base_q[n]]
+                if (r > 2.0 and dt > 0.5) or (r > 4.0 and dt > 0.25)
             )
+            # Uniform slowdowns cancel out of the per-query ratios, so a
+            # genuine everywhere-regression (shared code/session config)
+            # looks exactly like host contention. Surface it instead of
+            # silently passing: the gate WARNS on fleet drift > 2x.
+            out["fleet_drift_exceeds_2x"] = med > 2.0
     print(json.dumps(out))
 
 

@@ -387,6 +387,19 @@ def boxplot_stats(
     exprs, structs = [], []
     for c in cols:
         q1, md, q3 = b[f"__q1_{c}"], b[f"__md_{c}"], b[f"__q3_{c}"]
+        if q1 is None or q3 is None:
+            # empty / all-NULL column: percentile returns NULL — emit a
+            # NULL-stats row instead of crashing on driver-side q3 - q1
+            # (profiling runs on exactly the kind of data where a dead
+            # column is likely)
+            exprs += [
+                F.lit(None).cast("double").alias(f"__wl_{c}"),
+                F.lit(None).cast("double").alias(f"__wh_{c}"),
+                F.lit(0).cast("long").alias(f"__nl_{c}"),
+                F.lit(0).cast("long").alias(f"__nh_{c}"),
+            ]
+            structs.append((c, None, None, None))
+            continue
         iqr = q3 - q1
         lo, hi = q1 - iqr_k * iqr, q3 + iqr_k * iqr
         exprs += [
@@ -397,15 +410,19 @@ def boxplot_stats(
         ]
         structs.append((c, q1, md, q3))
     counts = df.agg(*exprs)
+
+    def _dlit(v):
+        return F.round(F.lit(v).cast("double"), 4)
+
     rows = counts.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("column"),
-                        F.round(F.lit(q1), 4).alias("q1"),
-                        F.round(F.lit(md), 4).alias("median"),
-                        F.round(F.lit(q3), 4).alias("q3"),
+                        _dlit(q1).alias("q1"),
+                        _dlit(md).alias("median"),
+                        _dlit(q3).alias("q3"),
                         F.round(F.col(f"__wl_{c}"), 4).alias("whisker_low"),
                         F.round(F.col(f"__wh_{c}"), 4).alias("whisker_high"),
                         F.col(f"__nl_{c}").alias("n_outlier_low"),

@@ -313,7 +313,11 @@ def bigram_lm_perplexity(
     collects to the driver; V rides along as a 1-row broadcast.
 
     Output: (``id_col``, n_bigrams long, ppl double rounded 4,
-    keep int 0/1 at ``keep_threshold``).
+    keep int 0/1 at ``keep_threshold``) — one row for EVERY input doc.
+    Docs with fewer than 2 tokens have no bigrams to score: they come
+    back with n_bigrams 0, ppl NULL, keep 0 (rejected, not silently
+    absent — a curation pipeline that joins on this output must see an
+    explicit verdict for degenerate docs).
     """
     toks = df.select(
         F.col(id_col),
@@ -348,11 +352,19 @@ def bigram_lm_perplexity(
             F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
-    ).withColumn(
-        "keep", F.when(F.col("ppl") <= keep_threshold, 1).otherwise(0)
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "ppl",
+            F.when(F.col("ppl") <= keep_threshold, 1).otherwise(0).alias("keep"),
+        )
     )
 
 

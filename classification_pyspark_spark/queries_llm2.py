@@ -56,9 +56,9 @@ from .queries import query
              ROUND(EXP(-AVG(lp)), 4) AS ppl
       FROM sc GROUP BY doc_id
     )
-    SELECT doc_id, n_bigrams, ppl,
-           CASE WHEN ppl <= 31.0 THEN 1 ELSE 0 END AS keep
-    FROM agg
+    SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams, a.ppl,
+           CASE WHEN a.ppl <= 31.0 THEN 1 ELSE 0 END AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
 def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,8 +156,8 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probs AS (
       SELECT source,
-             LEAST(LEAST((1.0 / COUNT(*) OVER ())
-                         / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 10.0), 1.0) AS keep_prob
+             LEAST((1.0 / COUNT(*) OVER ())
+                   / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 1.0) AS keep_prob
       FROM per_source
     )
     SELECT d.doc_id, d.source
@@ -186,9 +186,7 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     share = F.col("n_tokens") / F.sum("n_tokens").over(w)
-    keep = F.least(
-        F.least((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, F.lit(10.0)), F.lit(1.0)
-    )
+    keep = F.least((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, F.lit(1.0))
     probs = per_source.select("source", keep.alias("keep_prob"))
     frac = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
@@ -206,8 +204,9 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH pool AS (
       SELECT doc_id AS neg_id, source AS neg_source FROM documents
-      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
-            / 16777216.0 < 0.1
+      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               / 16777216.0, doc_id
+      LIMIT 50
     ),
     ranked AS (
       SELECT d.doc_id, p.neg_id,
@@ -224,13 +223,15 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
     anchor doc gets 3 cross-source negatives chosen by hash ranking
-    against a hash-selected candidate pool (~10% of the corpus).
-    Scale shape: the pool is a bounded broadcast, so the candidate
-    join is anchors × |pool| with NO shuffle of the corpus, and the
-    per-anchor top-3 window partitions on the anchor key. Hash-based
-    end to end: the pairs are reproducible across runs and engines —
-    no RNG state, unlike ``rand()``-based negative samplers whose
-    output depends on partition layout."""
+    against a FIXED-SIZE candidate pool — the 50 docs with the
+    smallest md5-fraction (TakeOrderedAndProject: each partition
+    forwards its local 50, the driver merges 50, so the pool is
+    parameter-sized at ANY corpus size, not a percentage that grows
+    with N). The candidate join is anchors x 50 with no shuffle of
+    the corpus; the per-anchor top-3 window partitions on the anchor
+    key. Hash-based end to end: reproducible across runs and engines,
+    unlike ``rand()``-based samplers whose output depends on
+    partition layout."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -239,8 +240,10 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 16777216.0
     )
     pool = (
-        d.filter(frac < 0.1)
-        .select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
+        d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"), frac.alias("__f"))
+        .orderBy("__f", "neg_id")
+        .limit(50)
+        .drop("__f")
     )
     anchors = d.select("doc_id", "source")
     cand = anchors.join(

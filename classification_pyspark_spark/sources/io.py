@@ -90,17 +90,29 @@ def read_json_robust(
     them to a quarantine sink and alert on the bad-row rate.
 
     ``schema`` is REQUIRED (a ``StructType`` or DDL string; the
-    corrupt column is appended automatically if absent): Spark's
-    corrupt-record capture only works with an explicit schema, since
-    schema inference drops unparseable lines before they can be
-    captured.
+    corrupt column is appended automatically if absent — on a COPY,
+    never mutating the caller's StructType): Spark's corrupt-record
+    capture only works with an explicit schema, since schema inference
+    drops unparseable lines before they can be captured.
+
+    The parsed frame is cached by default (``cache=True``): Spark
+    refuses queries that reference ONLY the internal corrupt-record
+    column of a raw JSON scan (AnalysisException), so the
+    filter-to-quarantine pattern requires materializing the parse
+    first. Pass ``cache=False`` only if the caller selects data
+    columns alongside the corrupt column (and unpersist when done).
     """
     from pyspark.sql import types as T
 
+    cache = options.pop("cache", True)
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if corrupt_col not in schema.fieldNames():
-        schema = schema.add(T.StructField(corrupt_col, T.StringType(), True))
+        # copy: StructType.add mutates in place and returns self, which
+        # would permanently grow a schema object the caller reuses
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+        )
     reader = (
         spark.read.format("json")
         .schema(schema)
@@ -111,7 +123,8 @@ def read_json_robust(
         reader = reader.option(k, v)
     if isinstance(paths, str):
         paths = [paths]
-    return reader.load(list(paths))
+    df = reader.load(list(paths))
+    return df.cache() if cache else df
 
 
 def save_data(

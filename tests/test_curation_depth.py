@@ -84,3 +84,17 @@ def test_tfidf_cosine_pairs_match_and_cap(spark):
         tfidf_cosine_pairs(d, "text", "id", "lang", min_cosine=0.1, max_posting_size=1).count()
         == 0
     )
+
+
+def test_perplexity_short_docs_get_explicit_verdicts(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "single"), (3, ""), (4, "a b a b a")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in bigram_lm_perplexity(d, "text", "id").collect()}
+    assert set(rows) == {1, 2, 3, 4}  # every doc gets a row
+    for i in (2, 3):  # <2 tokens: rejected explicitly, not absent
+        assert rows[i]["n_bigrams"] == 0
+        assert rows[i]["ppl"] is None
+        assert rows[i]["keep"] == 0
+    assert rows[1]["n_bigrams"] == 4 and rows[4]["n_bigrams"] == 4

@@ -127,3 +127,25 @@ def test_read_json_robust_captures_malformed_rows(spark, tmp_path):
         assert {r["doc_id"] for r in good.collect()} == {1, 2}
     finally:
         df.unpersist()
+
+
+def test_read_json_robust_does_not_mutate_caller_schema_and_quarantines_uncached(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from classification_pyspark_spark.sources.io import read_json_robust
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"a": 1}\nnot json\n')
+    caller_schema = T.StructType([T.StructField("a", T.LongType(), True)])
+    df = read_json_robust(spark, str(p), caller_schema)
+    try:
+        # the caller's StructType must not grow a corrupt-record field
+        assert caller_schema.fieldNames() == ["a"]
+        # default cache makes the corrupt-only-column quarantine legal
+        bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+        assert bad.count() == 1
+    finally:
+        df.unpersist()

@@ -56,3 +56,15 @@ def test_pred_vs_actual_binned_diagonal(spark, sf_dir):
     assert df.filter(F.col("yhat_bin") > F.col("y_bin")).count() == 0
     # residual is nonpositive everywhere
     assert df.filter(F.col("mean_residual") > 0).count() == 0
+
+
+def test_boxplot_stats_survives_all_null_column(spark):
+    from classification_pyspark_spark.operators.profile import boxplot_stats
+
+    d = spark.createDataFrame(
+        [(1.0, None), (2.0, None), (100.0, None)], "a double, b double"
+    )
+    rows = {r["column"]: r for r in boxplot_stats(d, ["a", "b"]).collect()}
+    assert rows["b"]["q1"] is None and rows["b"]["whisker_low"] is None
+    assert rows["b"]["n_outlier_low"] == 0 and rows["b"]["n_outlier_high"] == 0
+    assert rows["a"]["q1"] is not None

@@ -48,6 +48,13 @@ def main() -> int:
         f"checked {len(deltas)} queries vs baseline; fleet-median drift: {drift}; "
         f"worst deltas: {worst}"
     )
+    if out.get("fleet_drift_exceeds_2x"):
+        print(
+            "WARN: fleet-median drift exceeds 2x — either heavy host "
+            "contention or a UNIFORM regression in shared code/session "
+            "config; per-query ratios cannot distinguish them. Re-run on "
+            "a quiet box before trusting this result."
+        )
     if regressions:
         print(f"FAIL: >2x-over-drift regressions: {regressions}")
         return 1

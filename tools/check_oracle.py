@@ -70,6 +70,10 @@ def main():
             continue
         t0 = time.time()
         try:
+            # several operators persist intermediates (posting lists,
+            # weight tables) that outlive their query; clear between
+            # queries so a 150-query sweep doesn't accumulate caches
+            get_spark().catalog.clearCache()
             sdf = fn(get_spark(), sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
