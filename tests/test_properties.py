@@ -167,3 +167,48 @@ def test_repetition_exprs_match_python_reference(spark, texts):
         want_tbf = max(Counter(grams).values()) / len(grams) if grams else 0.0
         assert got[i][0] == pytest.approx(want_dtr)
         assert got[i][1] == pytest.approx(want_tbf)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(finite_doubles, st.integers(min_value=0, max_value=2000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_time_decayed_mean_matches_python_reference(spark, vals):
+    from classification_pyspark_spark.operators.windows import time_decayed_mean
+
+    df = spark.createDataFrame([(1, v, d) for v, d in vals], "k long, v double, days int")
+    got = time_decayed_mean(df, ["k"], "v", "days", half_life_days=90.0).first()
+    lam = math.log(2.0) / 90.0
+    ws = [math.exp(lam * d) for _, d in vals]
+    expect = sum(v * w for (v, _), w in zip(vals, ws)) / sum(ws)
+    assert got["n"] == len(vals)
+    assert math.isclose(got["decayed_mean"], round(expect, 4), rel_tol=1e-6, abs_tol=1e-3)
+    # invariant: the decayed mean is a convex combination of the values
+    # (1e-4 slack: the operator rounds to 4 decimals)
+    assert min(v for v, _ in vals) - 1e-4 <= got["decayed_mean"] <= max(v for v, _ in vals) + 1e-4
+
+
+@given(vals=st.lists(finite_doubles, min_size=5, max_size=40))
+@settings(**SETTINGS)
+def test_boxplot_stats_matches_numpy_quartiles(spark, vals):
+    import numpy as np
+
+    from classification_pyspark_spark.operators.profile import boxplot_stats
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = boxplot_stats(df, ["x"]).first()
+    q1, md, q3 = np.percentile(np.array(vals), [25, 50, 75])
+    assert math.isclose(r["q1"], round(q1, 4), rel_tol=1e-9, abs_tol=2e-4)
+    assert math.isclose(r["median"], round(md, 4), rel_tol=1e-9, abs_tol=2e-4)
+    assert math.isclose(r["q3"], round(q3, 4), rel_tol=1e-9, abs_tol=2e-4)
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    inside = [v for v in vals if lo <= v <= hi]
+    assert math.isclose(r["whisker_low"], round(min(inside), 4), abs_tol=2e-4)
+    assert math.isclose(r["whisker_high"], round(max(inside), 4), abs_tol=2e-4)
+    assert r["n_outlier_low"] == sum(1 for v in vals if v < lo)
+    assert r["n_outlier_high"] == sum(1 for v in vals if v > hi)
