@@ -157,6 +157,7 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     out = params["out"]
     report_out = params.get("report_out")
     min_quality = float(params.get("min_quality", 0.65))
+    max_ppl = params.get("max_ppl")  # optional bigram-LM perplexity gate
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
     flagged = d.select(
@@ -166,6 +167,14 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
         F.md5("text").alias("__digest"),
     )
     kept = flagged.filter((F.col("__lg") == F.col("lang")) & (F.col("__q") >= min_quality))
+    if max_ppl is not None:
+        # LM-perplexity gate (CCNet-style): score against the corpus
+        # bigram LM and drop high-ppl docs; sub-2-token docs carry an
+        # explicit keep=0 verdict, so they drop here too
+        from .operators.text import bigram_lm_perplexity
+
+        scores = bigram_lm_perplexity(d, "text", "doc_id", keep_threshold=float(max_ppl))
+        kept = kept.join(scores.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
     # exact dedup first (digest window, keep lowest doc_id) ...
     rn = F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
     exact = kept.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")

@@ -323,3 +323,31 @@ def test_corpus_curation_job(spark, sf_dir, tmp_path):
     rep = spark.read.parquet(report)
     assert rep.count() == docs.select("source").distinct().count()
     assert {"n_docs", "n_dropped_lang", "n_dropped_quality"} <= set(rep.columns)
+
+
+def test_corpus_curation_job_with_perplexity_gate(spark, sf_dir, tmp_path):
+    """max_ppl composes the LM-perplexity filter into the curation
+    chain: output shrinks (or stays equal) vs the ungated run and
+    every surviving doc scores under the gate."""
+    from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.operators.text import bigram_lm_perplexity
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    out = str(tmp_path / "curated_ppl")
+    plan = create_job_plan(
+        {"name": "corpus-curation",
+         "stages": [{"name": "curate", "tasks": [
+             {"name": "curate-documents",
+              "params": {"sf_dir": sf_dir, "out": out, "max_ppl": 31.0}}]}]}
+    )
+    results = execute_job(spark, plan)
+    assert all(v.success for v in results.values()), results
+    curated = spark.read.parquet(out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scores = bigram_lm_perplexity(docs, "text", "doc_id", keep_threshold=31.0)
+    over_gate = curated.join(
+        scores.filter("keep = 0").select("doc_id"), "doc_id"
+    )
+    assert over_gate.count() == 0
+    assert 0 < curated.count() < docs.count()
