@@ -882,3 +882,94 @@ def resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value_ffill",
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d') AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+      FROM events
+    ),
+    cohort_sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM firsts GROUP BY cohort
+    )
+    SELECT f.cohort, a.wk AS active_week,
+           CAST(COUNT(*) AS BIGINT) AS n_active, MAX(s.n_cohort) AS n_cohort,
+           ROUND(COUNT(*) * 1.0 / MAX(s.n_cohort), 6) AS retention
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    JOIN cohort_sizes s ON f.cohort = s.cohort
+    GROUP BY f.cohort, a.wk
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users keyed by first-seen week, the
+    fraction still active in each subsequent week — the canonical
+    product-analytics matrix. Shape: one per-user MIN aggregate (hash,
+    map-side combined), one distinct (user, week) aggregate, then a
+    join on user_id and a (cohort x week) aggregate — all shuffles on
+    high-cardinality keys; the cohort-size frame re-joins broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort"))
+    activity = ev.select("user_id", wk(F.col("ts")).alias("wk")).distinct()
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    return (
+        firsts.join(activity, "user_id")
+        .join(F.broadcast(sizes), "cohort")
+        .groupBy("cohort", F.col("wk").alias("active_week"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.max("n_cohort").alias("n_cohort"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.max("n_cohort"), 6).alias("retention"),
+        )
+    )
+
+
+@query(
+    "event_transition_matrix",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the Sankey/flow-diagram aggregate): one lag window
+    partitioned by user (single shuffle on the user key), a
+    (prev, next) hash aggregate, and a row-normalizing window over the
+    |types|^2 transition frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 6).alias("p"),
+    )
