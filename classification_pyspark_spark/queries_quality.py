@@ -973,3 +973,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@query(
+    "funnel_three_step",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click,
+           ROUND((SELECT COUNT(*) FROM c) * 1.0 / (SELECT COUNT(*) FROM v), 6) AS conv_step2,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0 / (SELECT COUNT(*) FROM c), 6) AS conv_step3
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order 3-step funnel (view -> click after view -> purchase
+    after that click): each step is a per-user MIN aggregate joined to
+    the previous step's anchor time — all shuffles on the user key,
+    and the three step counts collapse to a one-row summary. The
+    strict ordering (each step must FOLLOW the prior step's first
+    completion) is what naive type-count funnels get wrong."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(F.col("n_click_after_view") * 1.0 / F.col("n_view"), 6).alias("conv_step2"),
+            F.round(
+                F.col("n_purchase_after_click") * 1.0 / F.col("n_click_after_view"), 6
+            ).alias("conv_step3"),
+        )
+    )

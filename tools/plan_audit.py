@@ -39,6 +39,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "funnel_three_step": {
+        "single_partition": "three 1-row step-count aggregates cross-joined "
+        "into the summary row"
+    },
     "psi_weekly_drift": {
         "single_partition": "1-row reference-week broadcast; proportions "
         "window the (weeks x bins) aggregate frame"
