@@ -793,3 +793,136 @@ def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return time_decayed_mean(d, ["c_custkey"], "o_totalprice", "days", half_life_days=90.0)
+
+
+@query(
+    "ab_test_proportion_ztest",
+    sql="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY grp
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN grp = 'A' THEN n END) AS na,
+             MAX(CASE WHEN grp = 'A' THEN conv END) AS ca,
+             MAX(CASE WHEN grp = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN grp = 'B' THEN conv END) AS cb
+      FROM g
+    )
+    SELECT na, ca, nb, cb,
+           ROUND(ca * 1.0 / na, 6) AS p_a, ROUND(cb * 1.0 / nb, 6) AS p_b,
+           ROUND((ca * 1.0 / na - cb * 1.0 / nb)
+                 / SQRT(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z_score
+    FROM wide
+    """,
+)
+def ab_test_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test for an A/B experiment: users
+    assigned to arms by md5-hash (deterministic, engine-reproducible —
+    the assignment IS the experiment bucketing a real pipeline would
+    persist), conversion = any purchase event; pooled-variance z-score
+    in one pass. Shape: per-user conversion aggregate -> 2-row arm
+    aggregate -> 1-row statistic; no data leaves the executors until
+    the 2-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("grp", grp)
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("converted").cast("long").alias("conv")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na") + F.col("nb"))
+    return wide.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(
+            (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))), 6
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "chi_square_independence",
+    sql="""
+    WITH ct AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT seg, pri, n,
+             SUM(n) OVER (PARTITION BY seg) AS row_n,
+             SUM(n) OVER (PARTITION BY pri) AS col_n,
+             SUM(n) OVER () AS grand_n
+      FROM ct
+    )
+    SELECT ROUND(SUM(POWER(n - row_n * col_n * 1.0 / grand_n, 2)
+                     / (row_n * col_n * 1.0 / grand_n)), 6) AS chi2,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS BIGINT) AS dof,
+           CAST(MAX(grand_n) AS BIGINT) AS n
+    FROM tot
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between market segment and order
+    priority: the contingency table is one hash aggregate; expected
+    counts come from margin windows over that bounded |seg|x|pri|
+    frame, and the statistic folds to one row. The categorical-
+    association companion to the correlation matrix."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = ct.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_n"),
+        F.sum("n").over(Window.partitionBy("pri")).alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).alias("grand_n"),
+    )
+    e = F.col("row_n") * F.col("col_n") * 1.0 / F.col("grand_n")
+    return tot.agg(
+        F.round(F.sum(F.pow(F.col("n") - e, 2) / e), 6).alias("chi2"),
+        ((F.count_distinct(F.col("seg")) - 1) * (F.count_distinct(F.col("pri")) - 1))
+        .cast("long")
+        .alias("dof"),
+        F.max("grand_n").cast("long").alias("n"),
+    )

@@ -39,6 +39,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "ab_test_proportion_ztest": {
+        "single_partition": "2-row arm aggregate -> 1-row z statistic"
+    },
+    "chi_square_independence": {
+        "single_partition": "margin windows + statistic fold over the "
+        "|seg|x|pri| contingency frame"
+    },
     "funnel_three_step": {
         "single_partition": "three 1-row step-count aggregates cross-joined "
         "into the summary row"
