@@ -193,8 +193,18 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     # minhash pair join a second time just for the status message
     n = spark.read.parquet(out).count()
     if report_out:
+        rep_src = flagged
+        if max_ppl is not None:
+            # attribute perplexity-gate drops too: docs that passed the
+            # lang + quality filters but scored keep=0
+            rep_src = flagged.join(
+                scores.select("doc_id", F.col("keep").alias("__ppl_keep")), "doc_id", "left"
+            )
+        else:
+            rep_src = flagged.withColumn("__ppl_keep", F.lit(1))
+        passed_lq = (F.col("__lg") == F.col("lang")) & (F.col("__q") >= min_quality)
         report = (
-            flagged.groupBy("source")
+            rep_src.groupBy("source")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
                 F.sum(F.when(F.col("__lg") != F.col("lang"), 1).otherwise(0))
@@ -207,6 +217,9 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
                 )
                 .cast("long")
                 .alias("n_dropped_quality"),
+                F.sum(F.when(passed_lq & (F.coalesce("__ppl_keep", F.lit(0)) == 0), 1).otherwise(0))
+                .cast("long")
+                .alias("n_dropped_ppl"),
             )
         )
         report.write.mode("overwrite").parquet(report_out)

@@ -830,10 +830,12 @@ def ab_test_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample proportion z-test for an A/B experiment: users
     assigned to arms by md5-hash (deterministic, engine-reproducible —
     the assignment IS the experiment bucketing a real pipeline would
-    persist), conversion = any purchase event; pooled-variance z-score
-    in one pass. Shape: per-user conversion aggregate -> 2-row arm
-    aggregate -> 1-row statistic; no data leaves the executors until
-    the 2-row frame."""
+    persist), conversion = heavy purchaser (>= 14 purchase events —
+    the dense synthetic data gives EVERY user at least one purchase,
+    which would saturate the pooled rate at 1 and zero the variance);
+    pooled-variance z-score in one pass. Shape: per-user conversion
+    aggregate -> 2-row arm aggregate -> 1-row statistic; no data
+    leaves the executors until the 2-row frame."""
     ev = load_table(spark, sf_dir, "events")
     grp = F.when(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast("long")
@@ -881,28 +883,31 @@ def ab_test_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2
     ),
-    tot AS (
-      SELECT seg, pri, n,
-             SUM(n) OVER (PARTITION BY seg) AS row_n,
-             SUM(n) OVER (PARTITION BY pri) AS col_n,
-             SUM(n) OVER () AS grand_n
-      FROM ct
+    rows_ AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS row_n FROM ct GROUP BY seg),
+    cols_ AS (SELECT pri, CAST(SUM(n) AS BIGINT) AS col_n FROM ct GROUP BY pri),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand_n FROM ct),
+    grid AS (
+      SELECT rows_.seg, cols_.pri, row_n, col_n, grand_n, COALESCE(ct.n, 0) AS n
+      FROM rows_ CROSS JOIN cols_ CROSS JOIN g
+      LEFT JOIN ct ON ct.seg = rows_.seg AND ct.pri = cols_.pri
     )
     SELECT ROUND(SUM(POWER(n - row_n * col_n * 1.0 / grand_n, 2)
                      / (row_n * col_n * 1.0 / grand_n)), 6) AS chi2,
            CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS BIGINT) AS dof,
            CAST(MAX(grand_n) AS BIGINT) AS n
-    FROM tot
+    FROM grid
     """,
 )
 def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test between market segment and order
-    priority: the contingency table is one hash aggregate; expected
-    counts come from margin windows over that bounded |seg|x|pri|
-    frame, and the statistic folds to one row. The categorical-
-    association companion to the correlation matrix."""
-    from pyspark.sql import Window
-
+    priority: the contingency table is one hash aggregate; the grid is
+    DENSIFIED (margin cross join, observed counts left-joined with
+    zero fill) so absent (seg, pri) combinations still contribute
+    their full expected count to the statistic — dropping them would
+    silently bias sparse tables toward independence. Everything past
+    the first aggregate operates on the bounded |seg|x|pri| frame and
+    folds to one row. The categorical-association companion to the
+    correlation matrix."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     ct = (
@@ -910,16 +915,17 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    tot = ct.select(
-        "seg",
-        "pri",
-        "n",
-        F.sum("n").over(Window.partitionBy("seg")).alias("row_n"),
-        F.sum("n").over(Window.partitionBy("pri")).alias("col_n"),
-        F.sum("n").over(Window.partitionBy()).alias("grand_n"),
+    rows_ = ct.groupBy("seg").agg(F.sum("n").cast("long").alias("row_n"))
+    cols_ = ct.groupBy("pri").agg(F.sum("n").cast("long").alias("col_n"))
+    g = ct.agg(F.sum("n").cast("long").alias("grand_n"))
+    grid = (
+        rows_.crossJoin(cols_)
+        .crossJoin(F.broadcast(g))
+        .join(ct, ["seg", "pri"], "left")
+        .select("seg", "pri", "row_n", "col_n", "grand_n", F.coalesce("n", F.lit(0)).alias("n"))
     )
     e = F.col("row_n") * F.col("col_n") * 1.0 / F.col("grand_n")
-    return tot.agg(
+    return grid.agg(
         F.round(F.sum(F.pow(F.col("n") - e, 2) / e), 6).alias("chi2"),
         ((F.count_distinct(F.col("seg")) - 1) * (F.count_distinct(F.col("pri")) - 1))
         .cast("long")

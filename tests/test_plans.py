@@ -335,19 +335,34 @@ def test_corpus_curation_job_with_perplexity_gate(spark, sf_dir, tmp_path):
     from classification_pyspark_spark.plans.runner import execute_job
 
     out = str(tmp_path / "curated_ppl")
-    plan = create_job_plan(
-        {"name": "corpus-curation",
-         "stages": [{"name": "curate", "tasks": [
-             {"name": "curate-documents",
-              "params": {"sf_dir": sf_dir, "out": out, "max_ppl": 31.0}}]}]}
-    )
-    results = execute_job(spark, plan)
-    assert all(v.success for v in results.values()), results
+    out_ungated = str(tmp_path / "curated_noppl")
+    report = str(tmp_path / "report_ppl")
+
+    def run(params_out, extra):
+        plan = create_job_plan(
+            {"name": "corpus-curation",
+             "stages": [{"name": "curate", "tasks": [
+                 {"name": "curate-documents",
+                  "params": {"sf_dir": sf_dir, "out": params_out, **extra}}]}]}
+        )
+        results = execute_job(spark, plan)
+        assert all(v.success for v in results.values()), results
+
+    run(out, {"max_ppl": 31.0, "report_out": report})
+    run(out_ungated, {})
     curated = spark.read.parquet(out)
+    ungated = spark.read.parquet(out_ungated)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     scores = bigram_lm_perplexity(docs, "text", "doc_id", keep_threshold=31.0)
     over_gate = curated.join(
         scores.filter("keep = 0").select("doc_id"), "doc_id"
     )
     assert over_gate.count() == 0
-    assert 0 < curated.count() < docs.count()
+    # the gate strictly shrinks output vs the same pipeline without it
+    assert 0 < curated.count() < ungated.count()
+    # and the drop report attributes the gated docs per source
+    rep = spark.read.parquet(report)
+    assert "n_dropped_ppl" in rep.columns
+    from pyspark.sql import functions as SF
+
+    assert rep.agg(SF.sum("n_dropped_ppl")).first()[0] > 0
