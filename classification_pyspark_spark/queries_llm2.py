@@ -1,22 +1,26 @@
 """Query registry batch: corpus-curation depth ops (round 3).
 
-Three LLM-data-pipeline operators past the round-2 surface, each a
-standard technique from published pretraining pipelines re-expressed
+LLM-data-pipeline operators past the round-2 surface, each a standard
+technique from published pretraining pipelines re-expressed
 Spark-first:
 
-- ``lm_perplexity_filter``   — add-one bigram-LM perplexity per doc
+- ``lm_perplexity_filter``     — add-one bigram-LM perplexity per doc
   (the CCNet-style LM quality filter; a production pipeline scores
   against a clean-reference KenLM, but the engine mechanics — n-gram
   count tables + a score join — are identical).
-- ``duplicated_ngram_spans`` — per-doc coverage by n-grams shared with
-  other docs: the posting-list approximation of exact substring dedup
-  (Lee et al. 2022) that needs no distributed suffix array.
-- ``tfidf_cosine_pairs``     — sparse lexical cosine near-dup pairs via
-  posting-list join: the no-embedding complement to
+- ``duplicated_ngram_spans``   — per-doc coverage by n-grams shared
+  with other docs: the posting-list approximation of exact substring
+  dedup (Lee et al. 2022) that needs no distributed suffix array.
+- ``tfidf_cosine_pairs``       — sparse lexical cosine near-dup pairs
+  via posting-list join: the no-embedding complement to
   ``embedding_dup_pairs``.
+- ``corpus_mix_sample``        — the domain-mix weights materialized as
+  a deterministic per-source Bernoulli sample (md5-fraction).
+- ``negative_sampling_pairs``  — hash-ranked cross-source contrastive
+  negatives from a fixed-size (top-50 by hash) candidate pool.
 
-All three are oracle-checked; posting-size caps exist on the operators
-for production skew safety (oracle queries run exact).
+All are oracle-checked; posting-size caps exist on the operators for
+production skew safety (oracle queries run exact).
 """
 
 from __future__ import annotations
