@@ -1039,3 +1039,123 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_step3"),
         )
     )
+
+
+@query(
+    "copurchase_brand_lift",
+    sql="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab,
+           ROUND(n_ab * 1.0 * n.n_orders / (ca.n_b * cb.n_b), 6) AS lift
+    FROM pairs
+    JOIN bc ca ON brand_a = ca.brand
+    JOIN bc cb ON brand_b = cb.brand
+    CROSS JOIN n
+    WHERE n_ab >= 20
+    """,
+)
+def copurchase_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: lift of brand co-occurrence within
+    an order (P(a,b)/(P(a)P(b)) over orders). The pair join blocks on
+    the order key, so fan-out is bounded by items-per-order (~C(4,2)
+    pairs each), never corpus-quadratic; brand margins re-join on the
+    bounded brand frame and the order total rides along as a 1-row
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("okey").cast("long").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ca = bc.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("na_"))
+    cb = bc.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("nb_"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") >= 20)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_orders") / (F.col("na_") * F.col("nb_")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS tp
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT (epoch_us(p.tp) - epoch_us(v.t1)) / 60000000.0 AS mins
+      FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(mins, 0.5), 4) AS median_mins,
+           ROUND(quantile_cont(mins, 0.9), 4) AS p90_mins,
+           ROUND(AVG(mins), 4) AS mean_mins
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (first view -> first subsequent
+    purchase, minutes): per-user MIN anchors joined on the user key,
+    then one summary aggregate with exact percentiles. Microsecond
+    epochs on both engines (whole-second truncation diverges from the
+    oracle by the sub-second parts of the anchor timestamps)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    d = v.join(p, "user_id").select(
+        (
+            (
+                F.unix_micros(F.col("tp").cast("timestamp"))
+                - F.unix_micros(F.col("t1").cast("timestamp"))
+            )
+            / 60000000.0
+        ).alias("mins")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(mins, 0.5)"), 4).alias("median_mins"),
+        F.round(F.expr("percentile(mins, 0.9)"), 4).alias("p90_mins"),
+        F.round(F.avg("mins"), 4).alias("mean_mins"),
+    )

@@ -39,6 +39,12 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "copurchase_brand_lift": {
+        "single_partition": "1-row order-count broadcast for the lift denominator"
+    },
+    "funnel_time_to_convert": {
+        "single_partition": "1-row duration-distribution summary aggregate"
+    },
     "ab_test_proportion_ztest": {
         "single_partition": "2-row arm aggregate -> 1-row z statistic"
     },
