@@ -212,3 +212,44 @@ def test_boxplot_stats_matches_numpy_quartiles(spark, vals):
     assert math.isclose(r["whisker_high"], round(max(inside), 4), abs_tol=2e-4)
     assert r["n_outlier_low"] == sum(1 for v in vals if v < lo)
     assert r["n_outlier_high"] == sum(1 for v in vals if v > hi)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_tfidf_cosine_pairs_match_python_reference(spark, docs):
+    from classification_pyspark_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [(i, "x", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, "text", "id", "lang", min_cosine=0.0).collect()
+    }
+    # python reference: same smoothed-idf weights, exact cosine
+    n = len(docs)
+    from collections import Counter
+
+    tfs = [Counter(toks) for toks in docs]
+    dfreq = Counter(t for tf in tfs for t in tf)
+    w = [
+        {t: c * (math.log((1.0 + n) / (1.0 + dfreq[t])) + 1.0) for t, c in tf.items()}
+        for tf in tfs
+    ]
+    for a in range(n):
+        for b in range(a + 1, n):
+            shared = set(w[a]) & set(w[b])
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            na = math.sqrt(sum(x * x for x in w[a].values()))
+            nb = math.sqrt(sum(x * x for x in w[b].values()))
+            expect = round(dot / (na * nb), 4)
+            if shared:
+                assert (a, b) in got, (a, b, got)
+                assert math.isclose(got[(a, b)], expect, abs_tol=2e-4)
+            else:
+                assert (a, b) not in got  # no shared term -> no posting row
