@@ -120,11 +120,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    # Calibration probe: a fixed, code-independent JVM workload (range
+    # sum + shuffle) timed min-of-3. Its drift vs its recorded baseline
+    # measures the HOST, not this repo's code — the disambiguator for
+    # uniform slowdowns: queries drifted but calibration flat => a real
+    # everywhere-regression in shared code; both drifted => contention.
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("id % 97 AS k", "id AS v").groupBy(
+            "k"
+        ).sum("v").write.format("noop").mode("overwrite").save()
+        cal = min(cal, time.perf_counter() - t0)
+    calibration = round(cal, 3)
     out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
@@ -164,9 +178,18 @@ def main() -> None:
             )
             # Uniform slowdowns cancel out of the per-query ratios, so a
             # genuine everywhere-regression (shared code/session config)
-            # looks exactly like host contention. Surface it instead of
-            # silently passing: the gate WARNS on fleet drift > 2x.
+            # looks exactly like host contention — UNLESS the
+            # code-independent calibration probe disambiguates: queries
+            # drifted >2x while calibration stayed near its baseline
+            # means the CODE regressed everywhere, and that FAILS the
+            # gate (the __uniform__ sentinel); calibration drifting
+            # along with the fleet means the host, which only WARNs.
             out["fleet_drift_exceeds_2x"] = med > 2.0
+            base_cal = baseline.get("calibration_sec")
+            if base_cal:
+                out["calibration_delta"] = round(calibration / base_cal, 2)
+                if med > 2.0 and out["calibration_delta"] < 1.5:
+                    out["regressions"] = sorted({*out["regressions"], "__uniform__"})
     print(json.dumps(out))
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens_expr
+from .text import punct_tokens_expr, tokens_expr, word_ngrams_expr
 
 SHINGLE_K = 5
 N_MINHASH = 4
@@ -224,12 +224,7 @@ def ngram_jaccard_pairs(
     intersection misses capped grams, so jaccard is a lower bound.
     """
     toks = tokens_expr(F.lower(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    grams = word_ngrams_expr(toks, n, pad_short=True)
     # posting feeds three branches (both join sides + sizes): persist so
     # the tokenization/gram explode runs once, not three times
     posting = df.select(
@@ -294,19 +289,16 @@ def duplicated_ngram_spans(
     the cap from the JOIN, counting them as duplicated by definition)
     bounds even the posting join's skew at 100 TB. None = exact.
 
+    Docs with fewer than ``n`` tokens have no spans to share: they get
+    an explicit (n_grams 0, n_dup_grams 0, dup_fraction NULL) row
+    rather than a truncated pseudo-gram — two token-less docs must NOT
+    count as 100% mutually duplicated via the empty gram.
+
     Output: (``id_col``, n_grams long, n_dup_grams long,
-    dup_fraction double rounded 6).
+    dup_fraction double rounded 6) — one row for EVERY input doc.
     """
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"[^0-9a-z]+"),
-        lambda t: F.length(t) > 0,
-    )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    toks = punct_tokens_expr(F.col(text_col))
+    grams = word_ngrams_expr(toks, n, pad_short=False)
     g = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
     gd = g.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     if max_posting_size is not None:
@@ -317,16 +309,18 @@ def duplicated_ngram_spans(
         )
     else:
         joined = g.join(gd, "gram").select("id", "n_docs")
+    agg = joined.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count(F.when(F.col("n_docs") >= 2, 1)).cast("long").alias("n_dup_grams"),
+    )
+    # short docs produced no gram rows: attach explicit zero rows
+    all_ids = df.select(F.col(id_col).alias("id"))
     return (
-        joined.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.count(F.when(F.col("n_docs") >= 2, 1)).cast("long").alias("n_dup_grams"),
-        )
+        all_ids.join(agg, "id", "left")
         .select(
             F.col("id").alias("doc_id"),
-            "n_grams",
-            "n_dup_grams",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
             F.round(F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6).alias(
                 "dup_fraction"
             ),

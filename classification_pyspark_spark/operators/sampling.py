@@ -92,3 +92,18 @@ def hash_split_expr(id_col: str, train_pct: int = 80) -> Column:
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("int") % 100
     )
     return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))
+
+
+def md5_fraction_expr(id_col: str, hex_digits: int = 6) -> Column:
+    """Deterministic uniform fraction in [0, 1) from the first
+    ``hex_digits`` hex chars of md5(id-as-string) — the shared basis
+    for hash-based Bernoulli sampling (``corpus_mix_sample``) and
+    hash-ranked pools (``negative_sampling_pairs``). DuckDB twin:
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 6))::BIGINT
+    / 16777216.0``."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_digits), 16, 10).cast(
+            "long"
+        )
+        / float(16 ** hex_digits)
+    )

@@ -394,10 +394,7 @@ def tfidf_cosine_pairs(
     Output: (id_a < id_b, cosine double rounded 4) with
     cosine >= ``min_cosine``.
     """
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"[^0-9a-z]+"),
-        lambda t: F.length(t) > 0,
-    )
+    toks = punct_tokens_expr(F.col(text_col))
     terms = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(toks).alias("term"))
     tf = (
         terms.groupBy("id", "blk", "term")
@@ -444,3 +441,43 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def punct_tokens_expr(col: Column | str) -> Column:
+    """Non-empty tokens of the lowercased text split on ``[^0-9a-z]+``
+    — the shared tokenizer for the n-gram/tf-idf family (DuckDB twin:
+    ``list_filter(string_split_regex(trim(lower(x)), '[^0-9a-z]+'),
+    t -> len(t) > 0)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.trim(F.lower(c)), r"[^0-9a-z]+"), lambda t: F.length(t) > 0
+    )
+
+
+def word_ngrams_expr(toks: Column, n: int, pad_short: bool = False) -> Column:
+    """Distinct space-joined word n-grams of a token array.
+
+    ``pad_short=True`` keeps the historical posting-join behavior
+    (``greatest(size-(n-1), 1)``): a doc with fewer than ``n`` tokens
+    still emits ONE truncated gram, so it participates in joins.
+    ``pad_short=False`` is strict: short docs emit NO grams — required
+    when a gram's presence is itself the signal (two token-less docs
+    must not count as sharing a span via the empty gram).
+    """
+    if pad_short:
+        upper = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    else:
+        upper = F.size(toks) - (n - 1)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(upper, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    # sequence(1, 0) generates a DESCENDING [1, 0] — guard short docs
+    # to an empty array instead
+    if not pad_short:
+        grams = F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    return grams

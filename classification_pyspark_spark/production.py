@@ -167,13 +167,23 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
         F.md5("text").alias("__digest"),
     )
     kept = flagged.filter((F.col("__lg") == F.col("lang")) & (F.col("__q") >= min_quality))
+    scores = None
     if max_ppl is not None:
         # LM-perplexity gate (CCNet-style): score against the corpus
         # bigram LM and drop high-ppl docs; sub-2-token docs carry an
-        # explicit keep=0 verdict, so they drop here too
+        # explicit keep=0 verdict, so they drop here too. Persist the
+        # verdict projection: it feeds BOTH the curated sink and the
+        # drop report — without the persist the full corpus LM (two
+        # corpus-wide explodes + count tables) would run twice, the
+        # same re-execution hazard the count below avoids by reading
+        # the written files.
         from .operators.text import bigram_lm_perplexity
 
-        scores = bigram_lm_perplexity(d, "text", "doc_id", keep_threshold=float(max_ppl))
+        scores = (
+            bigram_lm_perplexity(d, "text", "doc_id", keep_threshold=float(max_ppl))
+            .select("doc_id", "keep")
+            .persist()
+        )
         kept = kept.join(scores.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
     # exact dedup first (digest window, keep lowest doc_id) ...
     rn = F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
@@ -193,7 +203,6 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     # minhash pair join a second time just for the status message
     n = spark.read.parquet(out).count()
     if report_out:
-        rep_src = flagged
         if max_ppl is not None:
             # attribute perplexity-gate drops too: docs that passed the
             # lang + quality filters but scored keep=0
@@ -223,4 +232,6 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
             )
         )
         report.write.mode("overwrite").parquet(report_out)
+    if scores is not None:
+        scores.unpersist()
     return TaskStatus(True, f"{n} curated docs")

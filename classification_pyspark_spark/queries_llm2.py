@@ -86,17 +86,22 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
-               range(1, greatest(len(w) - 4, 1) + 1),
+               range(1, greatest(len(w) - 4, 0) + 1),
                i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS gram
-      FROM t
+      FROM t WHERE len(w) >= 5
     ),
-    gd AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1)
-    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(COUNT(CASE WHEN gd.n_docs >= 2 THEN 1 END) AS BIGINT) AS n_dup_grams,
-           ROUND(COUNT(CASE WHEN gd.n_docs >= 2 THEN 1 END)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
-    FROM g JOIN gd USING (gram)
-    GROUP BY g.doc_id
+    gd AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY 1),
+    agg AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(CASE WHEN gd.n_docs >= 2 THEN 1 END) AS BIGINT) AS n_dup_grams
+      FROM g JOIN gd USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           ROUND(a.n_dup_grams / CAST(a.n_grams AS DOUBLE), 6) AS dup_fraction
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
     """,
 )
 def duplicated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,10 +197,9 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.col("n_tokens") / F.sum("n_tokens").over(w)
     keep = F.least((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, F.lit(1.0))
     probs = per_source.select("source", keep.alias("keep_prob"))
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
-        / 16777216.0
-    )
+    from .operators.sampling import md5_fraction_expr
+
+    frac = md5_fraction_expr("doc_id")
     return (
         d.join(F.broadcast(probs), "source")
         .filter(frac < F.col("keep_prob"))
@@ -239,10 +243,9 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
-        / 16777216.0
-    )
+    from .operators.sampling import md5_fraction_expr
+
+    frac = md5_fraction_expr("doc_id")
     pool = (
         d.select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"), frac.alias("__f"))
         .orderBy("__f", "neg_id")

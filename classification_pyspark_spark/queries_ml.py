@@ -12,6 +12,8 @@ columns so regression/classification formulas are oracle-checkable:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -759,7 +761,7 @@ def per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EWMA_LAM = __import__("math").log(2.0) / 90.0  # half-life 90 days
+_EWMA_LAM = math.log(2.0) / 90.0  # half-life 90 days
 
 
 @query(

@@ -98,3 +98,22 @@ def test_perplexity_short_docs_get_explicit_verdicts(spark):
         assert rows[i]["ppl"] is None
         assert rows[i]["keep"] == 0
     assert rows[1]["n_bigrams"] == 4 and rows[4]["n_bigrams"] == 4
+
+
+def test_dup_spans_short_docs_are_not_pseudo_duplicated(spark):
+    # two token-less docs and two 2-token docs must NOT count each
+    # other as shared spans via truncated pseudo-grams; they get
+    # explicit zero rows (dup_fraction NULL)
+    d = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, "foo bar"), (4, "foo bar"),
+         (5, "a b c d e f g"), (6, "a b c d e f g")],
+        "id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in duplicated_ngram_spans(d, "text", "id", n=5).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    for i in (1, 2, 3, 4):
+        assert rows[i]["n_grams"] == 0
+        assert rows[i]["n_dup_grams"] == 0
+        assert rows[i]["dup_fraction"] is None
+    assert rows[5]["n_grams"] == 3 and rows[5]["n_dup_grams"] == 3
+    assert rows[6]["dup_fraction"] == 1.0

@@ -49,12 +49,19 @@ def main() -> int:
         f"worst deltas: {worst}"
     )
     if out.get("fleet_drift_exceeds_2x"):
-        print(
-            "WARN: fleet-median drift exceeds 2x — either heavy host "
-            "contention or a UNIFORM regression in shared code/session "
-            "config; per-query ratios cannot distinguish them. Re-run on "
-            "a quiet box before trusting this result."
-        )
+        cal = out.get("calibration_delta")
+        if "__uniform__" in regressions:
+            print(
+                f"fleet-median drift > 2x with a flat calibration probe "
+                f"(calibration_delta={cal}): a UNIFORM regression in "
+                f"shared code, not host contention."
+            )
+        else:
+            print(
+                f"WARN: fleet-median drift exceeds 2x and the calibration "
+                f"probe drifted too (calibration_delta={cal}) — host "
+                f"contention. Re-run on a quiet box before trusting this."
+            )
     if regressions:
         print(f"FAIL: >2x-over-drift regressions: {regressions}")
         return 1
