@@ -393,6 +393,13 @@ def tfidf_cosine_pairs(
 
     Output: (id_a < id_b, cosine double rounded 4) with
     cosine >= ``min_cosine``.
+
+    Caching note: the tf and weight frames are persisted (each feeds
+    two downstream aggregates; without the persist the tokenize+explode
+    pipeline runs multiple times). The blocks are evictable
+    (MEMORY_AND_DISK default), but a long-lived session invoking this
+    over many corpora should ``spark.catalog.clearCache()`` between
+    runs — the oracle sweep harness does exactly that.
     """
     toks = punct_tokens_expr(F.col(text_col))
     terms = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(toks).alias("term"))
