@@ -1159,3 +1159,57 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(mins, 0.9)"), 4).alias("p90_mins"),
         F.round(F.avg("mins"), 4).alias("mean_mins"),
     )
+
+
+@query(
+    "key_skew_report",
+    sql="""
+    WITH oc AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey
+    ),
+    lo AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'orders' AS tbl, 'o_custkey' AS key,
+           CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top1_share,
+           ROUND(CAST(quantile_cont(c, 0.99) AS DOUBLE), 4) AS p99_key_count,
+           ROUND(MAX(c) * 1.0 / (SUM(c) * 1.0 / COUNT(*)), 4) AS max_over_mean
+    FROM oc
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey',
+           CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           ROUND(MAX(c) * 1.0 / SUM(c), 6),
+           ROUND(CAST(quantile_cont(c, 0.99) AS DOUBLE), 4),
+           ROUND(MAX(c) * 1.0 / (SUM(c) * 1.0 / COUNT(*)), 4)
+    FROM lo
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation key-skew profiler — the diagnostic that decides
+    whether a key needs the salting/AQE-skew tools (operators/skew.py):
+    per key-column, row count, distinct keys, the heaviest key's share,
+    the p99 per-key count, and max-over-mean (the straggler factor a
+    shuffle on this key would see). One hash aggregate per key column;
+    the statistic folds over the key-count frame, which is
+    distinct-key-sized with map-side combine."""
+
+    def profile(df: DataFrame, tbl: str, key: str) -> DataFrame:
+        kc = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        return kc.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(key).alias("key"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top1_share"),
+            F.round(F.expr("percentile(c, 0.99)").cast("double"), 4).alias("p99_key_count"),
+            F.round(F.max("c") * 1.0 / (F.sum("c") * 1.0 / F.count(F.lit(1))), 4).alias(
+                "max_over_mean"
+            ),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(o, "orders", "o_custkey").unionByName(
+        profile(li, "lineitem", "l_orderkey")
+    )

@@ -39,6 +39,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "key_skew_report": {
+        "single_partition": "1-row skew statistic fold per key column "
+        "over the distinct-key count frame"
+    },
     "copurchase_brand_lift": {
         "single_partition": "1-row order-count broadcast for the lift denominator"
     },
