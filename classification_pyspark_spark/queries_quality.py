@@ -1213,3 +1213,75 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(o, "orders", "o_custkey").unionByName(
         profile(li, "lineitem", "l_orderkey")
     )
+
+
+@query(
+    "activity_heatmap_dow_hour",
+    sql="""
+    WITH b AS (
+      SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INT) AS hr FROM events
+    ),
+    agg AS (
+      SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY dow, hr
+    )
+    SELECT dow, hr, n,
+           ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+    FROM agg
+    """,
+)
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap aggregate (the usage-
+    seasonality plot): one hash aggregate to the bounded 7x24 grid,
+    share window over that frame. Day-of-week numbering is aligned to
+    the oracle's convention (Sunday = 0): Spark's ``dayofweek`` is
+    1-based Sunday, so subtract one."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").cast("int").alias("hr")
+    )
+    agg = b.groupBy("dow", "hr").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy()
+    return agg.select(
+        "dow", "hr", "n", F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("share")
+    )
+
+
+@query(
+    "weekly_active_users",
+    sql="""
+    WITH wk AS (
+      SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT week, n_active, n_events,
+           ROUND((n_active - lag(n_active) OVER (ORDER BY week))
+                 * 1.0 / lag(n_active) OVER (ORDER BY week), 6) AS wow_change
+    FROM wk
+    """,
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users with week-over-week change — the top-line
+    engagement series. Exact distinct per week (one shuffle on the
+    week/user pair via the distinct aggregate); the lag window runs
+    over the weeks frame, bounded by the calendar, never by events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.count_distinct("user_id").cast("long").alias("n_active"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("n_active").over(w)
+    return wk.select(
+        "week",
+        "n_active",
+        "n_events",
+        F.round((F.col("n_active") - prev) * 1.0 / prev, 6).alias("wow_change"),
+    )

@@ -39,6 +39,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "activity_heatmap_dow_hour": {
+        "single_partition": "share window over the bounded 7x24 grid"
+    },
+    "weekly_active_users": {
+        "single_partition": "lag over the weeks frame",
+        "global_window": "week-over-week lag — frame bounded by the calendar",
+    },
     "key_skew_report": {
         "single_partition": "1-row skew statistic fold per key column "
         "over the distinct-key count frame"
