@@ -1285,3 +1285,51 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round((F.col("n_active") - prev) * 1.0 / prev, 6).alias("wow_change"),
     )
+
+
+@query(
+    "streaming_sliding_rates",
+    sql="""
+    WITH starts AS (
+      SELECT unnest([
+               make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)),
+               make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800) * 1000000 AS BIGINT))
+             ]) AS ws,
+             event_type
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming run of the sliding-window (1 hour /
+    30 minutes) rate aggregation — the overlapping-window companion to
+    ``streaming_tumbling_counts``: file-source landing zone, bounded
+    micro-batches, complete output mode drained with the available-now
+    trigger. Complete-mode windowed aggregation over the full source
+    equals the batch sliding group-by, so the unnest-both-starts DuckDB
+    oracle applies."""
+    import hashlib
+    import os
+
+    from .streaming.events import read_events_stream, run_to_memory, sliding_rates
+
+    stage = os.path.join(
+        "/tmp/spark_graft_stream_stage", hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    stream = read_events_stream(spark, stage, max_files_per_trigger=2)
+    name = "q_streaming_sliding"
+    run_to_memory(
+        sliding_rates(stream, window="1 hour", slide="30 minutes", watermark="2 hours"),
+        name,
+        output_mode="complete",
+    )
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
