@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table, spread_for_compute
+from .functions.money import cents_expr as cents
 from .queries import query
 
 
@@ -1332,4 +1333,81 @@ def streaming_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         F.col("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "supplier_lead_time_stats",
+    sql="""
+    WITH lt AS (
+      SELECT n.n_name AS nation,
+             date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(days), 4) AS mean_days,
+           ROUND(quantile_cont(days, 0.5), 4) AS median_days,
+           ROUND(quantile_cont(days, 0.9), 4) AS p90_days
+    FROM lt GROUP BY nation
+    """,
+)
+def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time distribution per supplier nation — the
+    operational SLA profile. One join chain (supplier and nation dims
+    broadcast under AQE) into a per-nation aggregate with exact
+    percentiles over the bounded nation frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lt = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days"
+            ),
+        )
+    )
+    return lt.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("days"), 4).alias("mean_days"),
+        F.round(F.expr("percentile(days, 0.5)"), 4).alias("median_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90_days"),
+    )
+
+
+@query(
+    "monthly_revenue_seasonality",
+    sql="""
+    WITH m AS (
+      SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, cents / CAST(100.0 AS DOUBLE) AS revenue,
+           ROUND(cents * 1.0 / SUM(cents) OVER (), 6) AS share
+    FROM m
+    """,
+)
+def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year revenue seasonality: exact long-cents sums per
+    calendar month with each month's share of the total — the share
+    window runs over the 12-row month frame."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month(F.col("o_orderdate").cast("date")).cast("int").alias("month")).agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("cents")
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "month",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        F.round(F.col("cents") * 1.0 / F.sum("cents").over(w), 6).alias("share"),
     )

@@ -39,6 +39,9 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "monthly_revenue_seasonality": {
+        "single_partition": "share window over the 12-row month frame"
+    },
     "activity_heatmap_dow_hour": {
         "single_partition": "share window over the bounded 7x24 grid"
     },
