@@ -1411,3 +1411,59 @@ def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / F.lit(100.0)).alias("revenue"),
         F.round(F.col("cents") * 1.0 / F.sum("cents").over(w), 6).alias("share"),
     )
+
+
+@query(
+    "part_type_revenue_pareto",
+    sql="""
+    WITH r AS (
+      SELECT p.p_type AS part_type,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS cents4
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type
+    ),
+    ranked AS (
+      SELECT part_type, cents4 / 10000.0 AS revenue,
+             SUM(cents4) OVER (ORDER BY cents4 DESC, part_type ASC
+                               ROWS UNBOUNDED PRECEDING) * 1.0
+               / SUM(cents4) OVER () AS cum_share
+      FROM r
+    )
+    SELECT part_type, revenue, ROUND(cum_share, 6) AS cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def part_type_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis of discounted revenue by part type: rank
+    types by revenue, cumulative share, A (top 80%) / B (to 95%) / C
+    classes. Exact 4dp-cents revenue; the heavy side is ONE fact
+    aggregate, and the cumulative window runs over the bounded
+    part-type frame (|types| rows), not fact rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents4 = F.sum(
+        cents("l_extendedprice") * (100 - cents("l_discount"))
+    ).cast("long")
+    r = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(cents4.alias("cents4"))
+    )
+    w_cum = Window.orderBy(F.desc("cents4"), F.asc("part_type")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    cum_share = F.sum("cents4").over(w_cum) * 1.0 / F.sum("cents4").over(w_tot)
+    return r.select(
+        "part_type",
+        (F.col("cents4") / F.lit(10000.0)).alias("revenue"),
+        F.round(cum_share, 6).alias("cum_share"),
+        F.when(cum_share <= 0.8, "A").when(cum_share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

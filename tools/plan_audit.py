@@ -39,6 +39,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "is the score-level aggregate, not raw rows",
     },
     "threshold_sweep": {"single_partition": "101-row threshold frame"},
+    "part_type_revenue_pareto": {
+        "single_partition": "cumulative-share fold over the part-type frame",
+        "global_window": "Pareto cumsum over the bounded |types| aggregate",
+    },
     "monthly_revenue_seasonality": {
         "single_partition": "share window over the 12-row month frame"
     },
