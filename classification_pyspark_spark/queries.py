@@ -57,6 +57,7 @@ def _register_extensions() -> None:
         queries_plots,
         queries_quality,
         queries_rel,
+        queries_search,
         queries_sqlapi,
         queries_tpch,
         queries_tpch2,

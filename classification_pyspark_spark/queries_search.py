@@ -1,0 +1,272 @@
+"""Query registry batch 9: retrieval, privacy-audit, and robust-stats
+operators — BM25 keyword search, k-anonymity profiling, autocorrelation
+of a revenue series, and MAD-based robust outlier detection.
+
+These extend the reference's text/EDA surface (TF-IDF features in
+``src/ta_lib/pyspark/eda.py``, outlier treatment in
+``dp.py:outlier_treatment``) with the retrieval-grade and
+privacy/robustness tools a 100 TB training-data pipeline needs:
+keyword probes over a corpus, re-identification risk before
+publishing, seasonality detection on monitoring series, and
+median/MAD outliers that survive the heavy tails σ-rules choke on.
+
+Imported by ``queries`` for registration side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.money import cents_expr as cents
+from .queries import query
+
+# Shared token pipeline (Spark split <-> DuckDB string_split_regex):
+# see operators/text.py:punct_tokens_expr for the equivalence contract.
+_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'), t -> length(t) > 0)"
+)
+
+_BM25_TERMS = ("hash", "join", "merge")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (Okapi BM25, posting-filtered before any shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "bm25_keyword_topk",
+    sql=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS dl FROM documents
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+      ) WHERE term IN ('hash', 'join', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id AS doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_hit_terms,
+           ROUND(SUM(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 for the query {hash, join, merge}.
+
+    Scale: the query-term filter hits the exploded token stream before
+    any aggregation, so only |Q|-term postings shuffle (the full
+    vocabulary never does); corpus stats and per-term df are 1-row /
+    |Q|-row broadcasts; final top-k is TakeOrderedAndProject. See
+    ``operators/ranking.py:bm25_topk``.
+    """
+    from .operators.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity equivalence-class profile (privacy audit pre-publication).
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_profile",
+    sql="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS INTEGER) AS bal_band,
+             COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN sz < 10 THEN 1 ELSE 0 END AS INTEGER) AS below_k10
+    FROM g GROUP BY sz ORDER BY group_size
+    """,
+)
+def k_anonymity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, account-balance band): the distribution of
+    equivalence-class sizes, flagging classes below k=10 — the
+    re-identification risk profile a dataset release runs first
+    (Sweeney, IJUFKS 2002). Two chained hash aggregates, both keyed
+    and map-side combined; output is bounded by the distinct class
+    sizes, so nothing data-sized leaves the executors."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        g.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("sz").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.col("sz").cast("long").alias("group_size"),
+            "n_groups",
+            "n_rows",
+            F.when(F.col("sz") < 10, 1).otherwise(0).cast("int").alias("below_k10"),
+        )
+        .orderBy("group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily-revenue series (lags 1..7).
+# ---------------------------------------------------------------------------
+@query(
+    "acf_daily_revenue",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS rev
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag_k)
+    SELECT lag_k,
+           ROUND(corr(a.rev, b.rev), 6) AS acf,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM daily a CROSS JOIN lags JOIN daily b ON b.d = a.d - lag_k
+    GROUP BY lag_k ORDER BY lag_k
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (Pearson) of daily order revenue at lags 1..7 —
+    the weekly-seasonality detector for a monitoring series. Expressed
+    as a self-equi-join of the daily aggregate on (day - lag), NOT a
+    global window: the daily frame is calendar-bounded (~2.4k rows at
+    any SF) so the 7x fan-out plus the self-join shuffle stays tiny,
+    and the orders scan happens once. Revenue sums use exact LONG
+    cents (``functions/money.py``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("rev")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    a = daily.crossJoin(F.broadcast(lags)).withColumn(
+        "prev_d", F.date_sub(F.col("d"), F.col("lag_k"))
+    )
+    b = daily.select(F.col("d").alias("prev_d"), F.col("rev").alias("prev_rev"))
+    return (
+        a.join(b, "prev_d")
+        .groupBy("lag_k")
+        .agg(
+            F.round(F.corr("rev", "prev_rev"), 6).alias("acf"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outliers (median / median-absolute-deviation z).
+# ---------------------------------------------------------------------------
+@query(
+    "mad_robust_outliers",
+    sql="""
+    WITH med AS (
+      SELECT quantile_cont(l_quantity, 0.5) AS m_qty,
+             quantile_cont(l_extendedprice, 0.5) AS m_price,
+             quantile_cont(l_discount, 0.5) AS m_disc
+      FROM lineitem
+    ),
+    mad AS (
+      SELECT quantile_cont(abs(l_quantity - m_qty), 0.5) AS d_qty,
+             quantile_cont(abs(l_extendedprice - m_price), 0.5) AS d_price,
+             quantile_cont(abs(l_discount - m_disc), 0.5) AS d_disc
+      FROM lineitem, med
+    )
+    SELECT col, ROUND(med_val, 6) AS med_val, ROUND(mad_val, 6) AS mad_val,
+           CAST(n_outliers AS BIGINT) AS n_outliers
+    FROM (
+      SELECT 'l_quantity' AS col, m_qty AS med_val, d_qty AS mad_val,
+             COUNT(CASE WHEN 0.6745 * abs(l_quantity - m_qty) > 3.5 * d_qty THEN 1 END) AS n_outliers
+      FROM lineitem, med, mad GROUP BY m_qty, d_qty
+      UNION ALL
+      SELECT 'l_extendedprice', m_price, d_price,
+             COUNT(CASE WHEN 0.6745 * abs(l_extendedprice - m_price) > 3.5 * d_price THEN 1 END)
+      FROM lineitem, med, mad GROUP BY m_price, d_price
+      UNION ALL
+      SELECT 'l_discount', m_disc, d_disc,
+             COUNT(CASE WHEN 0.6745 * abs(l_discount - m_disc) > 3.5 * d_disc THEN 1 END)
+      FROM lineitem, med, mad GROUP BY m_disc, d_disc
+    ) ORDER BY col
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via the modified z-score 0.6745*|x-med|/MAD
+    > 3.5 (Iglewicz & Hoaglin, 1993) for three lineitem measures —
+    the heavy-tail-safe sibling of the IQR/σ rules in
+    ``operators/outliers.py`` (ref: ``dp.py:outlier_treatment``).
+
+    Three full-codegen scans by necessity (median, then MAD needs the
+    median, then the count needs both); each intermediate is a 1-row
+    broadcast. At 100 TB swap ``percentile`` for ``percentile_approx``
+    — same plan shape, sketch-mergeable partials (the exact form here
+    is what makes the DuckDB oracle byte-comparable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_discount", "disc")]
+    # persist the 1-row stat frames: each is a full-scan aggregate and
+    # appears in two downstream branches of one action — without the
+    # persist Catalyst re-executes the subtree (no common-subplan reuse
+    # across DataFrame branches), costing extra scans
+    med = li.agg(
+        *[F.percentile(c, F.lit(0.5)).alias(f"m_{tag}") for c, tag in cols]
+    ).persist()
+    with_med = li.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        *[
+            F.percentile(F.abs(F.col(c) - F.col(f"m_{tag}")), F.lit(0.5)).alias(f"d_{tag}")
+            for c, tag in cols
+        ]
+    ).persist()
+    full = with_med.crossJoin(F.broadcast(mad))
+    # one counting scan for all three columns, then unpivot via stack
+    summary = full.agg(
+        *[F.first(f"m_{tag}").alias(f"m_{tag}") for _, tag in cols],
+        *[F.first(f"d_{tag}").alias(f"d_{tag}") for _, tag in cols],
+        *[
+            F.count(
+                F.when(
+                    0.6745 * F.abs(F.col(c) - F.col(f"m_{tag}")) > 3.5 * F.col(f"d_{tag}"),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias(f"n_{tag}")
+            for c, tag in cols
+        ],
+    )
+    stacked = summary.select(
+        F.expr(
+            "stack(3, "
+            "'l_extendedprice', m_price, d_price, n_price, "
+            "'l_discount', m_disc, d_disc, n_disc, "
+            "'l_quantity', m_qty, d_qty, n_qty"
+            ") as (col, med_raw, mad_raw, n_outliers)"
+        )
+    )
+    return stacked.select(
+        "col",
+        F.round("med_raw", 6).alias("med_val"),
+        F.round("mad_raw", 6).alias("mad_val"),
+        "n_outliers",
+    ).orderBy("col")

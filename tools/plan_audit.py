@@ -53,6 +53,15 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "lag over the weeks frame",
         "global_window": "week-over-week lag — frame bounded by the calendar",
     },
+    "bm25_keyword_topk": {
+        "single_partition": "1-row corpus-stats aggregate (N, avgdl) "
+        "broadcast into the scoring join; postings are term-filtered "
+        "before any shuffle"
+    },
+    "mad_robust_outliers": {
+        "single_partition": "three 1-row stat aggregates (median, MAD, "
+        "outlier counts) — each carries per-task partials, never data rows"
+    },
     "key_skew_report": {
         "single_partition": "1-row skew statistic fold per key column "
         "over the distinct-key count frame"
