@@ -270,3 +270,131 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad_raw", 6).alias("mad_val"),
         "n_outliers",
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch incremental distinct (HLL daily state -> rollup).
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_distinct_sketch",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type maintained as MERGEABLE daily HLL
+    sketches (Apache DataSketches via ``hll_sketch_agg``): the daily
+    state is built once per day, and any rollup (weekly, total,
+    cross-type) is a sketch UNION that never rescans raw events — the
+    incremental-maintenance pattern for count-distinct at 100 TB,
+    where an exact re-count of history per refresh is the bottleneck
+    (cf. ``incremental_agg_maintenance`` for the algebraic-aggregate
+    twin; HLL covers the non-algebraic COUNT DISTINCT).
+
+    The oracle compares against the exact distinct count: DataSketches
+    HLL is exact while a (type, day) group stays in sparse/coupon mode
+    (far above this harness's cardinalities) — the same
+    exact-at-test-scale posture as ``knn_ivf``. At production
+    cardinalities the estimate carries the standard ~1.6%/sqrt(2^lgK)
+    error and the query is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide measures -> long form).
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_measures",
+    sql="""
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS sum_price,
+             CAST(ROUND(AVG(l_discount), 6) AS DOUBLE) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, val FROM (
+      SELECT l_returnflag, 'avg_disc' AS measure, avg_disc AS val FROM a
+      UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+      UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM a
+    ) ORDER BY l_returnflag, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via native ``DataFrame.unpivot`` (melt):
+    per-returnflag measures stacked into (key, measure, value) rows —
+    the shape feature stores and plotting layers consume. The unpivot
+    runs AFTER the aggregate, so the Expand operator fans out only the
+    |flags|-row frame, never the raw scan; money sums use exact LONG
+    cents (``functions/money.py``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).orderBy("l_returnflag", "measure")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile state (KLL sketches per partition-of-history).
+# ---------------------------------------------------------------------------
+@query("kll_quantile_sketch_merge")  # rows-only: KLL compaction is randomized
+def kll_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles (p25/p50/p75/p95) from MERGEABLE per-month
+    KLL sketches (``kll_sketch_agg_double`` -> ``kll_sketch_merge``):
+    the monthly state refreshes incrementally and any period's
+    quantiles come from merging that period's sketches — no raw-data
+    re-sort, the incremental twin of ``describe_numeric_approx``.
+    Rows-only by design (KLL compaction is randomized, so no
+    cross-engine oracle); the rank-error bound against the exact
+    quantiles is pinned in ``tests/test_search_ops.py``."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.kll_sketch_agg_double("o_totalprice", F.lit(2048)).alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    # kll_sketch_merge_double is a binary scalar merge; fold the
+    # calendar-bounded (~84-row) month list with reduce — the collect
+    # is parameter-sized state, never data rows
+    merged = monthly.agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    ).withColumn(
+        "sk",
+        F.expr(
+            "reduce(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ),
+    )
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return merged.select(
+        "n_rows",
+        "n_months",
+        *[
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(q)), 2).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in qs
+        ],
+    )

@@ -113,3 +113,56 @@ def test_mad_flags_injected_extremes_sigma_misses(spark):
     r = out["l_quantity"]
     assert r["n_outliers"] == 3
     assert r["med_val"] <= 10.0 and r["mad_val"] > 0
+
+
+def test_kll_sketch_quantiles_within_rank_error(spark, sf_dir):
+    from classification_pyspark_spark.catalog import load_table
+
+    row = QUERIES["kll_quantile_sketch_merge"](spark, sf_dir).first()
+    orders = load_table(spark, sf_dir, "orders")
+    n = row["n_rows"]
+    assert n == orders.count() and row["n_months"] > 0
+    vals = sorted(v[0] for v in orders.select("o_totalprice").collect())
+    # KLL with k=2048: normalized rank error ~ 1.65% at 1e99 confidence;
+    # assert the loose 2% bound on every reported quantile
+    eps = 0.02
+    for q in (0.25, 0.5, 0.75, 0.95):
+        got = row[f"p{int(q * 100)}"]
+        lo = vals[max(0, int((q - eps) * n) - 1)]
+        hi = vals[min(n - 1, int((q + eps) * n))]
+        assert lo <= got <= hi, (q, lo, got, hi)
+
+
+def test_unpivot_measures_roundtrip(spark, sf_dir):
+    df = QUERIES["unpivot_measures"](spark, sf_dir)
+    rows = df.collect()
+    flags = {r["l_returnflag"] for r in rows}
+    # exactly 3 measures per key, and pivoting back loses nothing
+    assert len(rows) == 3 * len(flags)
+    per = {}
+    for r in rows:
+        per.setdefault(r["l_returnflag"], {})[r["measure"]] = r["val"]
+    for flag, m in per.items():
+        assert set(m) == {"sum_qty", "sum_price", "avg_disc"}
+        assert m["sum_price"] >= m["sum_qty"] >= 0
+        assert 0 <= m["avg_disc"] <= 1
+
+
+def test_hll_sketch_merge_equals_exact_at_test_scale(spark, sf_dir):
+    from classification_pyspark_spark.catalog import load_table
+
+    got = {
+        r["event_type"]: (r["n_days"], r["n_users"])
+        for r in QUERIES["incremental_distinct_sketch"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: (r["d"], r["u"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("d"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .collect()
+    }
+    assert got == exact

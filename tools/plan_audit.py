@@ -58,6 +58,11 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "broadcast into the scoring join; postings are term-filtered "
         "before any shuffle"
     },
+    "kll_quantile_sketch_merge": {
+        "single_partition": "1-row fold over the calendar-bounded "
+        "(~84-element) monthly sketch list — mergeable-sketch state, "
+        "never data rows"
+    },
     "mad_robust_outliers": {
         "single_partition": "three 1-row stat aggregates (median, MAD, "
         "outlier counts) — each carries per-task partials, never data rows"
