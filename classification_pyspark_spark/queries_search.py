@@ -401,3 +401,64 @@ def kll_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in qs
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# View abandonment (batch twin of the streaming left-outer join).
+# ---------------------------------------------------------------------------
+@query(
+    "view_abandonment_daily",
+    sql="""
+    WITH m AS (
+      SELECT v.event_id, CAST(v.ts AS DATE) AS d,
+             MAX(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS matched
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = v.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      GROUP BY v.event_id, CAST(v.ts AS DATE)
+    )
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(1 - matched) AS BIGINT) AS n_abandoned,
+           ROUND(AVG(CAST(1 - matched AS DOUBLE)), 6) AS abandonment_rate
+    FROM m GROUP BY d ORDER BY d
+    """,
+)
+def view_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily view-abandonment rate: share of views with NO same-user
+    purchase in the following hour. The match probe is the same
+    equi+range join as ``funnel_view_to_purchase`` (one user_id
+    shuffle, range predicate inside the join), folded to a per-view
+    matched flag and then to calendar-bounded daily rates. Streaming
+    twin (watermarked LEFT OUTER stream-stream join, emission gated on
+    watermark proving no match can arrive):
+    ``streaming.events.view_abandonment`` — tests/test_streaming.py
+    sandwiches its emitted set between batch bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    cond = (
+        (v.v_user == p.p_user)
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    m = (
+        v.join(p, cond, "left")
+        .groupBy("view_id", F.to_date("view_ts").alias("d"))
+        .agg(F.max(F.when(F.col("p_user").isNotNull(), 1).otherwise(0)).alias("matched"))
+    )
+    return (
+        m.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum(1 - F.col("matched")).cast("long").alias("n_abandoned"),
+            F.round(F.avg((1 - F.col("matched")).cast("double")), 6).alias("abandonment_rate"),
+        )
+        .orderBy("d")
+    )

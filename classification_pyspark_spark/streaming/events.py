@@ -250,6 +250,47 @@ def view_purchase_conversions(
     )
 
 
+def view_abandonment(
+    events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: views with NO same-user purchase
+    within ``horizon_minutes`` — the abandonment feed. Unlike the inner
+    join (which emits on match), the null-extended row for an
+    unmatched view can only be emitted once the watermark proves no
+    future purchase can still arrive for it — i.e. watermark >
+    view_ts + horizon — so emission lags the data by watermark +
+    horizon and state stays bounded by the same eviction rule.
+    Batch twin with DuckDB oracle: ``view_abandonment_daily`` in
+    queries_search."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    joined = views.join(purchases, cond, "leftOuter")
+    return joined.filter(F.col("purchase_id").isNull()).select(
+        F.col("v_user").alias("user_id"), "view_id", "view_ts"
+    )
+
+
 def maintain_user_stats_view(
     events: DataFrame,
     view_path: str,

@@ -276,3 +276,42 @@ def test_foreachbatch_merge_refuses_foreign_checkpoint(spark, sf_dir, tmp_path_f
     merge_stats_batch(batch, 0, view, checkpoint_tag="ckpt-A")
     with pytest.raises(RuntimeError, match="checkpoint"):
         merge_stats_batch(batch, 0, view, checkpoint_tag="ckpt-B")
+
+
+def test_stream_stream_left_outer_abandonment(spark, sf_dir, events_dir):
+    from classification_pyspark_spark.streaming.events import view_abandonment
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    run_to_memory(view_abandonment(stream), "t_abandoned", output_mode="append")
+    got = {r["view_id"] for r in spark.table("t_abandoned").select("view_id").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (v.v_user == p.p_user)
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    batch = (
+        v.join(p, cond, "left_anti")
+        .select("view_id", "view_ts")
+        .collect()
+    )
+    batch_ids = {r["view_id"] for r in batch}
+    # 1) soundness: everything the stream emitted is truly abandoned
+    assert got <= batch_ids
+    # 2) completeness up to the watermark: an unmatched view old enough
+    #    that the FINAL watermark (max_ts - 2h) passed view_ts + 1h has
+    #    provably no future match and must have been emitted
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=3, minutes=5)
+    must_emit = {r["view_id"] for r in batch if r["view_ts"] < cutoff}
+    assert must_emit and must_emit <= got
