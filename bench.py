@@ -80,6 +80,10 @@ HEADLINE = [
     "lm_perplexity_filter",
     "duplicated_ngram_spans",
     "lift_gain_table",
+    # retrieval / sketch / stream-twin batch additions
+    "bm25_keyword_topk",
+    "incremental_distinct_sketch",
+    "view_abandonment_daily",
 ]
 
 
