@@ -298,14 +298,15 @@ def incremental_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; HLL covers the non-algebraic COUNT DISTINCT).
 
     The oracle compares against the exact distinct count: DataSketches
-    HLL is exact while a (type, day) group stays in sparse/coupon mode
-    (far above this harness's cardinalities) — the same
-    exact-at-test-scale posture as ``knn_ivf``. At production
-    cardinalities the estimate carries the standard ~1.6%/sqrt(2^lgK)
-    error and the query is unchanged."""
+    HLL is exact while the union stays in sparse/coupon mode — lgK=14
+    keeps that true through sf0.1's cardinalities (the default lgK=12
+    already drifts there: 1488 vs 1500), the same exact-at-test-scale
+    posture as ``knn_ivf``. At production cardinalities the estimate
+    carries the standard ~1.6%/sqrt(2^lgK) error and the query is
+    unchanged."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
     )
     return (
         daily.groupBy("event_type")

@@ -253,3 +253,36 @@ def test_tfidf_cosine_pairs_match_python_reference(spark, docs):
                 assert math.isclose(got[(a, b)], expect, abs_tol=2e-4)
             else:
                 assert (a, b) not in got  # no shared term -> no posting row
+
+
+# --- BM25 vs a plain-python reference on random corpora -------------------
+
+_vocab = st.sampled_from(["hash", "join", "merge", "scan", "sort", "the", "x9"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(_vocab, min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference_on_random_corpora(spark, docs):
+    from classification_pyspark_spark.operators.ranking import bm25_topk
+    from tests.test_search_ops import _py_bm25
+
+    texts = dict(enumerate(docs))
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    terms = ("hash", "join", "merge")
+    got = {
+        r["doc_id"]: (r["n_hit_terms"], r["bm25"])
+        for r in bm25_topk(df, "text", "doc_id", terms, k=len(docs)).collect()
+    }
+    want = _py_bm25(texts, terms)
+    # float sum order may differ in the last ulp right at the rounding
+    # boundary; compare hits exactly and scores to 5 decimals
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1.5e-6)
