@@ -803,26 +803,16 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming.events.view_purchase_conversions`` —
     tests/test_streaming.py proves it emits the identical row set.
     """
+    from .streaming.events import conversion_cond, conversion_sides
+
     ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts_raw"),
-        F.col("event_id").alias("view_id"),
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts_raw"),
-        F.col("event_id").alias("purchase_id"), "value",
-    )
-    cond = (
-        (v.v_user == p.p_user)
-        & (F.col("purchase_ts_raw") >= F.col("view_ts_raw"))
-        & (F.col("purchase_ts_raw") <= F.col("view_ts_raw") + F.expr("INTERVAL 60 MINUTES"))
-    )
-    return v.join(p, cond).select(
+    v, p = conversion_sides(ev)
+    return v.join(p, conversion_cond()).select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "purchase_id",
-        F.date_format("view_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
-        F.date_format("purchase_ts_raw", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format(F.col("view_ts"), "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format(F.col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
 

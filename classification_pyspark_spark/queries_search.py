@@ -435,22 +435,12 @@ def view_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark proving no match can arrive):
     ``streaming.events.view_abandonment`` — tests/test_streaming.py
     sandwiches its emitted set between batch bounds."""
+    from .streaming.events import conversion_cond, conversion_sides
+
     ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("view_ts"),
-        F.col("event_id").alias("view_id"),
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
-    )
-    cond = (
-        (v.v_user == p.p_user)
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"))
-    )
+    v, p = conversion_sides(ev)
     m = (
-        v.join(p, cond, "left")
+        v.join(p, conversion_cond(), "left")
         .groupBy("view_id", F.to_date("view_ts").alias("d"))
         .agg(F.max(F.when(F.col("p_user").isNotNull(), 1).otherwise(0)).alias("matched"))
     )

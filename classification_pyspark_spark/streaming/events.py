@@ -206,8 +206,66 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame, left_key: str = "user_id"
     return events.join(F.broadcast(dim), events[left_key] == dim[right_key], "left")
 
 
+# The ONE definition of the view->purchase conversion pairing, shared
+# by the streaming inner/outer joins here and the batch twins
+# (queries_rel.funnel_view_to_purchase, queries_search.
+# view_abandonment_daily) so the horizon and bound inclusivity cannot
+# drift between an operator and its oracle-checked twin. The DuckDB
+# oracle strings hardcode the same INTERVAL — change HORIZON_MINUTES
+# and those SQL strings together.
+CONVERSION_HORIZON_MINUTES = 60
+
+
+def conversion_sides(
+    events: DataFrame, watermark: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(views, purchases) sides of the conversion join with the
+    standard column aliases; ``watermark`` (streaming callers) is
+    applied to ``ts`` before aliasing."""
+
+    def side(event_type: str, cols: list) -> DataFrame:
+        d = events.filter(F.col("event_type") == event_type)
+        if watermark is not None:
+            d = d.withWatermark("ts", watermark)
+        return d.select(*cols)
+
+    views = side(
+        "view",
+        [
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        ],
+    )
+    purchases = side(
+        "purchase",
+        [
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        ],
+    )
+    return views, purchases
+
+
+def conversion_cond(horizon_minutes: int = CONVERSION_HORIZON_MINUTES):
+    """Same-user purchase within [view_ts, view_ts + horizon], bounds
+    inclusive on both ends."""
+    return (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+
+
 def view_purchase_conversions(
-    events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
+    events: DataFrame,
+    watermark: str = "2 hours",
+    horizon_minutes: int = CONVERSION_HORIZON_MINUTES,
 ) -> DataFrame:
     """Stream-stream inner join: purchases matched to same-user views
     within ``horizon_minutes`` before the purchase (the conversion
@@ -216,31 +274,8 @@ def view_purchase_conversions(
     rows older than watermark + horizon — bounded memory on an
     unbounded stream. Batch twin with DuckDB oracle:
     ``funnel_view_to_purchase`` in queries_rel."""
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("view_ts"),
-            F.col("event_id").alias("view_id"),
-        )
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_id"),
-            "value",
-        )
-    )
-    cond = (
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
-    )
-    return views.join(purchases, cond, "inner").select(
+    views, purchases = conversion_sides(events, watermark)
+    return views.join(purchases, conversion_cond(horizon_minutes), "inner").select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "purchase_id",
@@ -251,41 +286,28 @@ def view_purchase_conversions(
 
 
 def view_abandonment(
-    events: DataFrame, watermark: str = "2 hours", horizon_minutes: int = 60
+    events: DataFrame,
+    watermark: str = "2 hours",
+    horizon_minutes: int = CONVERSION_HORIZON_MINUTES,
 ) -> DataFrame:
     """Stream-stream LEFT OUTER join: views with NO same-user purchase
     within ``horizon_minutes`` — the abandonment feed. Unlike the inner
     join (which emits on match), the null-extended row for an
-    unmatched view can only be emitted once the watermark proves no
-    future purchase can still arrive for it — i.e. watermark >
-    view_ts + horizon — so emission lags the data by watermark +
-    horizon and state stays bounded by the same eviction rule.
-    Batch twin with DuckDB oracle: ``view_abandonment_daily`` in
-    queries_search."""
-    views = (
-        events.filter(F.col("event_type") == "view")
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("view_ts"),
-            F.col("event_id").alias("view_id"),
-        )
-    )
-    purchases = (
-        events.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("event_id").alias("purchase_id"),
-        )
-    )
-    cond = (
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
-    )
-    joined = views.join(purchases, cond, "leftOuter")
+    unmatched view is emitted only once the watermark proves no future
+    purchase can still arrive for it — i.e. watermark > view_ts +
+    horizon — so emission lags the data by watermark + horizon and
+    state stays bounded by the same eviction rule.
+
+    Delivery caveat (standard stream-stream outer semantics): a view
+    arriving BELOW the current watermark — out of order by more than
+    the watermark delay, e.g. a backfilled partition — is dropped as
+    late input and never joins at all, so the feed under-reports under
+    heavy disorder rather than catching up. Size the watermark to the
+    source's real disorder bound; replay/backfill goes through the
+    batch twin (``view_abandonment_daily`` in queries_search), not
+    this operator."""
+    views, purchases = conversion_sides(events, watermark)
+    joined = views.join(purchases, conversion_cond(horizon_minutes), "leftOuter")
     return joined.filter(F.col("purchase_id").isNull()).select(
         F.col("v_user").alias("user_id"), "view_id", "view_ts"
     )

@@ -279,30 +279,26 @@ def test_foreachbatch_merge_refuses_foreign_checkpoint(spark, sf_dir, tmp_path_f
 
 
 def test_stream_stream_left_outer_abandonment(spark, sf_dir, events_dir):
-    from classification_pyspark_spark.streaming.events import view_abandonment
+    from classification_pyspark_spark.streaming.events import (
+        conversion_cond,
+        conversion_sides,
+        view_abandonment,
+    )
 
-    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    # single micro-batch drain (all files in one trigger), like the
+    # inner-join twin above: batch 1 runs at watermark 0, so no input
+    # is ever dropped as late and the completeness bound below is
+    # exact. A multi-batch drain of time-interleaved files would
+    # legitimately drop views arriving below the advanced watermark
+    # (the operator's documented late-data semantics), making
+    # completeness depend on the file split.
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=100)
     run_to_memory(view_abandonment(stream), "t_abandoned", output_mode="append")
     got = {r["view_id"] for r in spark.table("t_abandoned").select("view_id").collect()}
 
     ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"),
-        F.col("event_id").alias("view_id"),
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
-    )
-    cond = (
-        (v.v_user == p.p_user)
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 60 MINUTES"))
-    )
-    batch = (
-        v.join(p, cond, "left_anti")
-        .select("view_id", "view_ts")
-        .collect()
-    )
+    v, p = conversion_sides(ev)
+    batch = v.join(p, conversion_cond(), "left_anti").select("view_id", "view_ts").collect()
     batch_ids = {r["view_id"] for r in batch}
     # 1) soundness: everything the stream emitted is truly abandoned
     assert got <= batch_ids
