@@ -135,3 +135,42 @@ def generate_features_vector(
     from pyspark.ml.feature import VectorAssembler
 
     return VectorAssembler(inputCols=list(cols), outputCol=out_col, handleInvalid="skip").transform(df)
+
+
+def feature_hash_expr(col, n_buckets: int = 32):
+    """Hashing-trick bucket for one categorical value: first 8 hex
+    chars of md5(value) mod ``n_buckets``. md5 (not Spark's murmur3
+    ``hash()``) so the bucketing is portable across engines — DuckDB
+    twin: ``CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) %
+    n_buckets``. Stateless (no fitted vocabulary), which is the point:
+    unseen categories at serve time land in a stable bucket instead of
+    erroring, and no vocab broadcast is needed at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+
+
+def feature_hash_encode(
+    df: DataFrame, cols: Sequence[str], n_buckets: int = 32, prefix: str = "fh"
+) -> DataFrame:
+    """Hashing-trick encoder (the fit-free sibling of ordinal/onehot/
+    target encoding, parity surface: ``features.py`` encoders): each
+    column value maps to a stable bucket id in [0, n_buckets). Columns
+    are salted with their own name so the same value in different
+    columns lands in different buckets (standard FeatureHasher
+    behavior). NULL stays NULL (concat_ws would silently hash the bare
+    salt, diverging from the ``||``-based SQL twin where NULL
+    propagates); impute-or-drop belongs upstream, not inside the
+    encoder."""
+    return df.withColumns(
+        {
+            f"{prefix}_{c}": F.when(
+                F.col(c).isNotNull(),
+                feature_hash_expr(
+                    F.concat_ws("\x1f", F.lit(c), F.col(c).cast("string")), n_buckets
+                ),
+            )
+            for c in cols
+        }
+    )

@@ -453,3 +453,45 @@ def view_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick encoder (fit-free categorical encoding).
+# ---------------------------------------------------------------------------
+@query(
+    "feature_hash_buckets",
+    sql="""
+    WITH e AS (
+      SELECT ('0x' || substr(md5('c_mktsegment' || chr(31) || c_mktsegment), 1, 8))::BIGINT % 16 AS b_seg,
+             ('0x' || substr(md5('c_nationkey' || chr(31) || CAST(c_nationkey AS VARCHAR)), 1, 8))::BIGINT % 16 AS b_nat
+      FROM customer
+    )
+    SELECT col, bucket, n FROM (
+      SELECT 'c_mktsegment' AS col, CAST(b_seg AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 2
+      UNION ALL
+      SELECT 'c_nationkey', CAST(b_nat AS INTEGER), CAST(COUNT(*) AS BIGINT) FROM e GROUP BY 2
+    ) ORDER BY col, bucket
+    """,
+)
+def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick encoding (the fit-free encoder the reference's
+    ordinal/onehot/target family lacks; ref encoders:
+    ``src/ta_lib/pyspark/features.py``): md5-bucket each categorical
+    into 16 stable buckets — no fitted vocabulary, no vocab broadcast,
+    unseen serve-time categories land deterministically. Output is the
+    per-column bucket histogram (verifies the full encode of every
+    row); the encode itself is pure codegen, zero shuffles before the
+    bounded histogram agg. See ``operators/encode.py:
+    feature_hash_encode``."""
+    from .operators.encode import feature_hash_encode
+
+    cust = load_table(spark, sf_dir, "customer")
+    e = feature_hash_encode(cust, ["c_mktsegment", "c_nationkey"], n_buckets=16)
+    parts = [
+        e.groupBy(F.col(f"fh_{c}").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit(c).alias("col"), "bucket", "n")
+        for c in ("c_mktsegment", "c_nationkey")
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("col", "bucket")

@@ -166,3 +166,25 @@ def test_hll_sketch_merge_equals_exact_at_test_scale(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_feature_hash_encode_matches_md5_reference(spark):
+    import hashlib
+
+    from classification_pyspark_spark.operators.encode import feature_hash_encode
+
+    def ref(col, val, n=16):
+        if val is None:
+            return None
+        h = hashlib.md5(f"{col}\x1f{val}".encode()).hexdigest()[:8]
+        return int(h, 16) % n
+
+    rows = [("BUILDING", "BUILDING"), ("AUTOMOBILE", "7"), (None, "X")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = feature_hash_encode(df, ["a", "b"], n_buckets=16).collect()
+    for r in out:
+        assert r["fh_a"] == ref("a", r["a"])
+        assert r["fh_b"] == ref("b", r["b"])
+    # the column salt means the same value hashes differently per column
+    same = [r for r in out if r["a"] == "BUILDING"][0]
+    assert same["fh_a"] != ref("b", "BUILDING") or ref("a", "BUILDING") != ref("b", "BUILDING")
