@@ -1,0 +1,132 @@
+"""Streaming corpus ingest with exact dedup against a persistent
+digest index — the ingest-time half of the batch dedup family
+(ref dedup surface: ``src/ta_lib/pyspark/dp.py:297-308``; batch twins:
+``dedup_exact_text``, ``doc_fingerprint``).
+
+The production shape this models: document files land continuously; a
+corpus must accept each NEW text exactly once, across batches AND
+across job restarts, without ever rescanning the accumulated corpus.
+State is a digest index (md5 of the text), so the per-trigger cost is
+O(batch + index-probe), never O(corpus-text).
+
+Effectively-once without markers: every output is keyed by epoch —
+accepted docs go to ``sink/epoch=N``, their digests to
+``index/epoch=N``, both with overwrite — and the accept decision
+anti-joins only index epochs ``< N``. A checkpoint replay of epoch N
+therefore recomputes the identical accept set (its own digests are
+excluded from the probe) and overwrites the same two directories:
+idempotent by construction, no ordering between the two writes
+matters. Epoch ids are only monotonic within one checkpoint, so the
+sink records its checkpoint tag and refuses a different one (same
+contract as ``events.merge_stats_batch``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a documents landing zone."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def ingest_documents(
+    docs: DataFrame, sink_path: str, index_path: str, checkpoint_path: str
+) -> None:
+    """Drain the stream (availableNow) through the dedup ingest."""
+    (
+        docs.writeStream.foreachBatch(
+            lambda batch, epoch_id: ingest_batch(
+                batch, epoch_id, sink_path, index_path, checkpoint_tag=checkpoint_path
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_corpus(spark: SparkSession, sink_path: str) -> DataFrame:
+    """The accepted corpus across all epochs (hive-partitioned dirs)."""
+    return spark.read.parquet(sink_path).drop("epoch")
+
+
+def _check_tag(sink_path: str, checkpoint_tag: str | None) -> None:
+    tag_file = os.path.join(sink_path, "_checkpoint_tag.json")
+    if os.path.exists(tag_file):
+        with open(tag_file) as f:
+            prior = json.load(f).get("checkpoint")
+        if checkpoint_tag is not None and prior is not None and prior != checkpoint_tag:
+            raise RuntimeError(
+                f"corpus at {sink_path!r} was built by checkpoint {prior!r} but this "
+                f"stream uses {checkpoint_tag!r}; epoch ids are not comparable across "
+                "checkpoints. Restore the original checkpoint or delete the corpus "
+                "and index to rebuild."
+            )
+    elif checkpoint_tag is not None:
+        os.makedirs(sink_path, exist_ok=True)
+        with open(tag_file, "w") as f:
+            json.dump({"checkpoint": checkpoint_tag}, f)
+
+
+def ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    sink_path: str,
+    index_path: str,
+    checkpoint_tag: str | None = None,
+) -> None:
+    """One foreachBatch ingest step (module-level so replay idempotence
+    is directly testable).
+
+    1. digest each text (md5), dedup within the batch keeping the
+       lowest doc_id per digest (deterministic across replays);
+    2. anti-join against index epochs < this one — the batch's own
+       replayed digests never veto it;
+    3. overwrite ``sink/epoch=N`` with the accepted docs and
+       ``index/epoch=N`` with their digests.
+    """
+    _check_tag(sink_path, checkpoint_tag)
+    spark = batch.sparkSession
+    digested = batch.withColumn("digest", F.md5(F.col("text")))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    in_batch = (
+        digested.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        index = spark.read.parquet(index_path).filter(F.col("epoch") < int(epoch_id))
+    except Exception:
+        index = None
+    accepted = (
+        in_batch
+        if index is None
+        else in_batch.join(index.select("digest"), "digest", "left_anti")
+    )
+    # persist: accepted feeds two sinks; without it the digest+dedup+
+    # anti-join pipeline runs twice
+    accepted = accepted.persist()
+    try:
+        accepted.drop("digest").write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"epoch={int(epoch_id)}")
+        )
+        accepted.select("digest", "doc_id").write.mode("overwrite").parquet(
+            os.path.join(index_path, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        accepted.unpersist()

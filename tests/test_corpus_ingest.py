@@ -1,0 +1,96 @@
+"""Streaming corpus ingest: exact-dedup-against-index across batches,
+checkpoint replay idempotence, and restart-resume with late files."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from classification_pyspark_spark.catalog import load_table
+from classification_pyspark_spark.streaming.corpus import (
+    ingest_batch,
+    ingest_documents,
+    read_corpus,
+    read_documents_stream,
+)
+
+
+@pytest.fixture()
+def landing(spark, sf_dir, tmp_path_factory):
+    """Documents staged as 4 landing files (the corpus has exact-dup
+    texts across them, so cross-batch dedup is actually exercised)."""
+    out = str(tmp_path_factory.mktemp("docs_landing"))
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _expected_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").withColumn("digest", F.md5("text"))
+    keep = docs.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, ["digest", "doc_id"], "left_semi")
+
+
+def test_streaming_ingest_dedups_across_batches(spark, sf_dir, landing, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ingest")
+    sink, index, ckpt = str(base / "sink"), str(base / "index"), str(base / "ckpt")
+    stream = read_documents_stream(spark, landing, max_files_per_trigger=1)
+    ingest_documents(stream, sink, index, ckpt)
+
+    got = read_corpus(spark, sink)
+    want = _expected_corpus(spark, sf_dir)
+    # one row per distinct text, and (digest-dedup being keyed on
+    # min doc_id only within arrival order) the digest SETS must match
+    assert got.count() == want.select("digest").distinct().count()
+    got_digests = got.withColumn("digest", F.md5("text")).select("digest")
+    assert got_digests.distinct().count() == got.count()  # no dup ever accepted
+    assert got_digests.exceptAll(want.select("digest")).count() == 0
+    assert want.select("digest").exceptAll(got_digests).count() == 0
+
+
+def test_ingest_batch_replay_is_idempotent(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("replay")
+    sink, index = str(base / "sink"), str(base / "index")
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    ingest_batch(docs, 0, sink, index, checkpoint_tag="ck")
+    first = sorted(r["doc_id"] for r in read_corpus(spark, sink).collect())
+    # replay the same epoch (as after a crash before checkpoint commit):
+    # its own epoch-0 digests must NOT veto it, and outputs overwrite
+    ingest_batch(docs, 0, sink, index, checkpoint_tag="ck")
+    again = sorted(r["doc_id"] for r in read_corpus(spark, sink).collect())
+    assert first == again and len(first) > 0
+    # a later epoch with the same texts is fully rejected by the index
+    ingest_batch(docs, 1, sink, index, checkpoint_tag="ck")
+    assert sorted(r["doc_id"] for r in read_corpus(spark, sink).collect()) == first
+
+
+def test_restart_resumes_and_accepts_only_new(spark, sf_dir, landing, tmp_path_factory):
+    base = tmp_path_factory.mktemp("resume")
+    sink, index, ckpt = str(base / "sink"), str(base / "index"), str(base / "ckpt")
+    ingest_documents(read_documents_stream(spark, landing), sink, index, ckpt)
+    n1 = read_corpus(spark, sink).count()
+
+    # a late file: 3 docs already in the corpus + 2 genuinely new texts
+    old = load_table(spark, sf_dir, "documents").limit(3)
+    new = spark.createDataFrame(
+        [(900001, "a brand new never seen text", "en", "late", 27),
+         (900002, "another genuinely new text", "en", "late", 26)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    old.unionByName(new).coalesce(1).write.mode("append").parquet(landing)
+
+    ingest_documents(read_documents_stream(spark, landing), sink, index, ckpt)
+    corpus = read_corpus(spark, sink)
+    assert corpus.count() == n1 + 2
+    assert corpus.filter(F.col("source") == "late").count() == 2
+
+
+def test_ingest_refuses_foreign_checkpoint(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("foreign")
+    sink, index = str(base / "sink"), str(base / "index")
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    ingest_batch(docs, 0, sink, index, checkpoint_tag="ck-a")
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        ingest_batch(docs, 1, sink, index, checkpoint_tag="ck-b")
