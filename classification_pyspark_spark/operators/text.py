@@ -488,3 +488,44 @@ def word_ngrams_expr(toks: Column, n: int, pad_short: bool = False) -> Column:
             F.array().cast("array<string>")
         )
     return grams
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy signal for pretraining-corpus curation (boilerplate and
+    template spam compress far below natural prose; cf. the
+    compression filters in CCNet/RefinedWeb-style pipelines). The
+    n-gram twin is ``repetition_stats``; this one catches long-range
+    redundancy n-grams miss.
+
+    Arrow-batched ``mapInPandas`` (zlib is Python-only), narrow output
+    (id, sizes, ratio) so downstream shuffles never carry the text.
+    zlib at a fixed level is deterministic across platforms, so results
+    are stable run-to-run (registered rows-only — no SQL oracle can
+    express zlib — with a python known-answer test instead).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            n_raw = raw.map(len).astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_raw_bytes": n_raw,
+                    "n_compressed_bytes": n_comp,
+                    # ratio > ~1 on tiny inputs (header overhead); 0 raw -> null
+                    "compression_ratio": (n_comp / n_raw.where(n_raw > 0)).round(6),
+                }
+            )
+
+    schema = (
+        "doc_id long, n_raw_bytes long, n_compressed_bytes long, compression_ratio double"
+    )
+    return df.mapInPandas(batches, schema=schema)

@@ -495,3 +495,35 @@ def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ("c_mktsegment", "c_nationkey")
     ]
     return parts[0].unionByName(parts[1]).orderBy("col", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio redundancy signal (zlib over Arrow batches).
+# ---------------------------------------------------------------------------
+@query("compression_ratio_quality")  # rows-only: no SQL engine exposes zlib
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language compression-ratio profile of the corpus plus the
+    count of suspiciously-compressible documents (ratio < 0.35 —
+    boilerplate/template territory for prose-length text). The per-doc
+    ratios come from ``text.compression_ratio`` (Arrow-batched zlib,
+    narrow output); this rollup is one keyed aggregate over those
+    (id, ratio) rows — text never shuffles. Rows-only by design (zlib
+    is not SQL-expressible); determinism and known-answer behavior are
+    pinned in tests/test_search_ops.py."""
+    from .operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = compression_ratio(docs, "text", "doc_id")
+    joined = per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("compression_ratio"), 6).alias("avg_ratio"),
+            F.round(F.min("compression_ratio"), 6).alias("min_ratio"),
+            F.count(F.when(F.col("compression_ratio") < 0.35, 1))
+            .cast("long")
+            .alias("n_suspicious"),
+        )
+        .orderBy("lang")
+    )

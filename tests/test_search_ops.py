@@ -188,3 +188,27 @@ def test_feature_hash_encode_matches_md5_reference(spark):
     # the column salt means the same value hashes differently per column
     same = [r for r in out if r["a"] == "BUILDING"][0]
     assert same["fh_a"] != ref("b", "BUILDING") or ref("a", "BUILDING") != ref("b", "BUILDING")
+
+
+def test_compression_ratio_known_answers_and_determinism(spark):
+    import zlib
+
+    from classification_pyspark_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),                      # highly redundant
+        (2, "the quick brown fox jumps over the lazy dog and keeps going"),
+        (3, ""),                                  # empty -> null ratio
+        (4, None),                                # null text treated as empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    for doc_id, text in rows:
+        raw = (text or "").encode()
+        assert got[doc_id]["n_raw_bytes"] == len(raw)
+        assert got[doc_id]["n_compressed_bytes"] == len(zlib.compress(raw, 6))
+    assert got[3]["compression_ratio"] is None and got[4]["compression_ratio"] is None
+    # redundant text compresses far better than diverse text
+    assert got[1]["compression_ratio"] < 0.1 < got[2]["compression_ratio"]
+    again = {r["doc_id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
