@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fitcheck import require_fitted_stats
+
 
 def quantile_bin_ml(df: DataFrame, col: str, n_bins: int, out_col: str | None = None):
     """QuantileDiscretizer path (parity: ``features.py:319-325``,
@@ -94,6 +96,7 @@ class FixedWidthBinner:
             F.min(self.col).cast("double").alias("lo"),
             F.max(self.col).cast("double").alias("hi"),
         ).first()
+        require_fitted_stats({self.col: (row["lo"], row["hi"])}, "fixed-width binner")
         return FixedWidthBinnerModel(self.col, self.n_bins, self.out_col, row["lo"], row["hi"])
 
 

@@ -26,6 +26,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fitcheck import require_fitted_stats
+
 
 def ordinal_encode(
     df: DataFrame, col: str, mapping: Mapping[str, float], out_col: str | None = None
@@ -84,6 +86,7 @@ class TargetEncoder:
         )
         mapping = df.groupBy(F.col(self.col).alias("category")).agg(agg.alias("__te"))
         default = df.agg(F.avg(self.target)).first()[0]
+        require_fitted_stats({self.target: default}, "target encoder")
         return TargetEncoderModel(mapping, self.col, self.out_col, float(default))
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.coltypes import list_numerical_columns
+from .fitcheck import require_fitted_stats
 
 IQR, SIGMA = "iqr", "sigma"
 DROP, CAP = "drop", "cap"
@@ -76,6 +77,9 @@ class OutlierTreatment:
                 *[F.expr(f"{pct}({c}, 0.25)").alias(f"q1_{c}") for c in cols],
                 *[F.expr(f"{pct}({c}, 0.75)").alias(f"q3_{c}") for c in cols],
             ).first()
+            require_fitted_stats(
+                {c: (row[f"q1_{c}"], row[f"q3_{c}"]) for c in cols}, "IQR outlier bounds"
+            )
             bounds = {}
             for c in cols:
                 q1, q3 = row[f"q1_{c}"], row[f"q3_{c}"]
@@ -86,6 +90,9 @@ class OutlierTreatment:
                 *[F.avg(c).alias(f"mu_{c}") for c in cols],
                 *[F.stddev(c).alias(f"sd_{c}") for c in cols],
             ).first()
+            require_fitted_stats(
+                {c: (row[f"mu_{c}"], row[f"sd_{c}"]) for c in cols}, "sigma outlier bounds"
+            )
             bounds = {
                 c: (
                     row[f"mu_{c}"] - self.k * row[f"sd_{c}"],

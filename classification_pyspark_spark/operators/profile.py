@@ -63,7 +63,8 @@ def missing_values_summary(df: DataFrame, cols: Sequence[str] | None = None) -> 
     return long.select(
         "column",
         F.col("n_missing").cast("long"),
-        F.round(F.col("n_missing") / F.col("__n") * 100.0, 4).alias("pct_missing"),
+        # try_divide: an empty frame has __n = 0 (ANSI divide raises)
+        F.round(F.try_divide(F.col("n_missing"), F.col("__n")) * 100.0, 4).alias("pct_missing"),
     )
 
 
@@ -244,7 +245,11 @@ def zero_density(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """
     cols = list(cols or list_numerical_columns(df))
     agg = df.agg(
-        *[F.round(F.count(F.when(F.col(c) == 0, 1)) / F.count(F.lit(1)), 4).alias(c) for c in cols]
+        *[
+            # try_divide: count is 0 on an empty frame (ANSI divide raises)
+            F.round(F.try_divide(F.count(F.when(F.col(c) == 0, 1)), F.count(F.lit(1))), 4).alias(c)
+            for c in cols
+        ]
     )
     return _unpivot_long(agg, "zero_density")
 
@@ -325,11 +330,20 @@ def outlier_summary(
         .first()
     )
     b = bounds_row.asDict()
+
+    # empty/all-null columns have NULL stats: emit NULL bounds and a
+    # 0 outlier count for that column instead of NoneType arithmetic
+    # (comparisons against a NULL literal below are never true)
+    def _arith(f, *vals):
+        return None if any(v is None for v in vals) else f(*vals)
+
     exprs, structs = [], []
     for c in cols:
-        iqr = b[f"__q3_{c}"] - b[f"__q1_{c}"]
-        lo_i, hi_i = b[f"__q1_{c}"] - iqr_k * iqr, b[f"__q3_{c}"] + iqr_k * iqr
-        lo_s, hi_s = b[f"__mu_{c}"] - sigma_k * b[f"__sd_{c}"], b[f"__mu_{c}"] + sigma_k * b[f"__sd_{c}"]
+        iqr = _arith(lambda a, b_: a - b_, b[f"__q3_{c}"], b[f"__q1_{c}"])
+        lo_i = _arith(lambda q, i: q - iqr_k * i, b[f"__q1_{c}"], iqr)
+        hi_i = _arith(lambda q, i: q + iqr_k * i, b[f"__q3_{c}"], iqr)
+        lo_s = _arith(lambda m, s: m - sigma_k * s, b[f"__mu_{c}"], b[f"__sd_{c}"])
+        hi_s = _arith(lambda m, s: m + sigma_k * s, b[f"__mu_{c}"], b[f"__sd_{c}"])
         exprs += [
             F.count(F.when((F.col(c) < lo_i) | (F.col(c) > hi_i), 1)).cast("long").alias(f"__ni_{c}"),
             F.count(F.when((F.col(c) < lo_s) | (F.col(c) > hi_s), 1)).cast("long").alias(f"__ns_{c}"),

@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fitcheck import require_fitted_stats as _require_stats
+
 MINMAX, STANDARD = "minmax", "standard"
 
 
@@ -50,12 +52,14 @@ class ColumnScaler:
                 *[F.max(c).cast("double").alias(f"b_{c}") for c in self.cols],
             ).first()
             params = {c: (row[f"a_{c}"], row[f"b_{c}"]) for c in self.cols}
+            _require_stats(params, "min/max scaler")
         elif self.method == STANDARD:
             row = df.agg(
                 *[F.avg(c).alias(f"a_{c}") for c in self.cols],
                 *[F.stddev(c).alias(f"b_{c}") for c in self.cols],
             ).first()
             params = {c: (row[f"a_{c}"], row[f"b_{c}"]) for c in self.cols}
+            _require_stats(params, "standard scaler")
         else:
             raise ValueError(f"unknown method {self.method!r}")
         return ColumnScalerModel(self.method, params)

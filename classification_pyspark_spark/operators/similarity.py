@@ -337,6 +337,10 @@ def fit_ivf_centroids(
         .limit(max_train_rows)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "cannot fit IVF quantizer: corpus has no non-null embedding vectors"
+        )
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     k = min(n_clusters, len(X))
     rng = np.random.default_rng(seed)

@@ -592,15 +592,17 @@ def woe_iv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = o.select(
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"), "o_totalprice"
     )
-    edges = labeled.agg(
-        F.expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 2147483647)").alias("e")
-    ).first()["e"]
-    bucket = (
-        F.when(F.col("o_totalprice") > edges[2], 3)
-        .when(F.col("o_totalprice") > edges[1], 2)
-        .when(F.col("o_totalprice") > edges[0], 1)
-        .otherwise(0)
+    edges = (
+        labeled.agg(
+            F.expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 2147483647)").alias(
+                "e"
+            )
+        ).first()["e"]
+        or []  # empty input: no edges -> single bucket, empty output
     )
+    bucket = F.lit(0)
+    for i, e in enumerate(edges):  # ascending; later whens win, so the
+        bucket = F.when(F.col("o_totalprice") > e, i + 1).otherwise(bucket)  # top edge checks first
     counts = labeled.select("y", bucket.alias("bucket")).groupBy("bucket").agg(
         F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
     )

@@ -1034,9 +1034,14 @@ def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click_after_view",
             "n_purchase_after_click",
-            F.round(F.col("n_click_after_view") * 1.0 / F.col("n_view"), 6).alias("conv_step2"),
+            # try_divide: a step with zero entrants must yield NULL
+            # conversion, not an ANSI divide error
+            F.round(F.try_divide(F.col("n_click_after_view") * 1.0, F.col("n_view")), 6).alias(
+                "conv_step2"
+            ),
             F.round(
-                F.col("n_purchase_after_click") * 1.0 / F.col("n_click_after_view"), 6
+                F.try_divide(F.col("n_purchase_after_click") * 1.0, F.col("n_click_after_view")),
+                6,
             ).alias("conv_step3"),
         )
     )

@@ -174,7 +174,9 @@ def histogram_fixed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     ).first()
     lo, hi = row["lo"], row["hi"]
-    width = (hi - lo) / 20
+    if lo is None or hi is None:  # empty/all-null input: any width works,
+        lo, hi = 0.0, 20.0  # the grouped frame below is empty anyway
+    width = ((hi - lo) / 20) or 1.0  # constant column: one bucket, not /0
     bucket = F.least(
         F.greatest(F.floor((F.col("o_totalprice") - lo) / width), F.lit(0)), F.lit(19)
     ).cast("int")

@@ -386,9 +386,12 @@ def kll_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_months"),
     ).withColumn(
         "sk",
+        # size <= 1 (incl. empty input, where sks = [] and sk is NULL):
+        # slice's length argument must be positive, so guard the fold
         F.expr(
-            "reduce(slice(sks, 2, size(sks) - 1), sks[0],"
-            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            "CASE WHEN size(sks) <= 1 THEN get(sks, 0) "  # get(): NULL when empty (ANSI [] raises)
+            "ELSE reduce(slice(sks, 2, size(sks) - 1), sks[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x)) END"
         ),
     )
     qs = [0.25, 0.5, 0.75, 0.95]
