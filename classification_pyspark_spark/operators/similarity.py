@@ -572,6 +572,30 @@ def build_ivf_index(
     return centers
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    centers: np.ndarray,
+) -> None:
+    """Incrementally extend a materialized IVF index: assign ONLY the
+    new vectors to the existing centroids and append them into their
+    cluster partitions — no rebuild, no rescan of the indexed corpus,
+    the refresh an hourly embedding ingest needs at 100 TB. Queries
+    against the appended index are identical to a full rebuild with the
+    same centroid matrix (pinned in tests). Quantizer drift is the
+    caller's trade-off: re-fit centroids (full rebuild) when the new
+    data's distribution departs from what the quantizer was trained on.
+    Id dedup is the upstream ingest's job (see streaming/corpus.py)."""
+    new_rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .select("id", "v", make_cluster_assign_pudf(centers)(F.col("v")).alias("cluster"))
+    )
+    new_rows.write.mode("append").partitionBy("cluster").parquet(path)
+
+
 def knn_ivf_indexed(
     spark,
     path: str,

@@ -212,3 +212,31 @@ def test_compression_ratio_known_answers_and_determinism(spark):
     assert got[1]["compression_ratio"] < 0.1 < got[2]["compression_ratio"]
     again = {r["doc_id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
     assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_ivf_index_append_equals_rebuild(spark, sf_dir, tmp_path_factory):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_ivf_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter(F.col("vec_id") >= 300)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    d = tmp_path_factory.mktemp("ivf")
+    inc_path, full_path = str(d / "inc"), str(d / "full")
+    centers = build_ivf_index(base, inc_path, "vec_id", "embedding", n_clusters=8)
+    append_to_ivf_index(extra, inc_path, "vec_id", "embedding", centers)
+    # full rebuild with the SAME centroids: write all rows through the
+    # append path into a fresh index
+    append_to_ivf_index(emb, full_path, "vec_id", "embedding", centers)
+
+    kw = dict(id_col="vec_id", vec_col="embedding", centers=centers, k=5, n_probe=8)
+    got = knn_ivf_indexed(spark, inc_path, queries, **kw).collect()
+    want = knn_ivf_indexed(spark, full_path, queries, **kw).collect()
+    key = lambda r: (r[0], r[1])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key) and len(got) == 25
