@@ -235,3 +235,26 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     if scores is not None:
         scores.unpersist()
     return TaskStatus(True, f"{n} curated docs")
+
+
+@register_processor("corpus-ingest", "ingest-documents")
+def ingest_documents_job(spark: SparkSession, params: dict) -> TaskStatus:
+    """Streaming corpus ingest as an orchestrated job: drain whatever
+    document files have landed since the last run (availableNow) into
+    the deduped corpus + digest index. Re-running the job is the
+    scheduler's incremental refresh — the checkpoint skips already-
+    ingested files and the digest index rejects already-seen texts,
+    so an hourly cadence costs O(new files), never O(corpus). See
+    ``streaming/corpus.py`` for the effectively-once mechanics."""
+    from .streaming.corpus import ingest_documents, read_corpus, read_documents_stream
+
+    landing = params["landing"]
+    sink = params["sink"]
+    index = params["index"]
+    checkpoint = params["checkpoint"]
+    stream = read_documents_stream(
+        spark, landing, max_files_per_trigger=int(params.get("max_files_per_trigger", 8))
+    )
+    ingest_documents(stream, sink, index, checkpoint)
+    n = read_corpus(spark, sink).count()
+    return TaskStatus(True, f"corpus at {sink}: {n} unique documents")

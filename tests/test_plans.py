@@ -366,3 +366,36 @@ def test_corpus_curation_job_with_perplexity_gate(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as SF
 
     assert rep.agg(SF.sum("n_dropped_ppl")).first()[0] > 0
+
+
+def test_corpus_ingest_job_is_incremental(spark, sf_dir, tmp_path):
+    """The corpus-ingest job drains the landing zone through the
+    streaming dedup ingest; re-running it after new files land costs
+    only the new files and never re-admits seen texts."""
+    from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    landing = str(tmp_path / "landing")
+    load_table(spark, sf_dir, "documents").repartition(2).write.parquet(landing)
+    params = {
+        "landing": landing,
+        "sink": str(tmp_path / "corpus"),
+        "index": str(tmp_path / "index"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    plan_cfg = {
+        "name": "corpus-ingest",
+        "stages": [{"name": "ingest", "tasks": [{"name": "ingest-documents", "params": params}]}],
+    }
+    results = execute_job(spark, create_job_plan(plan_cfg))
+    assert all(v.success for v in results.values()), results
+    corpus = spark.read.parquet(params["sink"])
+    n1 = corpus.count()
+    assert n1 == corpus.select(F.md5("text")).distinct().count() > 0
+
+    # second run: nothing new landed -> corpus unchanged
+    results2 = execute_job(spark, create_job_plan(plan_cfg))
+    assert all(v.success for v in results2.values())
+    assert spark.read.parquet(params["sink"]).count() == n1
