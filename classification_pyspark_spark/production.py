@@ -189,11 +189,23 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     rn = F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
     exact = kept.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
     # ... then near-dup removal: guarded banded pairs -> drop the
-    # higher doc_id of each candidate pair (transitive chains collapse
-    # to the minimum via iterating members, which pair lists cover at
-    # one hop; full chaining lives in dedup_clusters/graph)
+    # LOWER-QUALITY member of each candidate pair (tie: higher doc_id),
+    # so the surviving representative is the best copy, not merely the
+    # earliest-ingested one. One-hop semantics as before (full
+    # transitive chaining lives in dedup_clusters/graph).
     pairs = minhash_candidate_pairs(exact, "text", "doc_id")  # guard ON by default
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    q_map = exact.select("doc_id", "__q")
+    scored_pairs = (
+        pairs.join(
+            q_map.select(F.col("doc_id").alias("id_a"), F.col("__q").alias("__qa")), "id_a"
+        ).join(q_map.select(F.col("doc_id").alias("id_b"), F.col("__q").alias("__qb")), "id_b")
+    )
+    loser = (
+        F.when(F.col("__qa") < F.col("__qb"), F.col("id_a"))
+        .when(F.col("__qb") < F.col("__qa"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+    )
+    losers = scored_pairs.select(loser.alias("doc_id")).distinct()
     curated = exact.join(losers, "doc_id", "left_anti").select(
         "doc_id", "text", "source", "lang", F.col("__q").alias("quality")
     )

@@ -399,3 +399,36 @@ def test_corpus_ingest_job_is_incremental(spark, sf_dir, tmp_path):
     results2 = execute_job(spark, create_job_plan(plan_cfg))
     assert all(v.success for v in results2.values())
     assert spark.read.parquet(params["sink"]).count() == n1
+
+
+def test_curation_keeps_higher_quality_near_dup(spark, tmp_path):
+    """Near-dup removal keeps the best-quality copy, not the lowest id."""
+    from classification_pyspark_spark import production  # noqa: F401
+    from classification_pyspark_spark.operators.text import quality_score_expr
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then walks away "
+        "to find some food in the quiet forest near the old stone bridge"
+    )
+    degraded = base + " ..... !!!!! ;;;;; ##### %%%%%"  # same shingles + punct spam
+    rows = [(1, degraded, "src0", "en"), (2, base, "src0", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    qs = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_score_expr("text").alias("q")).collect()
+    }
+    assert qs[2] > qs[1]  # the higher id is the better copy
+    sf = str(tmp_path / "sf")
+    df.withColumn("n_chars", F.length("text")).write.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "curated")
+    plan = create_job_plan(
+        {"name": "corpus-curation", "stages": [{"name": "curate", "tasks": [
+            {"name": "curate-documents",
+             "params": {"sf_dir": sf, "out": out, "min_quality": 0.0}}]}]}
+    )
+    results = execute_job(spark, plan)
+    assert all(v.success for v in results.values()), results
+    kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    assert kept == [2]  # quality won over doc_id order
