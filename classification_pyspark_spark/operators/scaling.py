@@ -59,7 +59,10 @@ class ColumnScaler:
                 *[F.stddev(c).alias(f"b_{c}") for c in self.cols],
             ).first()
             params = {c: (row[f"a_{c}"], row[f"b_{c}"]) for c in self.cols}
-            _require_stats(params, "standard scaler")
+            # require only the mean: a single non-null value has NULL
+            # sample stddev but IS fittable — transform's `sd or 1.0`
+            # fallback handles the degenerate spread
+            _require_stats({c: row[f"a_{c}"] for c in self.cols}, "standard scaler")
         else:
             raise ValueError(f"unknown method {self.method!r}")
         return ColumnScalerModel(self.method, params)

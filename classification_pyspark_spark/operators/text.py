@@ -517,7 +517,7 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_raw_bytes": n_raw,
                     "n_compressed_bytes": n_comp,
                     # ratio > ~1 on tiny inputs (header overhead); 0 raw -> null
@@ -525,7 +525,17 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 }
             )
 
-    schema = (
-        "doc_id long, n_raw_bytes long, n_compressed_bytes long, compression_ratio double"
+    from pyspark.sql import types as T
+
+    # id field keeps the input column's name AND type (a hardcoded
+    # `doc_id long` would break on string/uuid id columns at Arrow
+    # conversion time)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_raw_bytes", T.LongType()),
+            T.StructField("n_compressed_bytes", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
     )
     return df.mapInPandas(batches, schema=schema)

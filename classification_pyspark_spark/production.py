@@ -187,25 +187,30 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
         kept = kept.join(scores.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
     # exact dedup first (digest window, keep lowest doc_id) ...
     rn = F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
-    exact = kept.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
-    # ... then near-dup removal: guarded banded pairs -> drop the
-    # LOWER-QUALITY member of each candidate pair (tie: higher doc_id),
-    # so the surviving representative is the best copy, not merely the
-    # earliest-ingested one. One-hop semantics as before (full
-    # transitive chaining lives in dedup_clusters/graph).
+    # persist: `exact` feeds the pair stage, the per-cluster quality
+    # ranking, AND the final anti-join — without it the corpus-wide
+    # langid+quality+digest pipeline re-executes per consumer (the
+    # same re-execution hazard the `scores` persist above avoids)
+    exact = kept.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn").persist()
+    # ... then near-dup removal: guarded banded pairs -> connected
+    # components -> keep the HIGHEST-QUALITY member of each near-dup
+    # cluster (tie: lowest doc_id). Transitively complete — a chain
+    # A~B~C collapses to ONE survivor even when the middle member
+    # would lose both pairwise contests — and the survivor is the best
+    # copy, not merely the earliest-ingested one.
+    from .operators.graph import connected_components
+
     pairs = minhash_candidate_pairs(exact, "text", "doc_id")  # guard ON by default
-    q_map = exact.select("doc_id", "__q")
-    scored_pairs = (
-        pairs.join(
-            q_map.select(F.col("doc_id").alias("id_a"), F.col("__q").alias("__qa")), "id_a"
-        ).join(q_map.select(F.col("doc_id").alias("id_b"), F.col("__q").alias("__qb")), "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    keep_rank = F.row_number().over(
+        Window.partitionBy("component").orderBy(F.desc("__q"), F.asc("doc_id"))
     )
-    loser = (
-        F.when(F.col("__qa") < F.col("__qb"), F.col("id_a"))
-        .when(F.col("__qb") < F.col("__qa"), F.col("id_b"))
-        .otherwise(F.greatest("id_a", "id_b"))
+    losers = (
+        comp.join(exact.select("doc_id", "__q"), comp.vertex == F.col("doc_id"))
+        .withColumn("__kr", keep_rank)
+        .filter(F.col("__kr") > 1)
+        .select("doc_id")
     )
-    losers = scored_pairs.select(loser.alias("doc_id")).distinct()
     curated = exact.join(losers, "doc_id", "left_anti").select(
         "doc_id", "text", "source", "lang", F.col("__q").alias("quality")
     )
@@ -244,6 +249,7 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
             )
         )
         report.write.mode("overwrite").parquet(report_out)
+    exact.unpersist()
     if scores is not None:
         scores.unpersist()
     return TaskStatus(True, f"{n} curated docs")
@@ -268,5 +274,10 @@ def ingest_documents_job(spark: SparkSession, params: dict) -> TaskStatus:
         spark, landing, max_files_per_trigger=int(params.get("max_files_per_trigger", 8))
     )
     ingest_documents(stream, sink, index, checkpoint)
-    n = read_corpus(spark, sink).count()
+    from pyspark.errors import AnalysisException
+
+    try:
+        n = read_corpus(spark, sink).count()
+    except AnalysisException:  # empty landing zone: no batch ever wrote the sink
+        n = 0
     return TaskStatus(True, f"corpus at {sink}: {n} unique documents")

@@ -102,16 +102,27 @@ def ingest_batch(
     """
     _check_tag(sink_path, checkpoint_tag)
     spark = batch.sparkSession
-    digested = batch.withColumn("digest", F.md5(F.col("text")))
+    # NULL text digests as empty text: md5(NULL) is NULL, and NULL
+    # never matches an anti-join key, so without the coalesce every
+    # NULL-text doc would be re-accepted in every epoch
+    digested = batch.withColumn("digest", F.md5(F.coalesce(F.col("text"), F.lit(""))))
     w = Window.partitionBy("digest").orderBy("doc_id")
     in_batch = (
         digested.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # only "index does not exist yet" (first epoch) may be swallowed;
+    # any OTHER read failure must abort the batch — silently treating
+    # a transient IO error as an empty index would admit duplicates
+    # and permanently corrupt the corpus
+    from pyspark.errors import AnalysisException
+
     try:
         index = spark.read.parquet(index_path).filter(F.col("epoch") < int(epoch_id))
-    except Exception:
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         index = None
     accepted = (
         in_batch

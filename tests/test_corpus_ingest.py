@@ -94,3 +94,18 @@ def test_ingest_refuses_foreign_checkpoint(spark, sf_dir, tmp_path_factory):
     ingest_batch(docs, 0, sink, index, checkpoint_tag="ck-a")
     with pytest.raises(RuntimeError, match="checkpoint"):
         ingest_batch(docs, 1, sink, index, checkpoint_tag="ck-b")
+
+
+def test_null_text_accepted_exactly_once(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("nulls")
+    sink, index = str(base / "sink"), str(base / "index")
+    rows = [(1, None, "en", "s", 0), (2, "real text", "en", "s", 9)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame(rows, schema)
+    ingest_batch(b0, 0, sink, index, checkpoint_tag="ck")
+    # a later epoch re-delivers a NULL-text doc: the index must veto it
+    b1 = spark.createDataFrame([(3, None, "en", "s", 0)], schema)
+    ingest_batch(b1, 1, sink, index, checkpoint_tag="ck")
+    corpus = read_corpus(spark, sink)
+    assert corpus.count() == 2  # one NULL-text doc + one real doc, ever
+    assert corpus.filter(F.col("text").isNull()).count() == 1

@@ -186,3 +186,20 @@ def test_binary_metrics_and_auc(spark):
     assert sweep.count() == 11
     r0 = sweep.filter("threshold = 0.0").first()
     assert r0.recall == 1.0  # everything predicted positive at t=0
+
+
+def test_standard_scaler_fits_single_value(spark):
+    """One non-null value: sample stddev is NULL but the fit must
+    succeed (transform falls back to unit spread) — only truly empty
+    or all-null input raises."""
+    from classification_pyspark_spark.operators.scaling import STANDARD, ColumnScaler
+
+    df = spark.createDataFrame([(5.0,)], "x double")
+    out = ColumnScaler(["x"], method=STANDARD).fit(df).transform(df).collect()
+    assert len(out) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot fit"):
+        ColumnScaler(["x"], method=STANDARD).fit(
+            spark.createDataFrame([], "x double")
+        )
