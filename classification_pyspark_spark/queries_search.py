@@ -530,3 +530,65 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table reconciliation (bucketed checksum diff).
+# ---------------------------------------------------------------------------
+_RECON_CANON = (
+    "concat_ws('|', l_orderkey, l_linenumber, "
+    "CAST(ROUND({qty} * 100) AS BIGINT), l_returnflag)"
+)
+
+
+@query(
+    "table_diff_reconciliation",
+    sql=f"""
+    WITH a AS (
+      SELECT ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4))::BIGINT % 64 AS bucket,
+             ('0x' || substr(md5({_RECON_CANON.format(qty='l_quantity')}), 1, 12))::BIGINT AS h
+      FROM lineitem
+    ),
+    b AS (
+      SELECT ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4))::BIGINT % 64 AS bucket,
+             ('0x' || substr(md5({_RECON_CANON.format(qty="CASE WHEN l_orderkey % 997 = 0 THEN l_quantity + 1 ELSE l_quantity END")}), 1, 12))::BIGINT AS h
+      FROM lineitem
+    ),
+    ca AS (SELECT bucket, COUNT(*) AS n, SUM(h) AS c FROM a GROUP BY bucket),
+    cb AS (SELECT bucket, COUNT(*) AS n, SUM(h) AS c FROM b GROUP BY bucket)
+    SELECT CAST(COALESCE(ca.bucket, cb.bucket) AS INTEGER) AS bucket,
+           CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_rows_a,
+           CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_rows_b,
+           CAST(CASE WHEN COALESCE(ca.c, 0) != COALESCE(cb.c, 0) THEN 1 ELSE 0 END AS INTEGER) AS checksum_differs
+    FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
+    WHERE COALESCE(ca.n, 0) != COALESCE(cb.n, 0) OR COALESCE(ca.c, 0) != COALESCE(cb.c, 0)
+    ORDER BY bucket
+    """,
+)
+def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-checksum diff of two table versions (here: lineitem vs
+    a deterministically-mutated copy standing in for a drifted
+    replica) — the divide-and-conquer reconciliation that compares two
+    100 TB tables with one keyed aggregate per side and a 64-row join,
+    localizing disagreement to buckets for a targeted row-level probe.
+    Floats enter the canonical row string as LONG cents and the row
+    hash is engine-portable md5, so the DuckDB oracle replays the
+    checksums bit-for-bit. See ``operators/reconcile.py``."""
+    from .operators.reconcile import table_diff
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 997 == 0, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        cents("l_quantity"),
+        F.col("l_returnflag"),
+    )
+    return table_diff(li, mutated, key, canon, n_buckets=64)

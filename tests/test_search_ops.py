@@ -240,3 +240,27 @@ def test_ivf_index_append_equals_rebuild(spark, sf_dir, tmp_path_factory):
     want = knn_ivf_indexed(spark, full_path, queries, **kw).collect()
     key = lambda r: (r[0], r[1])  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key) and len(got) == 25
+
+
+def test_table_diff_localizes_changes(spark, sf_dir):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.reconcile import table_diff
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    canon = F.concat_ws("|", "l_orderkey", "l_linenumber", "l_returnflag")
+    # identical tables -> empty diff
+    assert table_diff(li, li, key, canon, n_buckets=32).count() == 0
+    # mutate exactly one row -> exactly one bucket flagged, equal counts
+    one = li.orderBy("l_orderkey", "l_linenumber").limit(1)
+    tkey = one.select("l_orderkey", "l_linenumber")
+    mutated = li.join(tkey, ["l_orderkey", "l_linenumber"], "left_semi").withColumn(
+        "l_returnflag", F.lit("@")
+    ).unionByName(li.join(tkey, ["l_orderkey", "l_linenumber"], "left_anti"))
+    d = table_diff(li, mutated, key, canon, n_buckets=32).collect()
+    assert len(d) == 1
+    assert d[0]["n_rows_a"] == d[0]["n_rows_b"] and d[0]["checksum_differs"] == 1
+    # drop a row -> count mismatch localized to one bucket
+    dropped = li.join(tkey, ["l_orderkey", "l_linenumber"], "left_anti")
+    d2 = table_diff(li, dropped, key, canon, n_buckets=32).collect()
+    assert len(d2) == 1 and d2[0]["n_rows_a"] == d2[0]["n_rows_b"] + 1
