@@ -144,3 +144,24 @@ def save_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def save_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Write a GLOBALLY range-sorted parquet layout: rows are range-
+    partitioned on ``sort_cols`` (file i holds only keys below every
+    key of file i+1) and sorted within each file.
+
+    Why at 100 TB: readers filtering on the leading sort key prune
+    whole files via parquet min/max footer stats (the single-key
+    sibling of ``save_zordered``'s multi-column clustering), and
+    merge-style consumers stream the files in order without a sort.
+    One range-exchange shuffle (sampled boundaries), no global
+    single-partition sort.
+    """
+    out = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -88,3 +88,32 @@ def test_zorder_write_narrows_per_file_ranges(spark, sf_dir, tmp_path):
     )
     # each z-ordered file covers a far smaller key x price rectangle
     assert avg_range_product(zed) < 0.5 * avg_range_product(plain)
+
+
+def test_save_sorted_global_order_and_pruning_stats(spark, sf_dir, tmp_path):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.sources.maintenance import save_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "sorted")
+    save_sorted(orders, out, ["o_totalprice"], n_files=4)
+
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2
+    # per-file [min, max] ranges must be disjoint across the range
+    # partitioning (global order), and rows inside each file sorted
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        vals = pq.read_table(f, columns=["o_totalprice"]).column(0).to_pylist()
+        if vals:
+            assert vals == sorted(vals)  # sorted within the file
+            ranges.append((vals[0], vals[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: footer stats prune whole files
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == orders.count()
