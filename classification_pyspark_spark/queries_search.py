@@ -592,3 +592,43 @@ def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag"),
     )
     return table_diff(li, mutated, key, canon, n_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimator (planner tool: size a join before running it).
+# ---------------------------------------------------------------------------
+@query(
+    "join_cardinality_estimate",
+    sql="""
+    WITH a AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+    b AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY 1),
+    j AS (SELECT a.k, a.n * b.n AS pairs FROM a JOIN b USING (k))
+    SELECT CAST(SUM(pairs) AS BIGINT) AS est_join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+           CAST(MAX(pairs) AS BIGINT) AS max_key_pairs,
+           ROUND(CAST(MAX(pairs) AS DOUBLE) / SUM(pairs), 6) AS top_key_share
+    FROM j
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join: per-key
+    counts on each side (two map-side-combined aggregates, key-count-
+    sized results) joined and folded to sum(n_a * n_b) — the planner
+    probe that tells you whether a 100 TB join will explode, and how
+    much one hot key contributes (pair `top_key_share` with
+    ``operators/skew.py`` salting when it's large). The probe costs
+    two scans + a key-count join; the join it sizes could cost
+    orders of magnitude more."""
+    o = load_table(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    c = load_table(spark, sf_dir, "customer").groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    j = o.join(c, "k").select("k", (F.col("n_a") * F.col("n_b")).alias("pairs"))
+    return j.agg(
+        F.sum("pairs").cast("long").alias("est_join_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+        F.max("pairs").cast("long").alias("max_key_pairs"),
+        F.round(F.max("pairs").cast("double") / F.sum("pairs"), 6).alias("top_key_share"),
+    )

@@ -60,9 +60,18 @@ def ingest_documents(
     )
 
 
-def read_corpus(spark: SparkSession, sink_path: str) -> DataFrame:
-    """The accepted corpus across all epochs (hive-partitioned dirs)."""
-    return spark.read.parquet(sink_path).drop("epoch")
+def read_corpus(
+    spark: SparkSession, sink_path: str, as_of_epoch: int | None = None
+) -> DataFrame:
+    """The accepted corpus across all epochs (hive-partitioned dirs).
+
+    ``as_of_epoch`` time-travels: the epoch-keyed layout means the
+    corpus AS OF epoch N is exactly the partitions ``epoch <= N`` —
+    a partition-pruned scan, no snapshot copies or manifests."""
+    df = spark.read.parquet(sink_path)
+    if as_of_epoch is not None:
+        df = df.filter(F.col("epoch") <= int(as_of_epoch))
+    return df.drop("epoch")
 
 
 def _check_tag(sink_path: str, checkpoint_tag: str | None) -> None:

@@ -109,3 +109,16 @@ def test_null_text_accepted_exactly_once(spark, tmp_path_factory):
     corpus = read_corpus(spark, sink)
     assert corpus.count() == 2  # one NULL-text doc + one real doc, ever
     assert corpus.filter(F.col("text").isNull()).count() == 1
+
+
+def test_read_corpus_as_of_epoch_time_travel(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("travel")
+    sink, index = str(base / "sink"), str(base / "index")
+    docs = load_table(spark, sf_dir, "documents")
+    ingest_batch(docs.filter(F.col("doc_id") < 100), 0, sink, index, checkpoint_tag="ck")
+    n0 = read_corpus(spark, sink).count()
+    ingest_batch(docs.filter(F.col("doc_id") >= 100), 1, sink, index, checkpoint_tag="ck")
+    full = read_corpus(spark, sink).count()
+    assert full > n0
+    assert read_corpus(spark, sink, as_of_epoch=0).count() == n0
+    assert read_corpus(spark, sink, as_of_epoch=1).count() == full
