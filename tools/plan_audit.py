@@ -58,6 +58,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "broadcast into the scoring join; postings are term-filtered "
         "before any shuffle"
     },
+    "join_cardinality_estimate": {
+        "single_partition": "1-row fold of the per-key pair counts "
+        "(sum/max/count scalars) — per-task partials, never data rows"
+    },
     "kll_quantile_sketch_merge": {
         "single_partition": "1-row fold over the calendar-bounded "
         "(~84-element) monthly sketch list — mergeable-sketch state, "
