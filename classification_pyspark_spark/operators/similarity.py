@@ -342,6 +342,13 @@ def fit_ivf_centroids(
             "cannot fit IVF quantizer: corpus has no non-null embedding vectors"
         )
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    return kmeans_numpy(X, n_clusters, seed, max_iter)
+
+
+def kmeans_numpy(X: np.ndarray, n_clusters: int, seed: int = 42, max_iter: int = 10) -> np.ndarray:
+    """Seeded kmeans++ + Lloyd on an in-memory sample (shared by the
+    IVF coarse quantizer and the PQ sub-quantizers in operators/pq.py).
+    Deterministic for a given (X, seed)."""
     k = min(n_clusters, len(X))
     rng = np.random.default_rng(seed)
     # kmeans++ init

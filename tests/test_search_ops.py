@@ -264,3 +264,34 @@ def test_table_diff_localizes_changes(spark, sf_dir):
     dropped = li.join(tkey, ["l_orderkey", "l_linenumber"], "left_anti")
     d2 = table_diff(li, dropped, key, canon, n_buckets=32).collect()
     assert len(d2) == 1 and d2[0]["n_rows_a"] == d2[0]["n_rows_b"] + 1
+
+
+def test_pq_codes_shape_determinism_and_rerank_recall(spark, sf_dir):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+    from classification_pyspark_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, "embedding", m=8, k=256)
+    assert books.shape == (8, 256, 8)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, "vec_id", "embedding", books).collect()}
+    assert all(len(c) == 8 and all(0 <= x < 256 for x in c) for c in codes.values())
+    again = {r["vec_id"]: r["codes"] for r in pq_encode(emb, "vec_id", "embedding", books).collect()}
+    assert codes == again  # deterministic encode
+
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {}
+    for r in knn_bruteforce(emb, q, "vec_id", "embedding", k=10).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    codes_df = pq_encode(emb, "vec_id", "embedding", books)
+    got = {}
+    # k=11 then drop self: the query itself is in the corpus here
+    for r in pq_topk(codes_df, q, "vec_id", "embedding", books, k=11, rerank=50, vectors_df=emb).collect():
+        if r["neighbor_id"] != r["query_id"]:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(got[x] & bf[x]) / len(bf[x]) for x in bf) / len(bf)
+    assert recall >= 0.9, recall
