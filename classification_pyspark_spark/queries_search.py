@@ -655,3 +655,45 @@ def pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         codes, queries, "vec_id", "embedding", books, k=5, rerank=50, vectors_df=emb
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window COUNT DISTINCT via daily sketch merges.
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_distinct_users_sketch",
+    sql="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    pairs AS (
+      SELECT w.d AS window_end, e.user_id
+      FROM days w JOIN events e
+        ON CAST(e.ts AS DATE) <= w.d
+       AND CAST(e.ts AS DATE) > w.d - 7
+    )
+    SELECT window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+    FROM pairs GROUP BY window_end ORDER BY window_end
+    """,
+)
+def sliding_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, computed by MERGING the
+    materialized daily HLL sketches (7 sketch unions per day) instead
+    of re-scanning 7 days of raw events per window — the sliding
+    COUNT DISTINCT maintenance pattern at 100 TB, where each day's
+    sketch is built once at ingest and every window after that is
+    sketch algebra. lgK=14 keeps the union exact at harness
+    cardinalities (same posture as ``incremental_distinct_sketch``),
+    so the oracle is the exact self-join COUNT DISTINCT."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    offsets = spark.range(0, 7).select(F.col("id").cast("int").alias("back"))
+    windows = daily.select(F.col("d").alias("window_end")).crossJoin(F.broadcast(offsets))
+    member = windows.withColumn("d", F.date_sub("window_end", F.col("back"))).drop("back")
+    return (
+        member.join(daily, "d")
+        .groupBy("window_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_7d"))
+        .orderBy("window_end")
+    )
