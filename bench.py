@@ -84,6 +84,8 @@ HEADLINE = [
     "bm25_keyword_topk",
     "incremental_distinct_sketch",
     "view_abandonment_daily",
+    "table_diff_reconciliation",
+    "sliding_distinct_users_sketch",
 ]
 
 
