@@ -149,3 +149,37 @@ def grid_search_cv(
         for pm, m in zip(maps, fitted.avgMetrics)
     ]
     return fitted.bestModel, results
+
+
+def calibrate_isotonic(
+    df: DataFrame, score_col: str, label_col: str, out_col: str = "calibrated"
+):
+    """Isotonic (PAV) probability calibration of a model score —
+    the post-training step that turns a ranker's raw score into a
+    usable probability (Zadrozny & Elkan, KDD 2002; sklearn's
+    ``CalibratedClassifierCV(method='isotonic')``).
+
+    MLlib's IsotonicRegression is the distributed PAV: the fit pools
+    adjacent violators over (score, label) pairs — deterministic for
+    a given input — and the learned step function is applied as a
+    broadcast piecewise-constant lookup at transform time. Returns
+    (model, calibrated_df); calibrated values are monotone in the
+    score and minimize squared loss among monotone fits (so Brier
+    score never degrades vs the raw score on the fit data — pinned
+    in tests)."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    from pyspark.sql import functions as F
+
+    prepared = df.withColumn("__score_d", F.col(score_col).cast("double")).withColumn(
+        "__label_d", F.col(label_col).cast("double")
+    )
+    iso = IsotonicRegression(
+        featuresCol="__score_d",
+        labelCol="__label_d",
+        predictionCol=out_col,
+        isotonic=True,
+    )
+    model = iso.fit(prepared)
+    out = model.transform(prepared).drop("__score_d", "__label_d")
+    return model, out

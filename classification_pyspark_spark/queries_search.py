@@ -697,3 +697,33 @@ def sliding_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_7d"))
         .orderBy("window_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic probability calibration (distributed PAV).
+# ---------------------------------------------------------------------------
+@query("isotonic_calibration")  # rows-only: PAV has no SQL twin
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of a deterministic pseudo-score (price
+    percentile) against the F-status label, reported as a reliability
+    table: per calibrated-value step, the mean raw score, mean label,
+    and count. Rows-only by design (the PAV fit has no SQL twin);
+    monotonicity and Brier-improvement are pinned in tests. See
+    ``operators/models.py:calibrate_isotonic``."""
+    from .operators.models import calibrate_isotonic
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        (F.col("o_totalprice") / F.lit(600000.0)).alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    _, cal = calibrate_isotonic(scored, "score", "y")
+    return (
+        cal.groupBy(F.round("calibrated", 6).alias("calibrated"))
+        .agg(
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("mean_label"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("calibrated")
+    )

@@ -295,3 +295,32 @@ def test_pq_codes_shape_determinism_and_rerank_recall(spark, sf_dir):
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = sum(len(got[x] & bf[x]) / len(bf[x]) for x in bf) / len(bf)
     assert recall >= 0.9, recall
+
+
+def test_isotonic_calibration_monotone_and_brier_improves(spark, sf_dir):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.models import calibrate_isotonic
+
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        (F.col("o_totalprice") / F.lit(600000.0)).alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    _, cal = calibrate_isotonic(scored, "score", "y")
+    rows = cal.select("score", "y", "calibrated").orderBy("score").collect()
+    # monotone in the score
+    vals = [r["calibrated"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    # Brier score never degrades vs the raw score on the fit data
+    brier_raw = sum((r["score"] - r["y"]) ** 2 for r in rows) / len(rows)
+    brier_cal = sum((r["calibrated"] - r["y"]) ** 2 for r in rows) / len(rows)
+    assert brier_cal <= brier_raw + 1e-12
+    # calibrated means match label means within each step (PAV property)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[round(r["calibrated"], 9)].append(r["y"])
+    for v, ys in groups.items():
+        assert abs(v - sum(ys) / len(ys)) < 1e-6
