@@ -161,8 +161,9 @@ def calibrate_isotonic(
 
     MLlib's IsotonicRegression is the distributed PAV: the fit pools
     adjacent violators over (score, label) pairs — deterministic for
-    a given input — and the learned step function is applied as a
-    broadcast piecewise-constant lookup at transform time. Returns
+    a given input. At transform time MLlib interpolates LINEARLY
+    between the retained boundaries (still monotone; holdout scores
+    between boundaries get interpolated values, not a step). Returns
     (model, calibrated_df); calibrated values are monotone in the
     score and minimize squared loss among monotone fits (so Brier
     score never degrades vs the raw score on the fit data — pinned

@@ -7,17 +7,27 @@ per-vector int8 scaling.
 A D-dim vector splits into ``m`` subvectors; each subspace gets its own
 k-code codebook (kmeans on a bounded driver sample — parameter-sized at
 any corpus scale, same recipe as the IVF coarse quantizer). Encoding
-maps every vector to ``m`` small integers: m*log2(k) bits instead of
-32*D — a 32x compression at (m=8, k=16) for 64-dim float32.
+maps every vector to ``m`` small integers: m*log2(k) information bits
+instead of 32*D — 64x at (m=8, k=16) and 32x at (m=8, k=256) for
+64-dim float32 (the materialized ``array<int>`` column is ~8x on disk;
+pack codes into a binary column for the full ratio).
 
 Scoring is ADC (asymmetric distance computation): per query, a
-(m x k) table of subspace dot products is built once on the driver,
-and every stored code row folds to a score by ``m`` table lookups —
-an Arrow-batched numpy gather, no decompression of the corpus.
+(m x k) table of subspace dot products is built once on the driver and
+shipped in the kernel closure; every stored code row folds to a score
+by ``m`` table lookups — an Arrow-batched numpy gather, no
+decompression of the corpus. ADC approximates the INNER PRODUCT: it
+equals cosine only for unit-norm inputs — L2-normalize the corpus and
+queries upstream (``similarity.normalize_expr``) when cosine ranking
+is the contract. A query vector that is also in the corpus ranks
+itself first, as in any ANN search; exclude it downstream if unwanted.
 
-Scale shape: codebooks are tiny broadcast state; encode and score are
-single-pass ``mapInPandas``/pandas-UDF stages over the corpus with no
-shuffle; the top-k is TakeOrderedAndProject.
+Scale shape: codebooks/tables are tiny closure state; encode and score
+are single-pass Arrow-batched stages over the codes with per-batch
+top-k reduction inside the kernel (only shortlist-sized survivors per
+batch leave the executors, same discipline as
+``similarity.knn_bruteforce``); the final reduce is a window over
+per-batch survivors, never the corpus.
 """
 
 from __future__ import annotations
@@ -27,9 +37,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from .similarity import _as_double, kmeans_numpy
+from .similarity import _as_double, collect_vector_sample, kmeans_numpy
 
 
 def fit_pq_codebooks(
@@ -42,15 +53,7 @@ def fit_pq_codebooks(
 ) -> np.ndarray:
     """Per-subspace codebooks, shape (m, k, D/m). Deterministic for a
     given sample and seed. D must divide evenly by ``m``."""
-    rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(_as_double(F.col(vec_col)).alias("__v"))
-        .limit(max_train_rows)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("cannot fit PQ codebooks: no non-null embedding vectors")
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = collect_vector_sample(df, vec_col, max_train_rows, "PQ codebooks")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"embedding dim {dim} is not divisible by m={m} subspaces")
@@ -99,19 +102,21 @@ def pq_topk(
     rerank: int | None = None,
     vectors_df: DataFrame | None = None,
 ) -> DataFrame:
-    """ADC top-k: approximate inner-product scores from code lookups.
+    """ADC top-k over the compressed codes.
 
     ``rerank=R`` (with ``vectors_df`` = the full-precision vectors)
     takes the top-R ADC shortlist per query and re-scores just those R
-    rows exactly — the standard PQ deployment: the corpus is scanned
-    as codes only, and full vectors are fetched for R*|Q| rows (a
-    broadcast-join-sized probe). ADC alone on unstructured embeddings
-    recalls ~0.3-0.7 depending on (m, k); shortlist+rerank restores
-    ~1.0 while keeping the scan compressed.
+    rows with exact cosine — the standard PQ deployment: the corpus is
+    scanned as codes only, and full vectors are fetched for R*|Q| rows
+    (a broadcast-join-sized probe). ADC alone on unstructured
+    embeddings recalls ~0.3-0.7 depending on (m, k); shortlist+rerank
+    restores ~1.0 while the scan stays compressed.
 
     Output: (query_id, neighbor_id, score rounded 4, rank) under the
-    deterministic (score desc, neighbor_id asc) order — the PQ twin of
-    ``similarity.knn_bruteforce``."""
+    deterministic (score desc, neighbor_id asc) order. ADC scores are
+    approximate inner products (see module docstring); rerank scores
+    are exact cosine.
+    """
     m, kk, sub = books.shape
     q_rows = (
         queries.filter(F.col(vec_col).isNotNull())
@@ -125,32 +130,47 @@ def pq_topk(
     # per-query subspace dot tables: tables[q, j, code] = q_j · c_{j,code}
     tables = np.einsum("qjs,jks->qjk", Q.reshape(len(Q), m, sub), books)
 
-    @pandas_udf("array<double>")
-    def score_all(codes: pd.Series) -> pd.Series:
-        C = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
-        n = len(C)
-        # gather: scores[q, n] = sum_j tables[q, j, C[n, j]]
-        out = np.zeros((n, len(q_ids)))
-        jj = np.arange(m)
-        for qi in range(len(q_ids)):
-            out[:, qi] = tables[qi][jj, C].sum(axis=1)
-        return pd.Series(list(out))
-
-    scored = codes_df.select(
-        F.col(id_col).alias("neighbor_id"), score_all(F.col("codes")).alias("__s")
-    )
-    # explode per query (|Q| is parameter-sized), then per-query top-k
-    pairs = scored.select(
-        "neighbor_id", F.posexplode("__s").alias("__qi", "__score")
-    )
-    qmap = codes_df.sparkSession.createDataFrame(
-        list(enumerate(q_ids)), "__qi int, query_id long"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("neighbor_id"))
     shortlist_k = max(k, rerank) if rerank else k
+    id_type = codes_df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("__score", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(it):
+        jj = np.arange(m)
+        top = shortlist_k
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            nids = pdf[id_col].to_numpy()
+            qcol, ncol, scol = [], [], []
+            for qi, qid in enumerate(q_ids):
+                col = tables[qi][jj, C].sum(axis=1)
+                # deterministic per-batch top-k under (score desc, id
+                # asc): the union of per-batch top-ks under a total
+                # order contains the global top-k, so the final window
+                # reduction is exact
+                order = np.lexsort((nids, -col))[:top]
+                qcol.extend([qid] * len(order))
+                ncol.append(nids[order])
+                scol.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": qcol,
+                    "neighbor_id": np.concatenate(ncol),
+                    "__score": np.concatenate(scol),
+                }
+            )
+
+    survivors = codes_df.mapInPandas(score_batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("neighbor_id"))
     adc = (
-        pairs.join(F.broadcast(qmap), "__qi")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        survivors.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= shortlist_k)
     )
     if not rerank:
@@ -167,7 +187,12 @@ def pq_topk(
     )
     qvecs = vectors_df.sparkSession.createDataFrame(
         [(qid, [float(x) for x in Q[i]]) for i, qid in enumerate(q_ids)],
-        "query_id long, __qv array<double>",
+        T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
     exact = (
         adc.select("query_id", "neighbor_id")

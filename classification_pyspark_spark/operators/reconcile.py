@@ -31,27 +31,36 @@ def _bucket_expr(key: Column, n_buckets: int) -> Column:
     ).cast("int")
 
 
-def _rowhash_expr(row: Column) -> Column:
-    """48-bit integer hash of the canonical row string. Summed per
-    bucket it forms an order-independent checksum; 48 bits keeps the
-    sum far from BIGINT overflow (2^15 rows/bucket of headroom per
-    bit of slack — sums of millions of rows per bucket stay exact)."""
-    return F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("long")
+def _rowhash_expr(row: Column, offset: int) -> Column:
+    """32-bit integer hash of the canonical row string, taken from md5
+    hex chars [offset, offset+8). Summed per bucket it forms an
+    order-independent checksum with real BIGINT headroom: mean value
+    2^31, so the sum stays exact past 2^31 (~2 billion) rows per
+    bucket — 48-bit hashes would overflow (and raise under Spark's
+    default ANSI mode) at only ~65k rows/bucket. Two independent
+    32-bit sums (offsets 1 and 9) push the per-bucket collision odds
+    to ~2^-64-ish while keeping every sum a plain BIGINT on both
+    engines."""
+    return F.conv(F.substring(F.md5(row), offset, 8), 16, 10).cast("long")
 
 
 def table_checksum(
     df: DataFrame, key: Column, row_expr: Column, n_buckets: int = 256
 ) -> DataFrame:
-    """(bucket, n_rows, checksum) — one map-side-combined aggregate."""
+    """(bucket, n_rows, checksum, checksum2) — one map-side-combined
+    aggregate; the two checksums are sums of independent 32-bit row
+    hashes (see ``_rowhash_expr`` for the overflow envelope)."""
     return (
         df.select(
             _bucket_expr(key, n_buckets).alias("bucket"),
-            _rowhash_expr(row_expr).alias("__h"),
+            _rowhash_expr(row_expr, 1).alias("__h1"),
+            _rowhash_expr(row_expr, 9).alias("__h2"),
         )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("__h").cast("long").alias("checksum"),
+            F.sum("__h1").cast("long").alias("checksum"),
+            F.sum("__h2").cast("long").alias("checksum2"),
         )
     )
 
@@ -70,17 +79,22 @@ def table_diff(
     ca = table_checksum(a, key, row_expr, n_buckets)
     cb = table_checksum(b, key, row_expr, n_buckets)
     joined = ca.alias("a").join(cb.alias("b"), "bucket", "full_outer")
+    differs = (
+        (
+            F.coalesce(F.col("a.checksum"), F.lit(0))
+            != F.coalesce(F.col("b.checksum"), F.lit(0))
+        )
+        | (
+            F.coalesce(F.col("a.checksum2"), F.lit(0))
+            != F.coalesce(F.col("b.checksum2"), F.lit(0))
+        )
+    )
     return (
         joined.select(
             "bucket",
             F.coalesce(F.col("a.n_rows"), F.lit(0)).alias("n_rows_a"),
             F.coalesce(F.col("b.n_rows"), F.lit(0)).alias("n_rows_b"),
-            (
-                F.coalesce(F.col("a.checksum"), F.lit(0))
-                != F.coalesce(F.col("b.checksum"), F.lit(0))
-            )
-            .cast("int")
-            .alias("checksum_differs"),
+            differs.cast("int").alias("checksum_differs"),
         )
         .filter(
             (F.col("n_rows_a") != F.col("n_rows_b")) | (F.col("checksum_differs") == 1)

@@ -51,6 +51,14 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def normalize_expr(col: Column) -> Column:
+    """L2-normalize an array<numeric> column (JVM higher-order fns).
+    Zero-norm vectors come back NULL-elementwise (0/0), matching the
+    cosine operators' treat-as-undefined posture."""
+    n = norm_expr(col)
+    return F.transform(col, lambda x: x.cast("double") / n)
+
+
 # ---------------------------------------------------------------------------
 # Vectorized (Arrow + numpy) kernels — the hot-path implementations.
 # Spark's higher-order-function lambdas evaluate interpreted per array
@@ -317,6 +325,23 @@ def cosine_dup_pairs(
 # time (partition pruning), which is the 100 TB win: IO scales with
 # n_probe, not corpus size.
 # ---------------------------------------------------------------------------
+def collect_vector_sample(
+    df: DataFrame, vec_col: str, max_rows: int, what: str
+) -> np.ndarray:
+    """Bounded driver-side training sample for quantizer fits
+    (``limit(max_rows)`` — parameter-sized at ANY corpus scale).
+    Shared by the IVF coarse quantizer and the PQ sub-quantizers."""
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(_as_double(F.col(vec_col)).alias("__v"))
+        .limit(max_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"cannot fit {what}: corpus has no non-null embedding vectors")
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     vec_col: str,
@@ -326,22 +351,11 @@ def fit_ivf_centroids(
     max_train_rows: int = 4096,
 ) -> np.ndarray:
     """Coarse quantizer: kmeans++-seeded Lloyd iterations in numpy over
-    a bounded sample (``limit(max_train_rows)`` — parameter-sized at
-    ANY corpus scale). This is the standard IVF recipe: train the
+    a bounded sample. This is the standard IVF recipe: train the
     quantizer tiny on the driver, assign distributed — a distributed
     KMeans here would cost max_iter full-corpus passes to learn 16
     centroids. Returns the (n_clusters, dim) centroid matrix."""
-    rows = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(_as_double(F.col(vec_col)).alias("__v"))
-        .limit(max_train_rows)
-        .collect()
-    )
-    if not rows:
-        raise ValueError(
-            "cannot fit IVF quantizer: corpus has no non-null embedding vectors"
-        )
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    X = collect_vector_sample(df, vec_col, max_train_rows, "IVF quantizer")
     return kmeans_numpy(X, n_clusters, seed, max_iter)
 
 

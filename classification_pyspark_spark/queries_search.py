@@ -535,6 +535,7 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Table reconciliation (bucketed checksum diff).
 # ---------------------------------------------------------------------------
+_RECON_MUT = "CASE WHEN l_orderkey % 997 = 0 THEN l_quantity + 1 ELSE l_quantity END"
 _RECON_CANON = (
     "concat_ws('|', l_orderkey, l_linenumber, "
     "CAST(ROUND({qty} * 100) AS BIGINT), l_returnflag)"
@@ -546,22 +547,26 @@ _RECON_CANON = (
     sql=f"""
     WITH a AS (
       SELECT ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4))::BIGINT % 64 AS bucket,
-             ('0x' || substr(md5({_RECON_CANON.format(qty='l_quantity')}), 1, 12))::BIGINT AS h
+             ('0x' || substr(md5({_RECON_CANON.format(qty='l_quantity')}), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5({_RECON_CANON.format(qty='l_quantity')}), 9, 8))::BIGINT AS h2
       FROM lineitem
     ),
     b AS (
       SELECT ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4))::BIGINT % 64 AS bucket,
-             ('0x' || substr(md5({_RECON_CANON.format(qty="CASE WHEN l_orderkey % 997 = 0 THEN l_quantity + 1 ELSE l_quantity END")}), 1, 12))::BIGINT AS h
+             ('0x' || substr(md5({_RECON_CANON.format(qty=_RECON_MUT)}), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5({_RECON_CANON.format(qty=_RECON_MUT)}), 9, 8))::BIGINT AS h2
       FROM lineitem
     ),
-    ca AS (SELECT bucket, COUNT(*) AS n, SUM(h) AS c FROM a GROUP BY bucket),
-    cb AS (SELECT bucket, COUNT(*) AS n, SUM(h) AS c FROM b GROUP BY bucket)
+    ca AS (SELECT bucket, COUNT(*) AS n, SUM(h1) AS c1, SUM(h2) AS c2 FROM a GROUP BY bucket),
+    cb AS (SELECT bucket, COUNT(*) AS n, SUM(h1) AS c1, SUM(h2) AS c2 FROM b GROUP BY bucket)
     SELECT CAST(COALESCE(ca.bucket, cb.bucket) AS INTEGER) AS bucket,
            CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_rows_a,
            CAST(COALESCE(cb.n, 0) AS BIGINT) AS n_rows_b,
-           CAST(CASE WHEN COALESCE(ca.c, 0) != COALESCE(cb.c, 0) THEN 1 ELSE 0 END AS INTEGER) AS checksum_differs
+           CAST(CASE WHEN COALESCE(ca.c1, 0) != COALESCE(cb.c1, 0)
+                       OR COALESCE(ca.c2, 0) != COALESCE(cb.c2, 0) THEN 1 ELSE 0 END AS INTEGER) AS checksum_differs
     FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket
-    WHERE COALESCE(ca.n, 0) != COALESCE(cb.n, 0) OR COALESCE(ca.c, 0) != COALESCE(cb.c, 0)
+    WHERE COALESCE(ca.n, 0) != COALESCE(cb.n, 0) OR COALESCE(ca.c1, 0) != COALESCE(cb.c1, 0)
+       OR COALESCE(ca.c2, 0) != COALESCE(cb.c2, 0)
     ORDER BY bucket
     """,
 )

@@ -163,5 +163,7 @@ def save_sorted(
     One range-exchange shuffle (sampled boundaries), no global
     single-partition sort.
     """
-    out = df.repartitionByRange(*( [n_files] if n_files else [] ), *sort_cols)
+    if n_files is not None and n_files < 1:
+        raise ValueError(f"n_files must be positive, got {n_files}")
+    out = df.repartitionByRange(*([n_files] if n_files is not None else []), *sort_cols)
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -25,6 +25,7 @@ EXPECT_FIT_ERROR = {
     "outlier_cap",
     "knn_ivf",
     "knn_ivf_recall",
+    "pq_topk_rerank",  # PQ codebooks are a quantizer fit
 }
 
 FIT_ERROR_RE = re.compile(r"cannot (fit|build)")
