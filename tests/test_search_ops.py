@@ -324,3 +324,47 @@ def test_isotonic_calibration_monotone_and_brier_improves(spark, sf_dir):
         groups[round(r["calibrated"], 9)].append(r["y"])
     for v, ys in groups.items():
         assert abs(v - sum(ys) / len(ys)) < 1e-6
+
+
+def test_streaming_ivf_index_maintenance(spark, sf_dir, tmp_path_factory):
+    """Embedding batches arriving as a stream maintain the IVF index via
+    foreachBatch append — queries against the streamed index equal a
+    full rebuild with the same quantizer (the operational loop: fit
+    centroids once, then every micro-batch is assign-and-append)."""
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_ivf_indexed,
+    )
+
+    base = tmp_path_factory.mktemp("stream_ivf")
+    landing, inc_path, full_path = str(base / "landing"), str(base / "inc"), str(base / "full")
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_part = emb.filter(F.col("vec_id") < 200)
+    rest = emb.filter(F.col("vec_id") >= 200)
+    rest.repartition(3).write.parquet(landing)
+
+    centers = build_ivf_index(seed_part, inc_path, "vec_id", "embedding", n_clusters=8)
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch, eid: append_to_ivf_index(batch, inc_path, "vec_id", "embedding", centers)
+        )
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    append_to_ivf_index(emb, full_path, "vec_id", "embedding", centers)
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(id_col="vec_id", vec_col="embedding", centers=centers, k=5, n_probe=8)
+    got = sorted(map(tuple, knn_ivf_indexed(spark, inc_path, queries, **kw).collect()))
+    want = sorted(map(tuple, knn_ivf_indexed(spark, full_path, queries, **kw).collect()))
+    assert got == want and len(got) == 25
