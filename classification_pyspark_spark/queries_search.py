@@ -732,3 +732,37 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("calibrated")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source demo (Spark 4 native source with pushdown).
+# ---------------------------------------------------------------------------
+@query("synthetic_source_profile")  # rows-only: the generator has no SQL twin
+def synthetic_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language profile over the native Python Data Source
+    (``sources/pydatasource.py``): a zero-disk deterministic corpus
+    generator with partition planning and doc_id range pushdown —
+    scale/load tests read format("synthetic_docs") like any table.
+    The doc_id < 800 predicate here is CONSUMED by the source (pruned
+    at generation, verified in tests/test_io.py). Rows-only by design;
+    determinism is the (doc_id, seed) pure-function contract."""
+    from pyspark.sql import functions as F
+
+    from .sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 1000)
+        .option("n_partitions", 8)
+        .load()
+        .filter(F.col("doc_id") < 800)
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
