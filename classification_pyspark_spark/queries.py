@@ -143,6 +143,16 @@ DRIVER_WINDOW: list[str] = [
     "describe_numeric_approx",
     "knn_ivf",
 ]
+# Round-4 rotation plan: once this window's 50 entries are driver-green
+# in CORRECTNESS_r03, rotate them out for the round-3 additions that
+# have only local-sweep coverage so far — one representative each of:
+# retrieval (bm25_keyword_topk), privacy (k_anonymity_profile), robust
+# stats (mad_robust_outliers), series ACF (acf_daily_revenue), sketch
+# state (incremental_distinct_sketch, sliding_distinct_users_sketch),
+# reshape (unpivot_measures), stream-twin (view_abandonment_daily),
+# encoder (feature_hash_buckets), reconciliation
+# (table_diff_reconciliation), and planner probe
+# (join_cardinality_estimate).
 
 
 def _apply_driver_window() -> None:

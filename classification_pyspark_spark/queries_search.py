@@ -746,8 +746,6 @@ def synthetic_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc_id < 800 predicate here is CONSUMED by the source (pruned
     at generation, verified in tests/test_io.py). Rows-only by design;
     determinism is the (doc_id, seed) pure-function contract."""
-    from pyspark.sql import functions as F
-
     from .sources.pydatasource import register_synthetic_docs
 
     register_synthetic_docs(spark)
