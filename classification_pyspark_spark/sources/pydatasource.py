@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -103,6 +104,30 @@ class SyntheticDocsReader(DataSourceReader):
             yield _doc(doc_id, partition.seed)
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same generator: the offset is just
+    the next doc_id, and because content is a pure function of
+    (doc_id, seed), ``readBetweenOffsets`` replays any committed range
+    bit-identically after a failure — the exactly-once replay contract
+    for free, no WAL needed beyond Spark's offset log."""
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.docs_per_batch = int(options.get("docs_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.docs_per_batch, self.n_docs)
+        return (iter([_doc(i, self.seed) for i in range(lo, hi)]), {"next": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_doc(i, self.seed) for i in range(int(start["next"]), int(end["next"]))])
+
+
 class SyntheticDocsDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -113,6 +138,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType):
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register_synthetic_docs(spark) -> None:
