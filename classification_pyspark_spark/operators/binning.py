@@ -105,7 +105,10 @@ class FixedWidthBinnerModel:
         self.col, self.n_bins, self.out_col, self.lo, self.hi = col, n_bins, out_col, lo, hi
 
     def transform(self, df: DataFrame) -> DataFrame:
-        width = (self.hi - self.lo) / self.n_bins
+        # constant column: lo == hi passes the fit guard but width 0
+        # would raise DIVIDE_BY_ZERO under ANSI — everything lands in
+        # bucket 0 (same degenerate posture as the scaler's unit span)
+        width = ((self.hi - self.lo) / self.n_bins) or 1.0
         raw = F.floor((F.col(self.col) - F.lit(self.lo)) / F.lit(width))
         clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(self.n_bins - 1)).cast("int")
         return df.withColumn(self.out_col, clamped)

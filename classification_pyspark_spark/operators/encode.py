@@ -148,10 +148,9 @@ def feature_hash_expr(col, n_buckets: int = 32):
     n_buckets``. Stateless (no fitted vocabulary), which is the point:
     unseen categories at serve time land in a stable bucket instead of
     erroring, and no vocab broadcast is needed at 100 TB."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
-    ).cast("int")
+    from .sampling import md5_prefix_long_expr
+
+    return (md5_prefix_long_expr(col, 1, 8) % n_buckets).cast("int")
 
 
 def feature_hash_encode(

@@ -26,9 +26,9 @@ from pyspark.sql import functions as F
 def _bucket_expr(key: Column, n_buckets: int) -> Column:
     """md5-prefix bucket of the key rendering — engine-portable
     (DuckDB twin: ``('0x' || substr(md5(k), 1, 4))::BIGINT % n``)."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long") % n_buckets
-    ).cast("int")
+    from .sampling import md5_prefix_long_expr
+
+    return (md5_prefix_long_expr(key) % n_buckets).cast("int")
 
 
 def _rowhash_expr(row: Column, offset: int) -> Column:
@@ -41,7 +41,9 @@ def _rowhash_expr(row: Column, offset: int) -> Column:
     32-bit sums (offsets 1 and 9) push the per-bucket collision odds
     to ~2^-64-ish while keeping every sum a plain BIGINT on both
     engines."""
-    return F.conv(F.substring(F.md5(row), offset, 8), 16, 10).cast("long")
+    from .sampling import md5_prefix_long_expr
+
+    return md5_prefix_long_expr(row, offset, 8)
 
 
 def table_checksum(

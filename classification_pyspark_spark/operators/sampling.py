@@ -79,6 +79,19 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def md5_prefix_long_expr(col: Column | str, offset: int = 1, hex_digits: int = 4) -> Column:
+    """LONG from md5 hex chars [offset, offset+hex_digits) of the
+    value's string rendering — THE portable hash idiom of this engine
+    (engine-agnostic, unlike murmur3 ``hash()``). DuckDB twin:
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), offset, hex_digits))::BIGINT``.
+    Shared by hash splits/fractions here, reconciliation checksums
+    (operators/reconcile.py) and the feature hasher (operators/encode.py).
+    Keep hex_digits <= 8 when the values will be SUMmed (32-bit addends
+    leave ~2^31 rows of BIGINT headroom; see reconcile)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), offset, hex_digits), 16, 10).cast("long")
+
+
 def hash_split_expr(id_col: str, train_pct: int = 80) -> Column:
     """Deterministic hash-based train/test split label.
 
@@ -88,9 +101,7 @@ def hash_split_expr(id_col: str, train_pct: int = 80) -> Column:
     whose assignment depends on partition layout). The scale-correct
     way to hold out data: rows never move, no sampling state.
     """
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("int") % 100
-    )
+    bucket = (md5_prefix_long_expr(id_col).cast("int") % 100)
     return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test"))
 
 
@@ -101,9 +112,4 @@ def md5_fraction_expr(id_col: str, hex_digits: int = 6) -> Column:
     hash-ranked pools (``negative_sampling_pairs``). DuckDB twin:
     ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 6))::BIGINT
     / 16777216.0``."""
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_digits), 16, 10).cast(
-            "long"
-        )
-        / float(16 ** hex_digits)
-    )
+    return md5_prefix_long_expr(id_col, 1, hex_digits) / float(16 ** hex_digits)

@@ -44,7 +44,10 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide: zero-norm vectors have no defined cosine -> NULL
+    # (ANSI mode would raise on /0; NULL matches _cosine_pudf's mask
+    # and desc-sorts last, so top-k never surfaces them)
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def _as_double(col: Column) -> Column:
@@ -56,7 +59,7 @@ def normalize_expr(col: Column) -> Column:
     Zero-norm vectors come back NULL-elementwise (0/0), matching the
     cosine operators' treat-as-undefined posture."""
     n = norm_expr(col)
-    return F.transform(col, lambda x: x.cast("double") / n)
+    return F.transform(col, lambda x: F.try_divide(x.cast("double"), n))
 
 
 # ---------------------------------------------------------------------------
@@ -589,7 +592,12 @@ def build_ivf_index(
         .select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
         .select("id", "v", make_cluster_assign_pudf(centers)(F.col("v")).alias("cluster"))
     )
-    corpus.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    # epoch=0 is the base build; incremental refreshes land in their own
+    # epoch partitions (see append_to_ivf_index) so replays are
+    # idempotent; readers filter on cluster and ignore the epoch level
+    corpus.withColumn("epoch", F.lit(0)).write.mode("overwrite").partitionBy(
+        "epoch", "cluster"
+    ).parquet(path)
     return centers
 
 
@@ -599,22 +607,38 @@ def append_to_ivf_index(
     id_col: str,
     vec_col: str,
     centers: np.ndarray,
+    epoch_id: int = 1,
 ) -> None:
     """Incrementally extend a materialized IVF index: assign ONLY the
-    new vectors to the existing centroids and append them into their
-    cluster partitions — no rebuild, no rescan of the indexed corpus,
-    the refresh an hourly embedding ingest needs at 100 TB. Queries
-    against the appended index are identical to a full rebuild with the
-    same centroid matrix (pinned in tests). Quantizer drift is the
-    caller's trade-off: re-fit centroids (full rebuild) when the new
-    data's distribution departs from what the quantizer was trained on.
-    Id dedup is the upstream ingest's job (see streaming/corpus.py)."""
+    new vectors to the existing centroids and write them into their
+    cluster partitions under ``epoch=epoch_id`` — no rebuild, no
+    rescan of the indexed corpus, the refresh an hourly embedding
+    ingest needs at 100 TB. Queries against the appended index are
+    identical to a full rebuild with the same centroid matrix (pinned
+    in tests).
+
+    Replay idempotence: the write is a DYNAMIC partition overwrite of
+    this epoch's partitions only — a foreachBatch checkpoint replay of
+    epoch N rewrites the identical rows instead of appending
+    duplicates (same discipline as streaming/corpus.py). Callers must
+    give each batch a distinct ``epoch_id`` (foreachBatch's epoch id;
+    the base build owns epoch 0) — reusing an id overwrites that
+    epoch. Quantizer drift is the caller's trade-off: re-fit centroids
+    (full rebuild) when the data distribution departs from what the
+    quantizer was trained on. Id dedup is the upstream ingest's job
+    (see streaming/corpus.py)."""
     new_rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
         .select("id", "v", make_cluster_assign_pudf(centers)(F.col("v")).alias("cluster"))
     )
-    new_rows.write.mode("append").partitionBy("cluster").parquet(path)
+    (
+        new_rows.withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cluster")
+        .parquet(path)
+    )
 
 
 def knn_ivf_indexed(

@@ -144,6 +144,10 @@ class SyntheticDocsDataSource(DataSource):
 
 
 def register_synthetic_docs(spark) -> None:
-    # python-source filter pushdown is opt-in (runtime-settable)
+    """Registers the source AND enables python-source filter pushdown
+    SESSION-WIDE (``spark.sql.python.filterPushdown.enabled`` — opt-in
+    in Spark 4, and required or a reader defining pushFilters refuses
+    to initialize). Note the global effect: other python data sources
+    in this session will also start receiving pushed filters."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)

@@ -230,10 +230,12 @@ def test_ivf_index_append_equals_rebuild(spark, sf_dir, tmp_path_factory):
     d = tmp_path_factory.mktemp("ivf")
     inc_path, full_path = str(d / "inc"), str(d / "full")
     centers = build_ivf_index(base, inc_path, "vec_id", "embedding", n_clusters=8)
-    append_to_ivf_index(extra, inc_path, "vec_id", "embedding", centers)
+    append_to_ivf_index(extra, inc_path, "vec_id", "embedding", centers, epoch_id=1)
+    # replaying the same epoch must overwrite, not duplicate
+    append_to_ivf_index(extra, inc_path, "vec_id", "embedding", centers, epoch_id=1)
     # full rebuild with the SAME centroids: write all rows through the
     # append path into a fresh index
-    append_to_ivf_index(emb, full_path, "vec_id", "embedding", centers)
+    append_to_ivf_index(emb, full_path, "vec_id", "embedding", centers, epoch_id=1)
 
     kw = dict(id_col="vec_id", vec_col="embedding", centers=centers, k=5, n_probe=8)
     got = knn_ivf_indexed(spark, inc_path, queries, **kw).collect()
@@ -354,7 +356,10 @@ def test_streaming_ivf_index_maintenance(spark, sf_dir, tmp_path_factory):
     )
     (
         stream.writeStream.foreachBatch(
-            lambda batch, eid: append_to_ivf_index(batch, inc_path, "vec_id", "embedding", centers)
+            # epoch 0 belongs to the base build: offset the stream's ids
+            lambda batch, eid: append_to_ivf_index(
+                batch, inc_path, "vec_id", "embedding", centers, epoch_id=eid + 1
+            )
         )
         .option("checkpointLocation", str(base / "ckpt"))
         .trigger(availableNow=True)
@@ -362,7 +367,7 @@ def test_streaming_ivf_index_maintenance(spark, sf_dir, tmp_path_factory):
         .awaitTermination()
     )
 
-    append_to_ivf_index(emb, full_path, "vec_id", "embedding", centers)
+    append_to_ivf_index(emb, full_path, "vec_id", "embedding", centers, epoch_id=1)
     queries = emb.filter(F.col("vec_id") < 5)
     kw = dict(id_col="vec_id", vec_col="embedding", centers=centers, k=5, n_probe=8)
     got = sorted(map(tuple, knn_ivf_indexed(spark, inc_path, queries, **kw).collect()))
