@@ -28,6 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from classification_pyspark_spark.operators.caching import release_tracked  # noqa: E402
 from classification_pyspark_spark.queries import QUERIES  # noqa: E402
 from classification_pyspark_spark.session import get_spark  # noqa: E402
 
@@ -119,6 +120,7 @@ def main() -> None:
     for name in names:
         best = float("inf")
         for _ in range(2):
+            release_tracked()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import track
 from .text import punct_tokens_expr, tokens_expr, word_ngrams_expr
 
 SHINGLE_K = 5
@@ -150,7 +151,7 @@ def minhash_candidate_pairs(
         ).alias(f"band_{b}")
         for b in range(n_bands)
     ]
-    banded = sig.select(F.col(id_col), *band_cols).persist()
+    banded = track(sig.select(F.col(id_col), *band_cols))
     long = banded.selectExpr(
         id_col,
         "stack({n}, {args}) as (band, h)".format(
@@ -226,10 +227,13 @@ def ngram_jaccard_pairs(
     toks = tokens_expr(F.lower(text_col))
     grams = word_ngrams_expr(toks, n, pad_short=True)
     # posting feeds three branches (both join sides + sizes): persist so
-    # the tokenization/gram explode runs once, not three times
-    posting = df.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(grams).alias("gram")
-    ).persist()
+    # the tokenization/gram explode runs once, not three times (tracked —
+    # the runner releases it after the query's terminal action)
+    posting = track(
+        df.select(
+            F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(grams).alias("gram")
+        )
+    )
     sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     paired = posting
     if max_posting_size is not None:

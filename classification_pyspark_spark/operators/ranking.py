@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import track
 from .text import punct_tokens_expr
 
 
@@ -72,12 +73,11 @@ def bm25_topk(
     # tf feeds both the df-frequency agg and the scoring join — persist
     # it (|Q|-term postings) or the explode pipeline runs twice
     # (same policy as text.tfidf_top_terms).
-    tf = (
+    tf = track(
         df.select(F.col(id_col), F.explode(punct_tokens_expr(F.col(text_col))).alias("term"))
         .filter(F.col("term").isin(list(terms)))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (

@@ -331,13 +331,29 @@ def cosine_dup_pairs(
 def collect_vector_sample(
     df: DataFrame, vec_col: str, max_rows: int, what: str
 ) -> np.ndarray:
-    """Bounded driver-side training sample for quantizer fits
-    (``limit(max_rows)`` — parameter-sized at ANY corpus scale).
-    Shared by the IVF coarse quantizer and the PQ sub-quantizers."""
+    """Bounded, layout-independent driver-side training sample for
+    quantizer fits. Shared by the IVF coarse quantizer and the PQ
+    sub-quantizers.
+
+    The sample is the ``max_rows`` HASH-SMALLEST vectors (xxhash64 of
+    the vector content, string-cast tiebreak), so it is a pure
+    function of the data — not of partition/file-listing order — and
+    hash order is pseudo-random, so a corpus whose physical layout
+    correlates with content (time-/source-sorted parquet at 100 TB)
+    cannot bias the centroid fit toward its leading partitions. A bare
+    ``limit(max_rows)`` would take exactly those leading partitions.
+
+    Scale: ``orderBy(hash).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps a k-row heap and the
+    driver merges k-sized heads — so the cost stays parameter-sized at
+    ANY corpus scale; nothing shuffles."""
+    v = _as_double(F.col(vec_col))
     rows = (
         df.filter(F.col(vec_col).isNotNull())
-        .select(_as_double(F.col(vec_col)).alias("__v"))
+        .select(v.alias("__v"), F.xxhash64(v).alias("__h"))
+        .orderBy("__h", F.col("__v").cast("string"))
         .limit(max_rows)
+        .select("__v")
         .collect()
     )
     if not rows:

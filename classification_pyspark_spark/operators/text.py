@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import track
+
 MOD = 1_000_000_007
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -146,10 +148,8 @@ def tfidf_top_terms(
     # tf feeds BOTH the df-frequency agg and the final join: persist it
     # (corpus-vocab-sized, far smaller than the exploded token stream)
     # or the tokenize+explode+agg pipeline runs twice
-    tf = (
-        terms.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist()
+    tf = track(
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -396,21 +396,20 @@ def tfidf_cosine_pairs(
 
     Caching note: the tf and weight frames are persisted (each feeds
     two downstream aggregates; without the persist the tokenize+explode
-    pipeline runs multiple times). The blocks are evictable
-    (MEMORY_AND_DISK default), but a long-lived session invoking this
-    over many corpora should ``spark.catalog.clearCache()`` between
-    runs — the oracle sweep harness does exactly that.
+    pipeline runs multiple times). Both are registered with
+    ``caching.track``: a long-lived session invoking this over many
+    corpora should call ``caching.release_tracked()`` after each
+    terminal action — the plan runner, oracle sweep, and bench harness
+    all do.
     """
     toks = punct_tokens_expr(F.col(text_col))
     terms = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.explode(toks).alias("term"))
-    tf = (
-        terms.groupBy("id", "blk", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist()
+    tf = track(
+        terms.groupBy("id", "blk", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    wts = (
+    wts = track(
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
@@ -419,7 +418,6 @@ def tfidf_cosine_pairs(
             "term",
             (F.col("tf") * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0)).alias("w"),
         )
-        .persist()
     )
     norms = wts.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     paired = wts

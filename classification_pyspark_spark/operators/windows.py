@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import track
+
 
 def top_k_per_group(
     df: DataFrame,
@@ -84,10 +86,9 @@ def _range_partition_with_offsets(
     """
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    part = (
+    part = track(
         df.repartitionByRange(n_part, F.col(order_col).asc())
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     totals = (
         part.groupBy("__pid")

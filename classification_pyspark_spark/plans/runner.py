@@ -25,6 +25,8 @@ log = logging.getLogger(__name__)
 
 
 def run_task(spark: SparkSession, job_name: str, task_name: str, params: dict) -> TaskStatus:
+    from ..operators.caching import release_tracked
+
     processor = get_processor(job_name, task_name)
     t0 = time.perf_counter()
     try:
@@ -32,6 +34,10 @@ def run_task(spark: SparkSession, job_name: str, task_name: str, params: dict) -
     except Exception as e:  # noqa: BLE001 — parity: safe-runner captures
         log.exception("task %s/%s failed", job_name, task_name)
         return TaskStatus(False, f"{type(e).__name__}: {e}")
+    finally:
+        # operators persist intermediates via caching.track; the task's
+        # terminal action has run by now, so drop the cached blocks
+        release_tracked()
     elapsed = time.perf_counter() - t0
     if isinstance(result, TaskStatus):
         return result

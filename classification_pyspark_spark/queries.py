@@ -69,90 +69,90 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 3 window: all 19 later TPC-H shapes,
-# windows/sessionize, CDC/SCD2, as-of/range join, metrics/AUC, WoE-IV,
-# skew ops, encode/impute/bin/scale, set ops, pandas-UDF, hash split,
-# streaming batch-twins, plus the two queries gaining oracles this round.
-# flagship_customer_features + window_lag_days_between_orders (both
-# driver-green since CORRECTNESS_r01) rotated out for two round-3
-# additions: the LM-perplexity curation filter and the decile
-# lift/gain table.
+# tools/check_oracle.py).  Round 4 window: ALL 50 slots are queries that
+# have never had a driver CORRECTNESS row (the round-3 window went 50/50
+# green in CORRECTNESS_r03, so every slot rotates out).  Chosen as the
+# first 50 of tools/window_rotation.py's 73 never-driver-checked
+# candidates, prioritizing the operator families the brief names
+# explicitly: encoders/binning, ML metrics, streaming batch-twins, LLM
+# pipeline ops, JSON extraction, and pandas-UDF per-group regression.
 DRIVER_WINDOW: list[str] = [
-    "lm_perplexity_filter",
-    # TPC-H adaptations q2..q22 (never driver-checked before round 3)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_lines_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_part_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_high_balance",
-    # windows / sessionization
-    "sessionize_events",
-    "lift_gain_table",
-    "window_percent_rank_cume",
-    "rolling_spend_30d",
-    # CDC / SCD2 / incremental maintenance
-    "cdc_merge_upsert",
-    "scd2_user_status_intervals",
-    "incremental_agg_maintenance",
-    # as-of / range joins
-    "asof_join_last_view_before_purchase",
-    "range_join_value_bands",
-    # ML metrics
-    "auc_roc",
-    "regression_metrics",
-    "threshold_sweep",
-    "psi_drift",
-    "woe_iv",
-    # transformers: encode / impute / bin / scale
-    "target_encode",
-    "impute_missing",
-    "ntile_quantile_bins",
-    "scaling_minmax_standard",
-    "label_encode_stringindexer",
-    # skew handling
-    "skew_salted_join_agg",
-    # set ops / OLAP grouping sets
-    "semi_anti_joins",
-    "cube_rollup",
-    # strings / dates
-    "date_parse_roundtrip",
-    # pandas-UDF grouped transform
-    "grouped_pandas_zscore",
-    # deterministic splits
-    "deterministic_hash_split",
-    # streaming batch-twins
-    "funnel_view_to_purchase",
-    "streaming_dedup_user_types",
-    # rebuilt this round (distributed zipf rank)
-    "token_zipf",
-    # gained oracles this round (were no_oracle in r2)
-    "describe_numeric_approx",
-    "knn_ivf",
+    # transformers: encode / bin / outlier-treat (SURVEY M2-M4)
+    "ordinal_encode",
+    "onehot_indicators",
+    "binning_fixed_width",
+    "binning_explicit_splits",
+    "outlier_cap",
+    "feature_hash_buckets",
+    # ML metrics / evaluation (SURVEY M13-M14, E9 aggregates)
+    "binary_classification_metrics",
+    "calibration_curve",
+    "auc_by_segment",
+    "confusion_cells",
+    "residual_distribution",
+    "pred_vs_actual_binned",
+    "class_density_histogram",
+    "boxplot_stats_lineitem",
+    # streaming batch-twins + stateful ops
+    "window_tumbling_hourly",
+    "window_sliding_30min",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "streaming_stateful_user_stats",
+    "view_abandonment_daily",
+    # sketch state / incremental maintenance
+    "incremental_distinct_sketch",
+    "sliding_distinct_users_sketch",
+    # LLM-pipeline ops
+    "training_export",
+    "duplicated_ngram_spans",
+    "tfidf_cosine_pairs",
+    "corpus_mix_sample",
+    "negative_sampling_pairs",
+    "gopher_quality_rules",
+    "repetition_stats",
+    "bm25_keyword_topk",
+    # dedup / similarity (never-checked variants)
+    "embedding_dedup_clusters",
+    "simhash_hamming_pairs",
+    "media_resize_thumbs",
+    # JSON / semi-structured
+    "json_props_extract",
+    # pandas-UDF per-group regression twin
+    "per_group_ols",
+    # stats / hypothesis tests
+    "ab_test_proportion_ztest",
+    "chi_square_independence",
+    "mad_robust_outliers",
+    "k_anonymity_profile",
+    # time series / windows
+    "ewma_customer_spend",
+    "acf_daily_revenue",
+    "rollup_time_multigrain",
+    "retention_cohorts",
+    # graph / planner / ops tooling
+    "pagerank_supplier_influence",
+    "key_skew_report",
+    "join_cardinality_estimate",
+    "table_diff_reconciliation",
+    # reshape / set ops / strings
+    "unpivot_measures",
+    "union_distinct_intersect_except",
+    "clean_strings",
 ]
-# Round-4 rotation plan: once this window's 50 entries are driver-green
-# in CORRECTNESS_r03, rotate them out for the round-3 additions that
-# have only local-sweep coverage so far — one representative each of:
-# retrieval (bm25_keyword_topk), privacy (k_anonymity_profile), robust
-# stats (mad_robust_outliers), series ACF (acf_daily_revenue), sketch
-# state (incremental_distinct_sketch, sliding_distinct_users_sketch),
-# reshape (unpivot_measures), stream-twin (view_abandonment_daily),
-# encoder (feature_hash_buckets), reconciliation
-# (table_diff_reconciliation), and planner probe
-# (join_cardinality_estimate).
+# Round-5 rotation plan: after this window goes green in CORRECTNESS_r04,
+# 23 oracle queries remain never-driver-checked (tools/window_rotation.py
+# lists them): data_quality_checks, hash_sample_per_group,
+# domain_mix_weights, adaptive_quality_threshold, psi_weekly_drift,
+# resample_hourly_gapfill, event_transition_matrix, funnel_three_step,
+# copurchase_brand_lift, funnel_time_to_convert, activity_heatmap_dow_hour,
+# weekly_active_users, streaming_sliding_rates, supplier_lead_time_stats,
+# monthly_revenue_seasonality, part_type_revenue_pareto,
+# histogram_fixed_buckets, approx_distinct_counts, skew_salted_groupby,
+# pivot_status_counts, grouped_quantiles, sql_interface_regional_revenue,
+# sql_interface_segment_priority_mix.  Put all 23 first in the round-5
+# window, then fill the rest with re-verification of the oldest green rows
+# — that closes cumulative driver coverage to 173/173.
 
 
 def _apply_driver_window() -> None:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table, spread_for_compute
+from .operators.caching import track
 from .functions.money import cents_expr as cents
 from .queries import query
 
@@ -506,7 +507,7 @@ def pagerank_supplier_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 5)
     )
     # edges feed every iteration: materialize once
-    edges = edges.persist()
+    edges = track(edges)
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .operators.caching import track
 from .functions.money import cents_expr as cents
 from .queries import query
 
@@ -236,11 +237,11 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears in two downstream branches of one action — without the
     # persist Catalyst re-executes the subtree (no common-subplan reuse
     # across DataFrame branches), costing extra scans
-    med = li.agg(*[med_expr(c, f"m_{tag}") for c, tag in cols]).persist()
+    med = track(li.agg(*[med_expr(c, f"m_{tag}") for c, tag in cols]))
     with_med = li.crossJoin(F.broadcast(med))
-    mad = with_med.agg(
-        *[med_expr(f"abs({c} - m_{tag})", f"d_{tag}") for c, tag in cols]
-    ).persist()
+    mad = track(
+        with_med.agg(*[med_expr(f"abs({c} - m_{tag})", f"d_{tag}") for c, tag in cols])
+    )
     full = with_med.crossJoin(F.broadcast(mad))
     # one counting scan for all three columns, then unpivot via stack
     summary = full.agg(

@@ -1,0 +1,50 @@
+"""Persist-lifecycle hygiene: operators that cache internally register
+their handles with ``caching.track`` so harnesses can release them
+after each query's terminal action (ADVICE r3: bare ``persist()``
+accumulated cached blocks across a 173-query sweep until LRU
+eviction)."""
+
+from __future__ import annotations
+
+from classification_pyspark_spark.operators.caching import persisted, release_tracked
+from classification_pyspark_spark.queries import QUERIES
+
+# one representative per internally-persisting code path:
+# dedup_fuzzy (banded minhash + posting join), ranking (bm25 tf),
+# text (tfidf tf / cosine wts), windows (range-partitioned offsets via
+# sequence_packing), queries_search (mad med/mad stats),
+# queries_quality (pagerank edges)
+PERSISTING = [
+    "minhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "bm25_keyword_topk",
+    "tfidf_top_terms",
+    "tfidf_cosine_pairs",
+    "sequence_packing",
+    "mad_robust_outliers",
+    "pagerank_supplier_influence",
+]
+
+
+def _n_cached(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_sweep_releases_all_persisted_frames(spark, sf_dir):
+    release_tracked(blocking=True)
+    spark.catalog.clearCache()
+    assert _n_cached(spark) == 0
+    for name in PERSISTING:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        assert _n_cached(spark) > 0, f"{name} no longer persists — drop it from PERSISTING"
+        n = release_tracked(blocking=True)
+        assert n > 0, name
+        assert _n_cached(spark) == 0, name
+
+
+def test_persisted_context_manager(spark):
+    df = spark.range(100)
+    with persisted(df) as d:
+        assert d.count() == 100
+        assert _n_cached(spark) >= 1
+    assert _n_cached(spark) == 0

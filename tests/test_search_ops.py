@@ -373,3 +373,46 @@ def test_streaming_ivf_index_maintenance(spark, sf_dir, tmp_path_factory):
     got = sorted(map(tuple, knn_ivf_indexed(spark, inc_path, queries, **kw).collect()))
     want = sorted(map(tuple, knn_ivf_indexed(spark, full_path, queries, **kw).collect()))
     assert got == want and len(got) == 25
+
+
+def test_quantizer_sample_layout_independent(spark):
+    """collect_vector_sample must be a pure function of the DATA, not
+    of partition/file-listing order (ADVICE r3: a bare limit() took the
+    first partitions' rows, so a content-correlated layout biased the
+    IVF/PQ centroid fit)."""
+    import numpy as np
+
+    from classification_pyspark_spark.operators.similarity import (
+        collect_vector_sample,
+        fit_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters: A near 0, B near 10
+    a = rng.normal(0.0, 0.5, (400, 8))
+    b = rng.normal(10.0, 0.5, (400, 8))
+    rows_sorted = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+
+    # layout 1: sorted by cluster (all A rows physically first);
+    # layout 2: reversed; layout 3: shuffled + different partitioning
+    df1 = spark.createDataFrame(rows_sorted, "id: long, vec: array<double>").coalesce(1)
+    df2 = spark.createDataFrame(rows_sorted[::-1], "id: long, vec: array<double>").repartition(7)
+    perm = rng.permutation(len(rows_sorted))
+    df3 = spark.createDataFrame(
+        [rows_sorted[i] for i in perm], "id: long, vec: array<double>"
+    ).repartition(3)
+
+    s1 = collect_vector_sample(df1, "vec", 200, "test")
+    s2 = collect_vector_sample(df2, "vec", 200, "test")
+    s3 = collect_vector_sample(df3, "vec", 200, "test")
+    assert np.array_equal(s1, s2) and np.array_equal(s1, s3)
+
+    # the 200-row sample of an 800-row corpus must cover BOTH clusters
+    # (a first-partitions limit() on df1 would see only cluster A)
+    near_a = (np.linalg.norm(s1 - 0.0, axis=1) < np.linalg.norm(s1 - 10.0, axis=1)).sum()
+    assert 0 < near_a < 200
+
+    # and the fitted coarse quantizer must place centroids in both
+    centers = fit_ivf_centroids(df1, "vec", n_clusters=4, max_train_rows=200)
+    cd = np.abs(centers.mean(axis=1))
+    assert (cd < 5).any() and (cd > 5).any(), centers.mean(axis=1)

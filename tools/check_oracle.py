@@ -19,6 +19,7 @@ sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
 
+from classification_pyspark_spark.operators.caching import release_tracked  # noqa: E402
 from classification_pyspark_spark.queries import ORACLES, QUERIES  # noqa: E402
 from classification_pyspark_spark.catalog import TABLES  # noqa: E402
 from classification_pyspark_spark.session import get_spark  # noqa: E402
@@ -71,9 +72,9 @@ def main():
         t0 = time.time()
         try:
             # several operators persist intermediates (posting lists,
-            # weight tables) that outlive their query; clear between
+            # weight tables) via caching.track; release them between
             # queries so a 150-query sweep doesn't accumulate caches
-            get_spark().catalog.clearCache()
+            release_tracked()
             sdf = fn(get_spark(), sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
