@@ -143,11 +143,29 @@ class SyntheticDocsDataSource(DataSource):
         return SyntheticDocsStreamReader(self.options)
 
 
-def register_synthetic_docs(spark) -> None:
-    """Registers the source AND enables python-source filter pushdown
-    SESSION-WIDE (``spark.sql.python.filterPushdown.enabled`` — opt-in
-    in Spark 4, and required or a reader defining pushFilters refuses
-    to initialize). Note the global effect: other python data sources
-    in this session will also start receiving pushed filters."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+def register_synthetic_docs(spark, enable_pushdown: bool = True) -> None:
+    """Registers the source; with ``enable_pushdown`` (default, since
+    this reader defines ``pushFilters`` and refuses to initialize
+    without it) also enables python-source filter pushdown SESSION-WIDE
+    (``spark.sql.python.filterPushdown.enabled`` is opt-in in Spark 4).
+
+    The conf change is global to the session: OTHER python data sources
+    will also start receiving pushed filters. The flip is therefore an
+    explicit parameter and logged when it changes the prior value; pass
+    ``enable_pushdown=False`` to register without touching session conf
+    (the reader will then error on read — useful only for registration-
+    order tests or sessions that already set the conf themselves)."""
+    if enable_pushdown:
+        key = "spark.sql.python.filterPushdown.enabled"
+        prior = spark.conf.get(key, None)
+        if prior != "true":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "register_synthetic_docs: setting %s=true session-wide (was %s); "
+                "all python data sources in this session now receive pushed filters",
+                key,
+                prior,
+            )
+            spark.conf.set(key, "true")
     spark.dataSource.register(SyntheticDocsDataSource)

@@ -74,11 +74,16 @@ def read_corpus(
     return df.drop("epoch")
 
 
-def _check_tag(sink_path: str, checkpoint_tag: str | None) -> None:
-    tag_file = os.path.join(sink_path, "_checkpoint_tag.json")
-    if os.path.exists(tag_file):
-        with open(tag_file) as f:
-            prior = json.load(f).get("checkpoint")
+def _check_tag(spark: SparkSession, sink_path: str, checkpoint_tag: str | None) -> None:
+    """Tag I/O goes through the Hadoop FileSystem API (sources/hdfs.py)
+    so the cross-checkpoint guard engages on object-store/HDFS sinks,
+    not only on the local filesystem."""
+    from ..sources import hdfs
+
+    tag_file = sink_path.rstrip("/") + "/_checkpoint_tag.json"
+    raw = hdfs.read_text(spark, tag_file)
+    if raw is not None:
+        prior = json.loads(raw).get("checkpoint")
         if checkpoint_tag is not None and prior is not None and prior != checkpoint_tag:
             raise RuntimeError(
                 f"corpus at {sink_path!r} was built by checkpoint {prior!r} but this "
@@ -87,9 +92,7 @@ def _check_tag(sink_path: str, checkpoint_tag: str | None) -> None:
                 "and index to rebuild."
             )
     elif checkpoint_tag is not None:
-        os.makedirs(sink_path, exist_ok=True)
-        with open(tag_file, "w") as f:
-            json.dump({"checkpoint": checkpoint_tag}, f)
+        hdfs.write_text(spark, tag_file, json.dumps({"checkpoint": checkpoint_tag}))
 
 
 def ingest_batch(
@@ -109,8 +112,8 @@ def ingest_batch(
     3. overwrite ``sink/epoch=N`` with the accepted docs and
        ``index/epoch=N`` with their digests.
     """
-    _check_tag(sink_path, checkpoint_tag)
     spark = batch.sparkSession
+    _check_tag(spark, sink_path, checkpoint_tag)
     # NULL text digests as empty text: md5(NULL) is NULL, and NULL
     # never matches an anti-join key, so without the coalesce every
     # NULL-text doc would be re-accepted in every epoch

@@ -348,16 +348,20 @@ def maintain_user_stats_view(
     )
 
 
-def _read_marker(view_path: str) -> dict | None:
+def _read_marker(spark, view_path: str) -> dict | None:
     """Applied-epoch marker, preferring the live view dir; falls back
-    to the ``.old`` dir so a crash mid-swap never loses the marker."""
+    to the ``.old`` dir so a crash mid-swap never loses the marker.
+    Marker I/O goes through the Hadoop FileSystem API so the guard
+    engages on object-store/HDFS view paths too."""
     import json
-    import os
+
+    from ..sources import hdfs
 
     for d in (view_path, view_path.rstrip("/") + ".old"):
         try:
-            with open(os.path.join(d, "_applied_epoch.json")) as f:
-                return json.load(f)
+            raw = hdfs.read_text(spark, d.rstrip("/") + "/_applied_epoch.json")
+            if raw is not None:
+                return json.loads(raw)
         except Exception:
             continue
     return None
@@ -388,10 +392,9 @@ def merge_stats_batch(
     either drop new epochs (ids restart at 0) or double-merge
     re-delivered history, so that state is refused loudly."""
     import json
-    import os
 
     spark = batch.sparkSession
-    marker = _read_marker(view_path)
+    marker = _read_marker(spark, view_path)
     if marker is not None:
         prior_tag = marker.get("checkpoint")
         if checkpoint_tag is not None and prior_tag is not None and prior_tag != checkpoint_tag:
@@ -439,16 +442,22 @@ def merge_stats_batch(
     # together, and the previous view is renamed aside (not deleted)
     # before the staged dir moves in — a crash at ANY point leaves the
     # accumulated state recoverable (readers and the marker fall back
-    # to .old while the live dir is briefly absent).
+    # to .old while the live dir is briefly absent). All moves go
+    # through the Hadoop FileSystem API (sources/hdfs.py) so the swap
+    # works on HDFS/object-store view paths; the .old fallback is what
+    # keeps a non-atomic S3 "rename" window safe.
+    from ..sources import hdfs
+
     staged = view_path.rstrip("/") + f".epoch{epoch_id}"
     old = view_path.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(staged)
-    with open(os.path.join(staged, "_applied_epoch.json"), "w") as f:
-        json.dump({"epoch_id": int(epoch_id), "checkpoint": checkpoint_tag}, f)
-    import shutil
-
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(view_path):
-        shutil.move(view_path, old)
-    shutil.move(staged, view_path)
-    shutil.rmtree(old, ignore_errors=True)
+    hdfs.write_text(
+        spark,
+        staged + "/_applied_epoch.json",
+        json.dumps({"epoch_id": int(epoch_id), "checkpoint": checkpoint_tag}),
+    )
+    hdfs.delete(spark, old)
+    if hdfs.exists(spark, view_path):
+        hdfs.rename(spark, view_path, old)
+    hdfs.rename(spark, staged, view_path)
+    hdfs.delete(spark, old)

@@ -311,3 +311,45 @@ def test_stream_stream_left_outer_abandonment(spark, sf_dir, events_dir):
     cutoff = max_ts - datetime.timedelta(hours=3, minutes=5)
     must_emit = {r["view_id"] for r in batch if r["view_ts"] < cutoff}
     assert must_emit and must_emit <= got
+
+
+def test_foreachbatch_marker_matrix_replay_and_foreign_tag(spark, sf_dir, tmp_path_factory):
+    """The full marker matrix in ONE run (locks the exactly-once-effect
+    claim): tagged merges, same-epoch replay, crash-mid-swap followed by
+    a replay that must SKIP via the .old marker (not double-merge), a
+    foreign-checkpoint refusal mid-sequence, and a resumed merge that
+    recovers the .old state."""
+    import os
+
+    import pytest
+
+    from classification_pyspark_spark.streaming.events import merge_stats_batch
+
+    base = tmp_path_factory.mktemp("view_matrix")
+    view = str(base / "view")
+    batch = load_table(spark, sf_dir, "events").select("user_id", "value", "ts").limit(200)
+    per_user = {r["user_id"]: r["n"] for r in
+                batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    merge_stats_batch(batch, 0, view, checkpoint_tag="ckpt-A")
+    merge_stats_batch(batch, 0, view, checkpoint_tag="ckpt-A")  # replay: no-op
+    merge_stats_batch(batch, 1, view, checkpoint_tag="ckpt-A")
+
+    # crash between the swap's two renames: live dir gone, state in .old
+    shutil.move(view, view + ".old")
+    assert not os.path.exists(view)
+
+    # checkpoint re-delivers epoch 1: the .old marker says it is already
+    # applied, so the replay must SKIP (a re-merge would double epoch 1)
+    merge_stats_batch(batch, 1, view, checkpoint_tag="ckpt-A")
+    assert not os.path.exists(view)  # skip does not rebuild the dir
+
+    # a foreign checkpoint is refused even while the view sits in .old
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        merge_stats_batch(batch, 2, view, checkpoint_tag="ckpt-B")
+
+    # the original checkpoint resumes: epoch 2 merges WITH the .old state
+    merge_stats_batch(batch, 2, view, checkpoint_tag="ckpt-A")
+    after = {r["user_id"]: r["n_events"] for r in spark.read.parquet(view).collect()}
+    assert after == {u: 3 * n for u, n in per_user.items()}
+    assert not os.path.exists(view + ".old")
