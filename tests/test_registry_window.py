@@ -20,42 +20,33 @@ def test_every_window_query_has_an_oracle():
     assert missing == []
 
 
-def test_window_spans_survey_families():
-    window = set(DRIVER_WINDOW)
-    # one representative per §2 family, per the round-2 verdict's
-    # "Done =" list (plus the families it called out as never-checked)
-    # flagship_customer_features + window_lag_days_between_orders are
-    # NOT required here: both have standing driver-green rows from
-    # CORRECTNESS_r01, so their slots rotated to round-3 additions.
-    required = {
-        "lm_perplexity_filter",
-        "lift_gain_table",
-        "sessionize_events",
-        "cdc_merge_upsert",
-        "scd2_user_status_intervals",
-        "auc_roc",
-        "woe_iv",
-        "asof_join_last_view_before_purchase",
-        "range_join_value_bands",
-        "rolling_spend_30d",
-        "skew_salted_join_agg",
-        "target_encode",
-        "impute_missing",
-        "ntile_quantile_bins",
-        "scaling_minmax_standard",
-        "semi_anti_joins",
-        "cube_rollup",
-        "grouped_pandas_zscore",
-        "deterministic_hash_split",
-        "funnel_view_to_purchase",
-        "token_zipf",
-        "describe_numeric_approx",
-        "knn_ivf",
-    }
-    assert required <= window
-    # all 19 later TPC-H adaptations
-    tpch = {n for n in window if n.startswith("q") and n[1].isdigit()}
-    assert len(tpch) == 19
+def test_window_maximizes_new_driver_coverage():
+    """Round-4+ rotation policy: a window slot is wasted if its query
+    already has a driver-green CORRECTNESS row from a prior round, so
+    as long as never-driver-checked oracle queries remain, EVERY slot
+    must be one of them (the round-3 verdict: an unrotated window
+    'verifies nothing new')."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("err") is None and row.get("hash_match"):
+                    seen.add(name)
+    if not seen:  # fresh clone without driver artifacts: nothing to pin
+        return
+    never = {n for n in QUERIES if n in ORACLES and n not in seen}
+    wasted = [n for n in DRIVER_WINDOW if n in seen]
+    # every wasted slot must be justified by candidate exhaustion:
+    # allowed only when fewer never-checked candidates exist than slots
+    assert len(never) <= 50 - len(wasted) or not wasted, (
+        f"{len(never)} never-driver-checked oracle queries remain but the window "
+        f"re-verifies already-green: {wasted}"
+    )
 
 
 def test_registry_reorder_loses_nothing():

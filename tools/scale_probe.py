@@ -28,16 +28,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SMALL = os.path.join(REPO, ".localdata", "sf0.1g")
 BIG = os.path.join(REPO, ".localdata", "sf1")
 
-# the heaviest headline queries of BENCH_r03, spanning the cost
-# families: keyed-checksum reconciliation (lineitem x2), zero-join
-# bigram LM (documents), per-gram doc counts (documents), the flagship
-# mart (orders+lineitem joins), and the broadcast-join profit chain
+# the heaviest headline queries of BENCH_r03 plus one representative of
+# each scale-sensitive operator family: keyed-checksum reconciliation
+# (lineitem x2), zero-join bigram LM (documents), per-gram doc counts
+# (documents), the flagship mart (orders+lineitem joins), the
+# broadcast-join profit chain, LSH banding (minhash), distributed
+# prefix-sum packing, posting-join retrieval (bm25), window
+# sessionization (events), and Arrow-batched brute-force ANN
 PROBE = [
     "table_diff_reconciliation",
     "lm_perplexity_filter",
     "duplicated_ngram_spans",
     "flagship_customer_features",
     "q9_product_profit",
+    "minhash_dup_pairs",
+    "sequence_packing",
+    "bm25_keyword_topk",
+    "sessionize_events",
+    "knn_bruteforce",
 ]
 
 
