@@ -23,7 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-_READ_FORMATS = {"parquet", "csv", "json", "delta", "orc"}
+_READ_FORMATS = {"parquet", "csv", "json", "delta", "orc", "text", "binaryFile"}
 
 
 def _require_delta() -> None:
@@ -55,6 +55,15 @@ def read_data(
     Parity: ``dp.read_data`` (``dp.py:53-80``). Paths may be any
     Hadoop-FS URI (file:/, s3a:/, dbfs:/ ...); lists and globs fan out
     to a single multi-file scan.
+
+    Beyond the reference's formats, two Spark-native ingest formats the
+    LLM-pipeline operators consume directly:
+    - ``text``: one row per line (``wholetext=True`` for one row per
+      file) — raw corpus ingest feeding operators/text.py;
+    - ``binaryFile``: (path, modificationTime, length, content binary)
+      per file — the multimodal ingest path feeding
+      operators/multimodal.py. Non-splittable by design; pair with
+      ``pathGlobFilter`` and partition-by-directory layouts at scale.
     """
     if fmt not in _READ_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READ_FORMATS)}")

@@ -233,3 +233,27 @@ def test_python_datasource_streams_exactly_once(spark, tmp_path):
     # restart with the same checkpoint: offsets exhausted, nothing new
     drain()
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_text_and_binaryfile_ingest(spark, tmp_path):
+    """Corpus/multimodal ingest formats: text (line- and whole-file
+    mode) and binaryFile expose Spark's native readers through
+    read_data with the standard glob/list path contract."""
+    from classification_pyspark_spark.sources.io import read_data
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\n")
+    (d / "b.txt").write_text("gamma\n")
+    (d / "c.bin").write_bytes(b"\x00\x01\x02PNG-ish")
+
+    lines = read_data(spark, str(d / "*.txt"), fmt="text")
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+
+    whole = read_data(spark, str(d / "*.txt"), fmt="text", wholetext=True)
+    assert sorted(r["value"] for r in whole.collect()) == ["alpha\nbeta\n", "gamma\n"]
+
+    bins = read_data(spark, str(d), fmt="binaryFile", pathGlobFilter="*.bin")
+    rows = bins.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 10 and bytes(rows[0]["content"]).endswith(b"PNG-ish")
