@@ -372,7 +372,11 @@ def outlier_summary(
 
 
 def boxplot_stats(
-    df: DataFrame, cols: Sequence[str] | None = None, iqr_k: float = 1.5
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    iqr_k: float = 1.5,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-column box-and-whisker statistics — the aggregate data behind
     the reference's distribution plots (``eda.density_plots``,
@@ -380,20 +384,30 @@ def boxplot_stats(
     ``eda.py:310-362``): quartiles, Tukey whiskers (the most extreme
     values still inside q1/q3 ± k·IQR), and per-side outlier counts.
 
-    Scale shape: one exact-percentile aggregate (parameter-sized driver
-    row, like ``outlier_summary``) followed by ONE conditional-aggregate
+    Scale shape: one quartile aggregate (parameter-sized driver row,
+    like ``outlier_summary``) followed by ONE conditional-aggregate
     pass computing all whiskers and counts for all columns together —
     never a per-column job loop, never a collect of data rows.
+
+    ``approx=True`` computes the quartiles with ``percentile_approx``
+    (GK sketch, rank error <= 1/accuracy) — the 100 TB path: exact
+    ``percentile`` funnels every value of every column through one
+    aggregation buffer (measured 47s vs 3s on a 6M-row probe). Default
+    stays exact for oracle parity; production profiling should pass
+    ``approx=True`` (whiskers/outlier counts are then relative to
+    sketch quartiles, the standard trade).
 
     Output: (column, q1, median, q3, whisker_low, whisker_high,
     n_outlier_low, n_outlier_high).
     """
     cols = list(cols or list_numerical_columns(df))
+    fn = "percentile_approx" if approx else "percentile"
+    acc = f", {int(accuracy)}" if approx else ""
     b = (
         df.agg(
-            *[F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}") for c in cols],
-            *[F.expr(f"percentile({c}, 0.5)").alias(f"__md_{c}") for c in cols],
-            *[F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}") for c in cols],
+            *[F.expr(f"{fn}({c}, 0.25{acc})").alias(f"__q1_{c}") for c in cols],
+            *[F.expr(f"{fn}({c}, 0.5{acc})").alias(f"__md_{c}") for c in cols],
+            *[F.expr(f"{fn}({c}, 0.75{acc})").alias(f"__q3_{c}") for c in cols],
         )
         .first()
         .asDict()

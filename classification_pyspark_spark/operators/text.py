@@ -368,13 +368,16 @@ def bigram_lm_perplexity(
     )
 
 
+DEFAULT_MAX_POSTING_SIZE = 2000  # shared policy with dedup_fuzzy's caps
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     block_col: str,
     min_cosine: float = 0.85,
-    max_posting_size: int | None = None,
+    max_posting_size: int | None = DEFAULT_MAX_POSTING_SIZE,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity pairs within a blocking key —
     lexical near-dup detection without embeddings: weight per (doc,
@@ -387,9 +390,11 @@ def tfidf_cosine_pairs(
     ``max_posting_size`` guard drops terms whose in-block posting
     exceeds the cap from the DOT PRODUCT only (norms stay exact);
     capped terms are the highest-df/lowest-idf terms, so the cosine
-    loss is smallest exactly where the fan-out risk is largest. None
-    (default) = exact, for oracle parity at test scale; production
-    paths should pass a cap.
+    loss is smallest exactly where the fan-out risk is largest. The
+    cap defaults ON (production safety — a 31-token-vocabulary corpus
+    makes every posting corpus-sized and the join quadratic on
+    content); pass None for exact semantics, as the registered oracle
+    query does at test scale.
 
     Output: (id_a < id_b, cosine double rounded 4) with
     cosine >= ``min_cosine``.

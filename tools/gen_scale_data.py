@@ -180,14 +180,28 @@ def gen(spark: SparkSession, out_dir: str, mult: float) -> None:
     )
     write(events, "events", 8)
 
-    # documents: 40-120 word texts from a fixed vocab (hash-picked per
-    # position), so tokenize/ngram/minhash costs match the driver corpus
-    words = F.transform(
-        F.sequence(F.lit(1), (h(F.col("id"), "dlen") % 81 + 40).cast("int")),
-        lambda i: F.element_at(
+    # documents: 40-120 word texts. Token model = Zipf-ish head/tail mix:
+    # ~60% draws from the 36-word head vocab, ~40% are hash-suffixed rare
+    # tokens (head word + 0..1999), giving ~72k distinct tokens. The
+    # driver corpus has only 31 distinct tokens, which is fine at 5k docs
+    # but makes EVERY doc a near-duplicate of every other at 50k+ docs —
+    # posting lists grow O(n_docs) per term and uncapped pair operators
+    # go quadratic on content, which measures corpus pathology, not
+    # engine scaling. The long tail keeps per-term posting sizes bounded
+    # the way a real crawl corpus does.
+    def tok(i):
+        base = F.element_at(
             F.array(*[F.lit(w) for w in VOCAB]),
             (F.abs(F.xxhash64(F.col("id"), i, F.lit("dw"))) % len(VOCAB) + 1).cast("int"),
-        ),
+        )
+        rare = F.concat(
+            base, (F.abs(F.xxhash64(F.col("id"), i, F.lit("dt"))) % 2000).cast("string")
+        )
+        head = (F.abs(F.xxhash64(F.col("id"), i, F.lit("dh"))) % 10) < 6
+        return F.when(head, base).otherwise(rare)
+
+    words = F.transform(
+        F.sequence(F.lit(1), (h(F.col("id"), "dlen") % 81 + 40).cast("int")), tok
     )
     docs = (
         spark.range(n["documents"])
