@@ -1247,15 +1247,20 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("bb"),
         F.col("head").alias("hb"),
     )
-    dist = F.levenshtein("ha", "hb")
+    # banded DP: heads are capped at 60 chars, so every per-pair bound
+    # 0.25*max(len) is <= 15 — the 3-arg levenshtein computes only the
+    # +/-15 diagonal band and early-exits to -1 past it (10x per-pair
+    # at a 50k-doc probe), then the exact per-pair bound filters below;
+    # identical output to the unbounded form
+    dist = F.levenshtein("ha", "hb", 15)
     return (
         a.join(
             b,
             (a.lang == b.lb) & (a.band == b.bb) & (a.id_a < b.id_b),
         )
         .filter(
-            dist
-            <= (0.25 * F.greatest(F.length("ha"), F.length("hb"))).cast("long")
+            (dist >= 0)
+            & (dist <= (0.25 * F.greatest(F.length("ha"), F.length("hb"))).cast("long"))
         )
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
         .orderBy("id_a", "id_b")

@@ -873,8 +873,16 @@ def ab_test_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb",
         F.round(pa, 6).alias("p_a"),
         F.round(pb, 6).alias("p_b"),
+        # try_divide: a degenerate experiment (pooled rate 0 or 1, or an
+        # empty arm) has zero pooled variance — the z-score is undefined
+        # and must surface as NULL, not an ANSI DIVIDE_BY_ZERO crash
+        # (found by the sf1 scale sweep on a corpus where no user
+        # cleared the conversion threshold)
         F.round(
-            (pa - pb) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))), 6
+            F.try_divide(
+                pa - pb, F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+            ),
+            6,
         ).alias("z_score"),
     )
 
