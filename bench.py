@@ -87,6 +87,12 @@ HEADLINE = [
     "view_abandonment_daily",
     "table_diff_reconciliation",
     "sliding_distinct_users_sketch",
+    # round-4 additions: the plan shapes this round optimized, so future
+    # rounds get regression detection on them (segment-blocked simhash,
+    # banded levenshtein, single-buffer exact percentile)
+    "simhash_hamming_pairs",
+    "edit_distance_pairs",
+    "boxplot_stats_lineitem",
 ]
 
 
