@@ -1224,46 +1224,19 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup family (exact / minhash / simhash / n-gram Jaccard /
     embedding cosine / edit distance).
 
-    Scale shape: levenshtein is O(m*n) per pair, so the self-join is
-    BLOCKED on (lang, token-count band) — candidates only meet inside
-    a block, bounding pair fan-out like the LSH band join; the 60-char
-    head cap bounds per-pair cost. At 100 TB you'd tighten blocks
-    (band width, simhash prefix) rather than widen the scan — the
-    blocked-join shape is unchanged."""
-    from .operators.text import token_count_expr
+    Scale shape: levenshtein is O(m*n) per pair, but runs as banded DP
+    (3-arg form, threshold 15 = the max per-pair bound for 60-char
+    heads) and the self-join is BLOCKED on (lang, token-count band) —
+    candidates only meet inside a block, bounding pair fan-out like the
+    LSH band join. At 100 TB you tighten blocks instead of widening the
+    scan: the operator's ``simhash_prefix_bits`` knob adds a simhash-
+    prefix block key (see ``dedup_fuzzy.edit_distance_head_pairs``);
+    here it stays None for exact oracle parity."""
+    from .operators.dedup_fuzzy import edit_distance_head_pairs
 
-    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "lang",
-        F.substring(F.trim(F.lower("text")), 1, 60).alias("head"),
-        F.floor(token_count_expr("text") / 40).cast("long").alias("band"),
-    )
-    a = d.select(
-        F.col("doc_id").alias("id_a"), "lang", "band", F.col("head").alias("ha")
-    )
-    b = d.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lb"),
-        F.col("band").alias("bb"),
-        F.col("head").alias("hb"),
-    )
-    # banded DP: heads are capped at 60 chars, so every per-pair bound
-    # 0.25*max(len) is <= 15 — the 3-arg levenshtein computes only the
-    # +/-15 diagonal band and early-exits to -1 past it (10x per-pair
-    # at a 50k-doc probe), then the exact per-pair bound filters below;
-    # identical output to the unbounded form
-    dist = F.levenshtein("ha", "hb", 15)
-    return (
-        a.join(
-            b,
-            (a.lang == b.lb) & (a.band == b.bb) & (a.id_a < b.id_b),
-        )
-        .filter(
-            (dist >= 0)
-            & (dist <= (0.25 * F.greatest(F.length("ha"), F.length("hb"))).cast("long"))
-        )
-        .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
-        .orderBy("id_a", "id_b")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return edit_distance_head_pairs(
+        d, "text", "doc_id", "lang", head_len=60, max_rel_dist=0.25, band_tokens=40
     )
 
 

@@ -376,3 +376,40 @@ def test_simhash_segment_blocking_equals_naive_join(spark, sf_dir):
         )
     )
     assert got == naive and len(got) > 0
+
+
+def test_edit_distance_prefix_blocking_subset_and_recall(spark):
+    """The simhash-prefix block key is an approximation: its pairs must
+    be a SUBSET of the exact operator's, and pairs with identical or
+    near-identical heads (the actual near-dups) must survive — same
+    head => same simhash => same prefix."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        edit_distance_head_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                      # exact dup of 1
+        (3, base.replace("quick", "quack"), "en"),  # 2-char edit of 1
+        (4, "completely different text about spark shuffle partitions " * 3, "en"),
+        (5, "another unrelated document mentioning parquet and arrow " * 3, "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    exact = set(map(tuple, edit_distance_head_pairs(d, "text", "doc_id", "lang").collect()))
+    pfx = set(
+        map(
+            tuple,
+            edit_distance_head_pairs(
+                d, "text", "doc_id", "lang", simhash_prefix_bits=6
+            ).collect(),
+        )
+    )
+    assert pfx <= exact
+    assert (1, 2, 0) in exact and (1, 2, 0) in pfx  # exact-dup pair survives
+    # the near-dup pair (one edit inside the 60-char head) is in the
+    # exact result; the prefix variant keeps it (few flipped chars
+    # rarely flip high vote bits)
+    assert (1, 3, 1) in exact and (1, 3, 1) in pfx
+    # unrelated docs never pair
+    assert not any(4 in p[:2] or 5 in p[:2] for p in exact)
