@@ -483,6 +483,41 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_props_shred",
+    sql="""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1, 2
+    """,
+)
+def variant_props_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    parses each props payload ONCE into the binary Variant encoding and
+    every typed path read is ``try_variant_get`` on that value — the
+    shredded-access pattern that replaces N ``get_json_object`` calls
+    re-parsing the string N times (the 100 TB posture for wide
+    semi-structured payloads; compare ``json_props_extract``, the
+    string-path twin). try_variant_get returns NULL on missing paths /
+    cast failures instead of raising, matching the oracle's
+    json_extract_string semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.coalesce(F.col("props"), F.lit("null")))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 25).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@query(
     "window_tumbling_hourly",
     sql="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

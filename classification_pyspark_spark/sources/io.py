@@ -23,7 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-_READ_FORMATS = {"parquet", "csv", "json", "delta", "orc", "text", "binaryFile"}
+_READ_FORMATS = {"parquet", "csv", "json", "delta", "orc", "text", "binaryFile", "xml"}
 
 
 def _require_delta() -> None:
@@ -63,7 +63,8 @@ def read_data(
     - ``binaryFile``: (path, modificationTime, length, content binary)
       per file — the multimodal ingest path feeding
       operators/multimodal.py. Non-splittable by design; pair with
-      ``pathGlobFilter`` and partition-by-directory layouts at scale.
+      ``pathGlobFilter`` and partition-by-directory layouts at scale;
+    - ``xml``: native in Spark 4 — pass ``rowTag`` via options.
     """
     if fmt not in _READ_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READ_FORMATS)}")

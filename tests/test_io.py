@@ -257,3 +257,18 @@ def test_text_and_binaryfile_ingest(spark, tmp_path):
     rows = bins.select("path", "length", "content").collect()
     assert len(rows) == 1
     assert rows[0]["length"] == 10 and bytes(rows[0]["content"]).endswith(b"PNG-ish")
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4 ships the XML source natively: write region as XML and
+    read it back through read_data's standard contract."""
+    from classification_pyspark_spark.sources.io import read_data, save_data
+
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_xml")
+    save_data(region, out, fmt="xml", rowTag="region")
+    back = read_data(spark, out, fmt="xml", rowTag="region")
+    assert back.count() == region.count()
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in region.collect()
+    )
