@@ -150,9 +150,10 @@ DRIVER_WINDOW: list[str] = [
 # monthly_revenue_seasonality, part_type_revenue_pareto,
 # histogram_fixed_buckets, approx_distinct_counts, skew_salted_groupby,
 # pivot_status_counts, grouped_quantiles, sql_interface_regional_revenue,
-# sql_interface_segment_priority_mix.  Put all 23 first in the round-5
-# window, then fill the rest with re-verification of the oldest green rows
-# — that closes cumulative driver coverage to 173/173.
+# sql_interface_segment_priority_mix — plus variant_props_shred (added
+# round 4, never sampled).  Put all 24 first in the round-5 window, then
+# fill the rest with re-verification of the oldest green rows — that
+# closes cumulative driver coverage to 174/174.
 
 
 def _apply_driver_window() -> None:
