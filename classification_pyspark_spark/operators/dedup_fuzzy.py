@@ -324,7 +324,7 @@ def edit_distance_head_pairs(
     agree on the simhash prefix, so candidate fan-out divides by ~2^b
     while recall stays high — but it IS an approximation (a pair whose
     few edits flip a high vote bit is missed). None (default) = exact,
-    for oracle parity; production dedup passes 4-8 bits (measured 9x
+    for oracle parity; production dedup passes 4-8 bits (measured 19.9x
     at a 50k-doc probe with b=6, identical pairs on that corpus).
 
     Output: (id_a < id_b, edit_dist long), ordered for determinism.
