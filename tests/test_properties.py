@@ -286,3 +286,81 @@ def test_bm25_matches_python_reference_on_random_corpora(spark, docs):
     for k in got:
         assert got[k][0] == want[k][0]
         assert got[k][1] == pytest.approx(want[k][1], abs=1.5e-6)
+
+
+# word-ish tokens so simhash has something to vote on
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=20
+)
+
+
+@given(docs=st.lists(_words, min_size=2, max_size=12))
+@settings(**SETTINGS)
+def test_simhash_segment_blocking_equals_naive_property(spark, docs):
+    """Pigeonhole blocking is LOSSLESS for any corpus: the blocked
+    operator's pairs equal a naive block self-join's, whatever the
+    fingerprint collisions look like."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        simhash_expr,
+        simhash_hamming_pairs,
+    )
+
+    rows = [(i, " ".join(ws), "en") for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    got = sorted(map(tuple, simhash_hamming_pairs(d, "text", "doc_id", "lang").collect()))
+    sh = d.select("doc_id", "lang", simhash_expr("text").alias("h"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "lang", F.col("h").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), "lang", F.col("h").alias("hb"))
+    naive = sorted(
+        map(
+            tuple,
+            a.join(b, "lang")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 2)
+            .collect(),
+        )
+    )
+    assert got == naive
+
+
+@given(docs=st.lists(_words, min_size=2, max_size=10))
+@settings(**SETTINGS)
+def test_edit_distance_banded_equals_unbounded_property(spark, docs):
+    """The banded (3-arg) levenshtein + threshold filter must produce
+    exactly the pairs the unbounded form produces, for any corpus."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        edit_distance_head_pairs,
+    )
+
+    rows = [(i, " ".join(ws), "en") for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    got = sorted(map(tuple, edit_distance_head_pairs(d, "text", "doc_id", "lang").collect()))
+
+    head = F.substring(F.trim(F.lower("text")), 1, 60)
+    from classification_pyspark_spark.operators.text import token_count_expr
+
+    dd = d.select(
+        "doc_id",
+        F.col("lang").alias("blk"),
+        head.alias("head"),
+        F.floor(token_count_expr("text") / 40).cast("long").alias("band"),
+    )
+    a = dd.select(F.col("doc_id").alias("id_a"), "blk", "band", F.col("head").alias("ha"))
+    b = dd.select(F.col("doc_id").alias("id_b"), "blk", "band", F.col("head").alias("hb"))
+    dist = F.levenshtein("ha", "hb")  # unbounded reference
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, on=["blk", "band"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dist <= (0.25 * F.greatest(F.length("ha"), F.length("hb"))).cast("long"))
+            .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+            .collect(),
+        )
+    )
+    assert got == want
