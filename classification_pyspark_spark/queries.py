@@ -51,6 +51,7 @@ def _register_extensions() -> None:
 
     Called at the bottom of this module (after ``query`` exists)."""
     from . import (  # noqa: F401
+        queries_analytics,
         queries_llm,
         queries_llm2,
         queries_ml,

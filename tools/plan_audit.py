@@ -205,6 +205,15 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "ngram_jaccard_pairs": {"single_partition": "pair-count scalar"},
     "embedding_dup_pairs": {"single_partition": "pair survivor merge"},
     "lsh_buckets": {"single_partition": "bucket-count aggregate"},
+    "anomaly_rolling_zscore": {
+        "single_partition": "trailing window over the DAILY rollup — "
+        "calendar-bounded (<= ~2.5k rows for 7 years), not data-bounded",
+        "global_window": "same calendar-bounded daily frame",
+    },
+    "heavy_hitters_tokens": {
+        "single_partition": "1-row total-token-count broadcast for the "
+        "support threshold; candidate counting itself is key-partitioned",
+    },
     "streaming_tumbling_counts": {"single_partition": "memory-sink table scan (test harness)"},
     "streaming_session_windows": {"single_partition": "memory-sink table scan"},
     "streaming_stateful_user_stats": {"single_partition": "memory-sink table scan"},
