@@ -73,16 +73,18 @@ class OutlierTreatment:
         cols = list(self.cols or list_numerical_columns(df))
         pct = "percentile" if self.exact else "percentile_approx"
         if self.method == IQR:
+            # one percentile buffer per column (array form): separate
+            # percentile(c, p) aggregates each buffer the column twice
             row = df.agg(
-                *[F.expr(f"{pct}({c}, 0.25)").alias(f"q1_{c}") for c in cols],
-                *[F.expr(f"{pct}({c}, 0.75)").alias(f"q3_{c}") for c in cols],
+                *[F.expr(f"{pct}({c}, array(0.25, 0.75))").alias(f"qq_{c}") for c in cols]
             ).first()
+            qq = {c: (row[f"qq_{c}"] or [None, None]) for c in cols}
             require_fitted_stats(
-                {c: (row[f"q1_{c}"], row[f"q3_{c}"]) for c in cols}, "IQR outlier bounds"
+                {c: (qq[c][0], qq[c][1]) for c in cols}, "IQR outlier bounds"
             )
             bounds = {}
             for c in cols:
-                q1, q3 = row[f"q1_{c}"], row[f"q3_{c}"]
+                q1, q3 = qq[c][0], qq[c][1]
                 iqr = q3 - q1
                 bounds[c] = (q1 - self.k * iqr, q3 + self.k * iqr)
         elif self.method == SIGMA:
