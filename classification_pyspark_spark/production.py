@@ -42,9 +42,11 @@ def clean_tables(spark: SparkSession, params: dict) -> TaskStatus:
     from .functions.strings import clean_column_names
     from .operators.dedup import drop_duplicates
 
+    from .sources.io import save_data_observed
+
     sf_dir = params["sf_dir"]
     out = params["out"]
-    n = 0
+    written: dict[str, int] = {}
     for table, keys in (
         ("customer", ["c_custkey"]),
         ("orders", ["o_orderkey"]),
@@ -59,9 +61,11 @@ def clean_tables(spark: SparkSession, params: dict) -> TaskStatus:
             cleaned = cleaned.withColumn("o_orderdate", F.to_date("o_orderdate"))
         if "l_shipdate" in cleaned.columns:
             cleaned = cleaned.withColumn("l_shipdate", F.to_date("l_shipdate"))
-        cleaned.write.mode("overwrite").parquet(os.path.join(out, table))
-        n += 1
-    return TaskStatus(True, f"cleaned {n} tables -> {out}")
+        # the write job itself observes the published row count — no
+        # second scan for telemetry
+        m = save_data_observed(cleaned, os.path.join(out, table))
+        written[table] = m["n_rows"]
+    return TaskStatus(True, f"cleaned {written} -> {out}")
 
 
 @register_processor("feature-engineering", "build-mart")

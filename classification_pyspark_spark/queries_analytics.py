@@ -73,6 +73,46 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 lateral table function) with full oracle parity.
+# ---------------------------------------------------------------------------
+@query(
+    "udtf_word_windows",
+    sql=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[\t\n\r\f ]+'), x -> len(x) > 0) AS words
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(gs.s / 6 AS INT) AS win_idx,
+           CAST(gs.s AS INT) AS start_word,
+           array_to_string(words[gs.s + 1 : least(gs.s + 12, len(words))], ' ') AS chunk,
+           CAST(least(gs.s + 12, len(words)) - gs.s AS INT) AS n_words
+    FROM w, LATERAL (SELECT unnest(generate_series(0, len(words) - 1, 6)) AS s) gs
+    """,
+)
+def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking via a Python UDTF in a LATERAL
+    join — the Spark 4 table-function surface (SURVEY §2.9 had only
+    row UDFs and an RDD fan-out; `doc_chunks` is the non-overlapping
+    built-in-expression twin). Transport is Arrow
+    (`ArrowEvalPythonUDTF`: columnar batches, not row pickling) and
+    the expansion is embarrassingly parallel — scan -> generate, zero
+    shuffle. The documents scan is spread first so the Python stage
+    isn't bound to one input file's single partition."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.win_idx, s.start_word, s.chunk, s.n_words "
+        "FROM __udtf_docs, LATERAL word_windows(text) s "
+        "WHERE text IS NOT NULL"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling z-score anomaly detection over daily revenue.
 # ---------------------------------------------------------------------------
 @query(

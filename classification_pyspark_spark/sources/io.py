@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _READ_FORMATS = {"parquet", "csv", "json", "delta", "orc", "text", "binaryFile", "xml"}
 
@@ -158,6 +159,35 @@ def save_data(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def save_data_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    **options,
+) -> dict:
+    """:func:`save_data` plus free pipeline telemetry: attaches a
+    Spark ``Observation`` so the given aggregate ``metrics`` (default:
+    written row count) are collected BY THE WRITE JOB ITSELF — zero
+    extra scans, unlike the ``df.count()``-then-write pattern that
+    reads the input twice. Returns the observed metric dict.
+
+    At 100 TB this is the difference between "the job also publishes
+    its data-quality counters" and "the job runs twice"; the metric
+    exprs may be any non-distinct aggregates (null counts, min/max
+    watermarks, sum of a measure...).
+    """
+    from pyspark.sql import Observation
+
+    metrics = metrics or {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    save_data(observed, path, fmt=fmt, mode=mode, partition_by=partition_by, **options)
+    return obs.get
 
 
 def save_model(model, path: str) -> None:

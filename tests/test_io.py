@@ -272,3 +272,29 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(r["r_name"] for r in back.collect()) == sorted(
         r["r_name"] for r in region.collect()
     )
+
+
+def test_save_data_observed_collects_metrics_with_the_write_job(spark, sf_dir, tmp_path):
+    """The Observation-backed write publishes telemetry from the write
+    job itself — metrics must equal independently-computed values, and
+    the data on disk must be the full frame."""
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.sources.io import save_data_observed
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_observed")
+    m = save_data_observed(
+        orders,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_cust": F.count(F.when(F.col("o_custkey").isNull(), 1)),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    n = orders.count()
+    assert m["n_rows"] == n
+    assert m["n_null_cust"] == 0
+    assert m["max_price"] == orders.agg(F.max("o_totalprice")).first()[0]
+    assert spark.read.parquet(out).count() == n
