@@ -93,6 +93,12 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "edit_distance_pairs",
     "boxplot_stats_lineitem",
+    # round-4 capability additions: MG two-pass heavy hitters, trailing
+    # z-score anomaly days, gaps-and-islands streaks, Arrow UDTF chunking
+    "heavy_hitters_tokens",
+    "anomaly_rolling_zscore",
+    "gaps_islands_activity",
+    "udtf_word_windows",
 ]
 
 
