@@ -173,6 +173,50 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed exact quantiles (selection, not aggregation).
+# ---------------------------------------------------------------------------
+@query(
+    "distributed_exact_quantiles",
+    sql="""
+    WITH ps AS (
+      SELECT unnest(['p01', 'p25', 'p50', 'p75', 'p99']) AS p,
+             unnest(generate_series(1, 5)) AS i
+    ),
+    qa AS (
+      SELECT quantile_cont(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99]) AS qs
+      FROM lineitem
+    ),
+    qb AS (
+      SELECT quantile_cont(l_quantity, [0.01, 0.25, 0.5, 0.75, 0.99]) AS qs
+      FROM lineitem
+    )
+    SELECT 'l_extendedprice' AS column, ps.p, ROUND(qa.qs[ps.i], 4) AS value FROM qa, ps
+    UNION ALL
+    SELECT 'l_quantity', ps.p, ROUND(qb.qs[ps.i], 4) FROM qb, ps
+    """,
+)
+def distributed_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_cont values computed by range-exchange rank
+    selection (`operators/quantiles.py`) instead of the single-buffer
+    percentile aggregate — the 100 TB path when the answer must be
+    exact: peak memory is one range partition's column, not the
+    column. Bit-parity with DuckDB quantile_cont (same order
+    statistics, same interpolation formula), pinned by this oracle and
+    by the equals-builtin test."""
+    from .operators.quantiles import exact_quantiles_distributed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    labels = ["p01", "p25", "p50", "p75", "p99"]
+    rows = []
+    for c in ("l_extendedprice", "l_quantity"):
+        vals = exact_quantiles_distributed(li, c, probs)
+        rows += [(c, lbl, v) for lbl, v in zip(labels, vals)]
+    out = spark.createDataFrame(rows, "column string, p string, value double")
+    return out.select("column", "p", F.round("value", 4).alias("value"))
+
+
+# ---------------------------------------------------------------------------
 # Gaps-and-islands: per-user consecutive-day activity streaks.
 # ---------------------------------------------------------------------------
 @query(
