@@ -41,54 +41,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_quantiles_distributed(
+def exact_quantiles_multi(
     df: DataFrame,
-    col: str,
+    cols: Sequence[str],
     probs: Sequence[float],
     num_partitions: int | None = None,
-) -> list[float | None]:
-    """Exact ``percentile_cont`` values of ``df[col]`` at ``probs``.
+    discrete: bool = False,
+) -> dict[str, list[float | None]]:
+    """Exact quantiles of several columns in ONE selection pass.
 
-    Returns one float per prob (None for an empty / all-NULL column),
-    computed by range-exchange selection (see module doc) — never by a
-    single-buffer aggregate.
+    ``discrete=False`` → ``percentile_cont`` (interpolated), the exact
+    semantics of Spark ``percentile`` / DuckDB ``quantile_cont``.
+    ``discrete=True`` → the element at 0-based rank
+    ``max(0, ceil(p*n) - 1)`` — verified identical to Spark
+    ``percentile_approx(..., 2^31-1)`` AND DuckDB ``quantile_disc``
+    (the [5,1] p=0.75 case disambiguates this rank formula from
+    ``floor((n-1)p)``).
+
+    The columns are stacked to a narrow ``(tag, v)`` frame and
+    range-partitioned on ``(tag, v)``, so every column's order
+    statistics come out of the same single exchange; per-(partition,
+    tag) counts give each column its prefix offsets. Returns
+    ``{col: [value per prob]}`` with None for empty/all-NULL columns.
     """
     if not probs:
-        return []
+        return {c: [] for c in cols}
     if any(not 0.0 <= p <= 1.0 for p in probs):
         raise ValueError(f"probs must be in [0,1], got {list(probs)}")
+    if not cols:
+        return {}
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    vals = df.select(F.col(col).cast("double").alias("v")).filter(F.col("v").isNotNull())
+    stack_args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
+    vals = df.selectExpr(f"stack({len(cols)}, {stack_args}) as (tag, v)").filter(
+        F.col("v").isNotNull()
+    )
     part = (
-        vals.repartitionByRange(n_part, F.col("v").asc())
+        vals.repartitionByRange(n_part, F.col("tag").asc(), F.col("v").asc())
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
     try:
-        counts = {r["__pid"]: r["n"] for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
-        n = sum(counts.values())
-        if n == 0:
-            return [None] * len(probs)
+        counts: dict[tuple[int, str], int] = {
+            (r["__pid"], r["tag"]): r["n"]
+            for r in part.groupBy("__pid", "tag").agg(F.count("*").alias("n")).collect()
+        }
+        n_by_tag: dict[str, int] = {}
+        for (_, tag), n in counts.items():
+            n_by_tag[tag] = n_by_tag.get(tag, 0) + n
 
-        # global 0-based ranks needed: floor and ceil of (n-1)*p
-        pos = [(p, (n - 1) * p) for p in probs]
-        needed_ranks = sorted({r for _, x in pos for r in (math.floor(x), math.ceil(x))})
+        # per tag: global 0-based ranks needed
+        pos: dict[str, list[tuple[float, float]]] = {}
+        needed: dict[str, set[int]] = {}
+        for tag, n in n_by_tag.items():
+            if discrete:
+                pos[tag] = [(p, float(max(0, math.ceil(p * n) - 1))) for p in probs]
+                needed[tag] = {int(x) for _, x in pos[tag]}
+            else:
+                pos[tag] = [(p, (n - 1) * p) for p in probs]
+                needed[tag] = {
+                    r for _, x in pos[tag] for r in (math.floor(x), math.ceil(x))
+                }
 
-        # rank -> (pid, local rank) through exclusive prefix offsets
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        per_pid: dict[int, list[tuple[int, int]]] = {}
-        pids_sorted = sorted(counts)
-        for r in needed_ranks:
-            # last pid whose offset <= r and which actually holds it
-            for pid in reversed(pids_sorted):
-                if counts[pid] > 0 and offsets[pid] <= r:
-                    per_pid.setdefault(pid, []).append((r - offsets[pid], r))
-                    break
+        # (tag, global rank) -> (pid, local rank) via per-tag offsets
+        pids_sorted = sorted({pid for pid, _ in counts})
+        per_pid: dict[int, list[tuple[str, int, int]]] = {}
+        for tag, ranks in needed.items():
+            offsets, acc = {}, 0
+            for pid in pids_sorted:
+                offsets[pid] = acc
+                acc += counts.get((pid, tag), 0)
+            for r in sorted(ranks):
+                for pid in reversed(pids_sorted):
+                    if counts.get((pid, tag), 0) > 0 and offsets[pid] <= r:
+                        per_pid.setdefault(pid, []).append((tag, r - offsets[pid], r))
+                        break
 
         def select_ranks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             chunks = list(batches)
@@ -103,24 +131,56 @@ def exact_quantiles_distributed(
                 return
             import numpy as np
 
-            arr = pdf["v"].to_numpy()
-            local = np.array(sorted({lr for lr, _ in wanted}))
-            sel = np.partition(arr, local)[local]
-            by_local = dict(zip(local.tolist(), sel.tolist()))
-            yield pd.DataFrame(
-                {"rank": [gr for _, gr in wanted], "v": [by_local[lr] for lr, _ in wanted]}
-            )
+            out_tag, out_rank, out_v = [], [], []
+            for tag, grp in pdf.groupby("tag", sort=False):
+                mine = [(lr, gr) for t, lr, gr in wanted if t == tag]
+                if not mine:
+                    continue
+                arr = grp["v"].to_numpy()
+                local = np.array(sorted({lr for lr, _ in mine}))
+                sel = np.partition(arr, local)[local]
+                by_local = dict(zip(local.tolist(), sel.tolist()))
+                for lr, gr in mine:
+                    out_tag.append(tag)
+                    out_rank.append(gr)
+                    out_v.append(by_local[lr])
+            yield pd.DataFrame({"tag": out_tag, "rank": out_rank, "v": out_v})
 
-        got = {
-            int(r["rank"]): r["v"]
-            for r in part.mapInPandas(select_ranks, schema="rank long, v double").collect()
+        got: dict[tuple[str, int], float] = {
+            (r["tag"], int(r["rank"])): r["v"]
+            for r in part.mapInPandas(select_ranks, schema="tag string, rank long, v double").collect()
         }
     finally:
         part.unpersist()
 
-    out = []
-    for _, x in pos:
-        lo, hi = math.floor(x), math.ceil(x)
-        v_lo, v_hi = got[lo], got[hi]
-        out.append(v_lo + (v_hi - v_lo) * (x - lo))
+    out: dict[str, list[float | None]] = {}
+    for c in cols:
+        if c not in n_by_tag:  # empty / all-NULL column
+            out[c] = [None] * len(probs)
+            continue
+        vals_out = []
+        for _, x in pos[c]:
+            if discrete:
+                vals_out.append(got[(c, int(x))])
+            else:
+                lo, hi = math.floor(x), math.ceil(x)
+                v_lo, v_hi = got[(c, lo)], got[(c, hi)]
+                vals_out.append(v_lo + (v_hi - v_lo) * (x - lo))
+        out[c] = vals_out
     return out
+
+
+def exact_quantiles_distributed(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    num_partitions: int | None = None,
+) -> list[float | None]:
+    """Exact ``percentile_cont`` values of ``df[col]`` at ``probs``.
+
+    Returns one float per prob (None for an empty / all-NULL column),
+    computed by range-exchange selection (see module doc) — never by a
+    single-buffer aggregate. Single-column convenience wrapper over
+    :func:`exact_quantiles_multi`.
+    """
+    return exact_quantiles_multi(df, [col], probs, num_partitions=num_partitions)[col]

