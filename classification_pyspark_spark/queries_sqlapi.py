@@ -74,3 +74,42 @@ def sql_interface_segment_priority_mix(spark: SparkSession, sf_dir: str) -> Data
     aggregate frame."""
     register_views(spark, sf_dir)
     return spark.sql(_SEGMENT_PRIORITY_MIX_SQL)
+
+
+# Spark 4 SQL pipe syntax (SQL:2023-era |> operators): the same logical
+# query as an ANSI oracle, written as a linear pipeline. The pipe form
+# parses to the IDENTICAL Catalyst plan as the nested form — it is a
+# parser feature, not an execution path.
+_PIPE_SHIP_STATUS_SQL_SPARK = """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+|> EXTEND CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_cents
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(disc_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS disc_revenue
+   GROUP BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus, n_lines, disc_revenue
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_SHIP_STATUS_SQL_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         / CAST(100.0 AS DOUBLE) AS disc_revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pipe_syntax_ship_status", sql=_PIPE_SHIP_STATUS_SQL_ORACLE)
+def sql_pipe_syntax_ship_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue by (returnflag, linestatus) written in Spark
+    4's SQL PIPE syntax (FROM ... |> WHERE ... |> EXTEND ...
+    |> AGGREGATE): the linear form many warehouse users now write,
+    verified against the plain-ANSI oracle — pipe parsing is purely a
+    front-end feature, so pushdown (the shipdate range reaches the
+    scan) and the LONG-cents exact money discipline hold unchanged."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SHIP_STATUS_SQL_SPARK)

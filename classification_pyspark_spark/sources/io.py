@@ -180,12 +180,29 @@ def save_data_observed(
     its data-quality counters" and "the job runs twice"; the metric
     exprs may be any non-distinct aggregates (null counts, min/max
     watermarks, sum of a measure...).
+
+    Session hygiene: the observed write runs on a CLONED session (same
+    SparkContext, same plan, own listener manager). Spark's
+    ``Observation`` registers a non-serializable listener on the
+    session and never unregisters it, after which any later
+    ``dataset.rdd``-closure job on that session (e.g.
+    ``CrossValidator``/MLlib kFold) dies with ``Task not serializable:
+    ObservationManager`` — reproduced on 4.1.2; unregistering manually
+    instead hangs the next observation. Cloning confines the listener
+    to a throwaway session state.
     """
-    from pyspark.sql import Observation
+    from pyspark.sql import DataFrame as PyDataFrame
+    from pyspark.sql import Observation, SparkSession
 
     metrics = metrics or {"n_rows": F.count(F.lit(1))}
+    spark = df.sparkSession
+    jclone = spark._jsparkSession.cloneSession()
+    jdf = getattr(spark._jvm, "org.apache.spark.sql.classic.Dataset").ofRows(
+        jclone, df._jdf.queryExecution().logical()
+    )
+    cloned_df = PyDataFrame(jdf, SparkSession(spark.sparkContext, jclone))
     obs = Observation()
-    observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    observed = cloned_df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
     save_data(observed, path, fmt=fmt, mode=mode, partition_by=partition_by, **options)
     return obs.get
 

@@ -12,8 +12,10 @@ from classification_pyspark_spark.queries import QUERIES
 # one representative per internally-persisting code path:
 # dedup_fuzzy (banded minhash + posting join), ranking (bm25 tf),
 # text (tfidf tf / cosine wts), windows (range-partitioned offsets via
-# sequence_packing), queries_search (mad med/mad stats),
-# queries_quality (pagerank edges)
+# sequence_packing), queries_quality (pagerank edges).
+# (mad_robust_outliers left round 4: its medians now run on the
+# quantiles selection operator, which persists AND unpersists inside
+# the call — covered by tests/test_quantiles.py::test_no_lingering_persist)
 PERSISTING = [
     "minhash_dup_pairs",
     "ngram_jaccard_pairs",
@@ -21,7 +23,6 @@ PERSISTING = [
     "tfidf_top_terms",
     "tfidf_cosine_pairs",
     "sequence_packing",
-    "mad_robust_outliers",
     "pagerank_supplier_influence",
 ]
 

@@ -64,9 +64,12 @@ def test_probs_validated(spark):
 
 
 def test_no_lingering_persist(spark):
+    # delta-based: the shared test session may carry other tests'
+    # persisted frames; the operator itself must add none
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
     exact_quantiles_distributed(df, "x", [0.5])
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 @given(
