@@ -24,7 +24,26 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_READ_FORMATS = {"parquet", "csv", "json", "delta", "orc", "text", "binaryFile", "xml"}
+_READ_FORMATS = {"parquet", "csv", "json", "delta", "orc", "text", "binaryFile", "xml", "avro"}
+
+
+def _require_avro(spark: SparkSession) -> None:
+    """Avro needs the spark-avro connector jar (external to the Spark
+    distribution); fail actionably instead of with Spark's
+    AVRO_NOT_LOADED / ClassNotFound errors."""
+    try:
+        # the authoritative probe is Spark's own datasource registry:
+        # some sql.avro classes ship in the distribution even when the
+        # provider isn't deployable (Class.forName false-positives)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+    except Exception:
+        raise ValueError(
+            "format 'avro' requires the spark-avro connector "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark version>); "
+            "it is not on this session's classpath"
+        ) from None
 
 
 def _require_delta() -> None:
@@ -71,6 +90,8 @@ def read_data(
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READ_FORMATS)}")
     if fmt == "delta":
         _require_delta()
+    if fmt == "avro":
+        _require_avro(spark)
     reader = spark.read.format(fmt)
     if fmt in ("csv", "json"):
         reader = reader.option("header", header).option("inferSchema", inferschema)
@@ -153,6 +174,8 @@ def save_data(
     """
     if fmt == "delta":
         _require_delta()
+    if fmt == "avro":
+        _require_avro(df.sparkSession)
     writer = df.write.mode(mode).format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

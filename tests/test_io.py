@@ -3,6 +3,7 @@ writes with partition pruning visible in the physical plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from classification_pyspark_spark.catalog import load_table, register_views
@@ -298,3 +299,28 @@ def test_save_data_observed_collects_metrics_with_the_write_job(spark, sf_dir, t
     assert m["n_null_cust"] == 0
     assert m["max_price"] == orders.agg(F.max("o_totalprice")).first()[0]
     assert spark.read.parquet(out).count() == n
+
+
+def test_avro_format_honest_error_or_roundtrip(spark, sf_dir, tmp_path):
+    """Avro is advertised but needs the external spark-avro connector:
+    without it read/write must fail with an actionable ValueError; with
+    it, a write/read roundtrip must work (mirrors the delta gate)."""
+    from classification_pyspark_spark.sources.io import read_data, save_data
+
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_avro")
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        has_avro = True
+    except Exception:
+        has_avro = False
+    if not has_avro:
+        with pytest.raises(ValueError, match="spark-avro"):
+            save_data(region, out, fmt="avro")
+        with pytest.raises(ValueError, match="spark-avro"):
+            read_data(spark, out, fmt="avro")
+    else:
+        save_data(region, out, fmt="avro")
+        assert read_data(spark, out, fmt="avro").count() == region.count()
