@@ -152,28 +152,28 @@ def describe_numeric(
 
     Output per column: count, mean, stddev, min, q25, median, q75, max
     (all double, rounded to 4). ``approx=True`` uses
-    ``percentile_approx`` for the at-scale path; default is exact
-    ``percentile`` to allow oracle parity.
+    ``percentile_approx`` for the sketch path; the default EXACT path
+    runs quartiles on the range-exchange selection operator
+    (``operators/quantiles.py``) — identical percentile_cont values
+    with partition-bounded memory (the single-buffer ``percentile``
+    aggregate it replaced took 22s for 3 columns of 6M rows at sf1;
+    selection takes ~7s and survives column sizes the buffer cannot).
     """
     cols = list(cols or list_numerical_columns(df))
     # ONE quantile aggregate per column computes all three quartiles
-    # (array-of-percentiles form): one sketch/sort buffer instead of
-    # three. approx = KLL-style sketch at accuracy 1000 (error <= 0.1%
-    # of rank) — the scan-cost plan at 100 TB; exact stays available
-    # for oracle parity.
+    # approx path: ONE sketch aggregate per column (array-of-
+    # percentiles form). The sketch aggregates are TypedImperative,
+    # which would drag the WHOLE aggregate onto the row-at-a-time
+    # ObjectHashAggregate path; keeping count/mean/stddev/min/max in
+    # their own aggregate preserves whole-stage codegen for them, and
+    # the two 1-row results cross-join for free (measured ~1.7x on
+    # the approx describe at sf0.1). accuracy=1000 is the production
+    # sketch (error <= 0.1% of rank); accuracy=2**31-1 makes it EXACT
+    # (discrete percentiles == DuckDB quantile_disc — how
+    # describe_numeric_approx oracle-checks the sketch code path).
     #
-    # The percentile aggregates are TypedImperative, which would drag
-    # the WHOLE aggregate onto the row-at-a-time ObjectHashAggregate
-    # path; keeping count/mean/stddev/min/max in their own aggregate
-    # preserves whole-stage codegen for them, and the two 1-row
-    # results cross-join for free (measured ~1.7x on the approx
-    # describe at sf0.1).
-    # accuracy=1000 is the production sketch (error <= 0.1% of rank);
-    # accuracy=2**31-1 makes percentile_approx EXACT (discrete
-    # percentiles), which is how the registered query oracle-checks
-    # this code path against DuckDB quantile_disc.
-    fn = "percentile_approx" if approx else "percentile"
-    acc = f", {int(accuracy)}" if approx else ""
+    # exact path: quartiles by range-exchange selection; the learned
+    # values enter the moment-aggregate row as codegen literals.
     base_aggs, pct_aggs = [], []
     for c in cols:
         base_aggs += [
@@ -183,18 +183,34 @@ def describe_numeric(
             F.round(F.min(c).cast("double"), 4).alias(f"min__{c}"),
             F.round(F.max(c).cast("double"), 4).alias(f"max__{c}"),
         ]
-        pct_aggs.append(
-            F.expr(f"{fn}({c}, array(0.25D, 0.5D, 0.75D){acc})").alias(f"pcts__{c}")
+        if approx:
+            pct_aggs.append(
+                F.expr(
+                    f"percentile_approx({c}, array(0.25D, 0.5D, 0.75D), {int(accuracy)})"
+                ).alias(f"pcts__{c}")
+            )
+    if approx:
+        one = df.agg(*base_aggs).crossJoin(df.agg(*pct_aggs))
+        one = one.select(
+            "*",
+            *[
+                F.round(F.col(f"pcts__{c}")[i].cast("double"), 4).alias(f"{name}__{c}")
+                for c in cols
+                for i, name in ((0, "q25"), (1, "median"), (2, "q75"))
+            ],
         )
-    one = df.agg(*base_aggs).crossJoin(df.agg(*pct_aggs))
-    one = one.select(
-        "*",
-        *[
-            F.round(F.col(f"pcts__{c}")[i].cast("double"), 4).alias(f"{name}__{c}")
-            for c in cols
-            for i, name in ((0, "q25"), (1, "median"), (2, "q75"))
-        ],
-    )
+    else:
+        from .quantiles import exact_quantiles_multi
+
+        q = exact_quantiles_multi(df, cols, [0.25, 0.5, 0.75])
+        one = df.agg(*base_aggs).select(
+            "*",
+            *[
+                F.round(F.lit(q[c][i]).cast("double"), 4).alias(f"{name}__{c}")
+                for c in cols
+                for i, name in ((0, "q25"), (1, "median"), (2, "q75"))
+            ],
+        )
     rows = one.select(
         F.explode(
             F.array(
