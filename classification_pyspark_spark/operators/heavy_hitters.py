@@ -60,11 +60,18 @@ def heavy_hitters(df: DataFrame, key_col: str, phi: float) -> DataFrame:
     candidate pass + broadcast-semi-join exact pass (see module doc).
     ``phi`` must be in (0, 1); ``k = ceil(1/phi)`` counters per
     partition bound both executor memory and candidate-set size.
+
+    NULL keys are excluded entirely — from the candidates, the exact
+    counts, AND the ``N`` in the support threshold (pandas
+    ``value_counts`` drops them and an equi-join can't match them, so
+    counting NULL rows only in the denominator would silently raise
+    the bar for every real key; the explicit filter keeps the operator
+    a pure function of the non-NULL key stream).
     """
     if not 0.0 < phi < 1.0:
         raise ValueError(f"phi must be in (0,1), got {phi}")
     k = int(1.0 / phi) + 1
-    keyed = df.select(key_col)
+    keyed = df.select(key_col).filter(F.col(key_col).isNotNull())
     field = keyed.schema.fields[0]
     schema_str = f"{field.name} {field.dataType.simpleString()}"
 
@@ -72,7 +79,7 @@ def heavy_hitters(df: DataFrame, key_col: str, phi: float) -> DataFrame:
         lambda it: _misra_gries_partition(it, key_col, k), schema=schema_str
     ).distinct()
 
-    total = df.select(F.count(F.lit(1)).alias("_n_total"))
+    total = keyed.select(F.count(F.lit(1)).alias("_n_total"))
     return (
         keyed.join(F.broadcast(candidates), key_col, "left_semi")
         .groupBy(key_col)

@@ -38,7 +38,7 @@ from pyspark.pipelines.graph_element_registry import (
     graph_element_registration_context,
 )
 from pyspark.pipelines.flow import Flow
-from pyspark.pipelines.output import MaterializedView, Output, StreamingTable, TemporaryView
+from pyspark.pipelines.output import Output, StreamingTable, TemporaryView
 
 
 @dataclass
@@ -113,8 +113,8 @@ def run_pipeline(
         if getattr(out, "partition_cols", None):
             writer = writer.partitionBy(*out.partition_cols)
         writer.save(path)
+        # MaterializedView and plain Table share this materialization
+        # contract (write to storage, re-register view from storage)
         spark.read.format(fmt).load(path).createOrReplaceTempView(out.name)
         results[out.name] = path
-        if not isinstance(out, MaterializedView):
-            pass  # plain Table: same materialization contract here
     return results

@@ -486,7 +486,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_props_shred",
     sql="""
     SELECT event_type,
-           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS BIGINT) AS k_bucket,
+           CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 25.0) AS BIGINT) AS k_bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k

@@ -70,3 +70,17 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     needing crash safety must keep their own fallback copy)."""
     jvm, fs, s = _fs(spark, src)
     return bool(fs.rename(s, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def rename_or_raise(spark: SparkSession, src: str, dst: str) -> None:
+    """``rename`` that treats Hadoop's false return as the error it is.
+
+    ``FileSystem.rename`` signals most failures (permissions, missing
+    src, dst exists, S3A copy failure) by RETURNING FALSE rather than
+    raising; a caller that ignores the boolean can silently lose a
+    stage-and-swap step while its own job reports success. Use this in
+    any control path where the rename not happening must fail the
+    batch (so the checkpoint retries) instead of corrupting state.
+    """
+    if not rename(spark, src, dst):
+        raise IOError(f"Hadoop rename failed (returned false): {src} -> {dst}")

@@ -219,7 +219,14 @@ def save_data_observed(
 
     metrics = metrics or {"n_rows": F.count(F.lit(1))}
     spark = df.sparkSession
-    jclone = spark._jsparkSession.cloneSession()
+    # ONE clone per parent session, cached on the parent: a clone per
+    # call would leave one immortal listener bus on the shared context
+    # per write (each clone's Observation listener is unremovable —
+    # the very leak this isolation exists to contain)
+    jclone = getattr(spark, "_observed_write_jclone", None)
+    if jclone is None:
+        jclone = spark._jsparkSession.cloneSession()
+        spark._observed_write_jclone = jclone
     jdf = getattr(spark._jvm, "org.apache.spark.sql.classic.Dataset").ofRows(
         jclone, df._jdf.queryExecution().logical()
     )

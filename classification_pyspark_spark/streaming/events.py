@@ -456,8 +456,13 @@ def merge_stats_batch(
         staged + "/_applied_epoch.json",
         json.dumps({"epoch_id": int(epoch_id), "checkpoint": checkpoint_tag}),
     )
-    hdfs.delete(spark, old)
+    # every step checks its boolean: Hadoop rename/delete report
+    # failure by returning false, and a silently-failed swap here
+    # would mark the epoch applied while readers still see the old
+    # view (the batch must raise so the checkpoint retries it)
+    if hdfs.exists(spark, old) and not hdfs.delete(spark, old):
+        raise IOError(f"could not clear fallback dir {old}")
     if hdfs.exists(spark, view_path):
-        hdfs.rename(spark, view_path, old)
-    hdfs.rename(spark, staged, view_path)
+        hdfs.rename_or_raise(spark, view_path, old)
+    hdfs.rename_or_raise(spark, staged, view_path)
     hdfs.delete(spark, old)

@@ -18,16 +18,21 @@ SETTINGS = dict(
 )
 
 
-def _naive(keys: list[str], phi: float) -> dict[str, int]:
+def _naive(keys: list, phi: float) -> dict[str, int]:
+    """Naive reference over the NON-NULL key stream (the operator's
+    documented semantics: NULLs excluded from counts and threshold)."""
     from collections import Counter
 
+    keys = [k for k in keys if k is not None]
     c = Counter(keys)
     n = len(keys)
     return {k: v for k, v in c.items() if v > n * phi}
 
 
 @given(
-    keys=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=300),
+    keys=st.lists(
+        st.one_of(st.sampled_from("abcdefgh"), st.none()), min_size=1, max_size=300
+    ).filter(lambda ks: any(k is not None for k in ks)),
     phi=st.sampled_from([0.05, 0.2, 0.4]),
     nparts=st.sampled_from([1, 3, 7]),
 )
