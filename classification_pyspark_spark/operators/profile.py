@@ -337,21 +337,15 @@ def outlier_summary(
             *[F.avg(c).alias(f"__mu_{c}") for c in cols],
             *[F.stddev(c).alias(f"__sd_{c}") for c in cols],
         )
-        .crossJoin(
-            # one percentile buffer per column (array form) — separate
-            # percentile(c, p) aggregates each buffer the full column
-            df.agg(
-                *[
-                    F.expr(f"percentile({c}, array(0.25, 0.75))").alias(f"__qq_{c}")
-                    for c in cols
-                ]
-            )
-        )
         .first()
     )
     b = bounds_row.asDict()
-    for c in cols:
-        qq = b.pop(f"__qq_{c}") or [None, None]
+    # exact quartiles by range-exchange selection (same values as the
+    # single-buffer percentile aggregate, partition-bounded memory)
+    from .quantiles import exact_quantiles_multi
+
+    for c, qq in exact_quantiles_multi(df, cols, [0.25, 0.75]).items():
+        qq = qq or [None, None]
         b[f"__q1_{c}"], b[f"__q3_{c}"] = qq[0], qq[1]
 
     # empty/all-null columns have NULL stats: emit NULL bounds and a
@@ -413,33 +407,40 @@ def boxplot_stats(
     never a per-column job loop, never a collect of data rows.
 
     ``approx=True`` computes the quartiles with ``percentile_approx``
-    (GK sketch, rank error <= 1/accuracy) — the 100 TB path: exact
-    ``percentile`` funnels every value of every column through one
-    aggregation buffer (measured 47s vs 3s on a 6M-row probe). Default
-    stays exact for oracle parity; production profiling should pass
-    ``approx=True`` (whiskers/outlier counts are then relative to
-    sketch quartiles, the standard trade).
+    (GK sketch, rank error <= 1/accuracy, mergeable partials). The
+    default EXACT path runs on the range-exchange selection operator
+    (``operators/quantiles.py``) — same percentile_cont values as the
+    single-buffer ``percentile`` aggregate it replaced (which took 21s
+    for 3 columns of 6M rows at sf1; selection ~8s, partition-bounded
+    memory). Both paths are one quartile pass + one conditional pass.
 
     Output: (column, q1, median, q3, whisker_low, whisker_high,
     n_outlier_low, n_outlier_high).
     """
     cols = list(cols or list_numerical_columns(df))
-    fn = "percentile_approx" if approx else "percentile"
-    acc = f", {int(accuracy)}" if approx else ""
-    # ONE percentile buffer per column (array of fractions), not one
-    # per (column, fraction): each separate percentile(c, p) aggregate
-    # buffers the full column independently — measured 5.7s for 9
-    # scalar calls vs 1.9s for 3 array calls on a 600k-row lineitem
-    row = (
-        df.agg(
-            *[
-                F.expr(f"{fn}({c}, array(0.25, 0.5, 0.75){acc})").alias(f"__q_{c}")
-                for c in cols
-            ]
+    if approx:
+        # ONE sketch buffer per column (array of fractions), not one
+        # per (column, fraction): separate percentile_approx(c, p)
+        # aggregates each buffer the full column independently
+        row = (
+            df.agg(
+                *[
+                    F.expr(
+                        f"percentile_approx({c}, array(0.25, 0.5, 0.75), {int(accuracy)})"
+                    ).alias(f"__q_{c}")
+                    for c in cols
+                ]
+            )
+            .first()
+            .asDict()
         )
-        .first()
-        .asDict()
-    )
+    else:
+        from .quantiles import exact_quantiles_multi
+
+        row = {
+            f"__q_{c}": v
+            for c, v in exact_quantiles_multi(df, cols, [0.25, 0.5, 0.75]).items()
+        }
     b = {}
     for c in cols:
         qs = row[f"__q_{c}"] or [None, None, None]
