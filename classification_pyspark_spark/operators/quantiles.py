@@ -21,8 +21,11 @@ aggregation:
    rank); ONE ``mapInPandas`` pass selects the needed order statistics
    with ``numpy.partition`` (O(n_partition), no in-partition sort).
 4. the (<= 2 x len(probs))-row result interpolates on the driver with
-   the exact ``percentile_cont`` formula: ``v_lo + (v_hi - v_lo) *
-   ((n-1)p - floor((n-1)p))``.
+   the exact ``percentile_cont`` formula in the WEIGHTED form both
+   Spark and DuckDB use — ``v_lo*(1-f) + v_hi*f`` with
+   ``f = (n-1)p - floor((n-1)p)`` — NOT the algebraically-equal
+   ``v_lo + (v_hi-v_lo)*f``, which differs in the last ulp and can
+   flip a downstream round() at a .5 boundary (observed at sf0.1).
 
 Peak memory is one partition's column (the same bound every
 sort-within-partition stage already has); total work is one full
@@ -165,7 +168,10 @@ def exact_quantiles_multi(
             else:
                 lo, hi = math.floor(x), math.ceil(x)
                 v_lo, v_hi = got[(c, lo)], got[(c, hi)]
-                vals_out.append(v_lo + (v_hi - v_lo) * (x - lo))
+                f = x - lo
+                # weighted form — bit-identical to Spark percentile
+                # and DuckDB quantile_cont (see module doc)
+                vals_out.append(v_lo * (1 - f) + v_hi * f)
         out[c] = vals_out
     return out
 

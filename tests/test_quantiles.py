@@ -37,7 +37,10 @@ def test_equals_builtin_percentile(spark, vals, nparts):
     df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(nparts)
     got = exact_quantiles_distributed(df, "x", PROBS, num_partitions=4)
     want = df.agg(F.expr(f"percentile(x, array({', '.join(map(str, PROBS))}))")).first()[0]
-    assert got == pytest.approx(want, abs=1e-9, rel=1e-12)
+    # BIT equality, not approx: the operator uses the same weighted
+    # interpolation formula as Spark/DuckDB, and downstream round()
+    # calls can flip on a 1-ulp difference
+    assert got == list(want)
 
 
 def test_lineitem_matches_builtin(spark, sf_dir):
@@ -46,7 +49,7 @@ def test_lineitem_matches_builtin(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     got = exact_quantiles_distributed(li, "l_extendedprice", [0.25, 0.5, 0.75])
     want = li.agg(F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")).first()[0]
-    assert got == pytest.approx(want, abs=1e-9)
+    assert got == list(want)
 
 
 def test_empty_and_all_null_return_none(spark):
@@ -110,4 +113,4 @@ def test_multi_column_single_pass_matches_per_column(spark, sf_dir):
     multi = exact_quantiles_multi(li, cols, [0.25, 0.5, 0.75])
     for c in cols:
         want = li.agg(F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))")).first()[0]
-        assert multi[c] == pytest.approx(want, abs=1e-9)
+        assert multi[c] == list(want)
