@@ -1208,11 +1208,22 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
              len(list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
                              t -> len(t) > 0)) // 40 AS band
       FROM documents
+    ),
+    p AS (
+      SELECT doc_id, lang, head, band,
+             CAST(list_sum(list_transform(range(0, 16),
+               j -> CASE WHEN list_sum(list_transform(
+                      list_transform(string_split_regex(trim(head), '\s+'),
+                                     t -> ('0x' || substr(md5(t), 1, 4))::BIGINT),
+                      x -> ((x >> j) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) >> 10 AS pfx
+      FROM d
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
-    FROM d a JOIN d b
-      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    FROM p a JOIN p b
+      ON a.lang = b.lang AND a.band = b.band AND a.pfx = b.pfx
+         AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head)
             <= CAST(0.25 * greatest(len(a.head), len(b.head)) AS BIGINT)
     ORDER BY id_a, id_b
@@ -1226,17 +1237,23 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: levenshtein is O(m*n) per pair, but runs as banded DP
     (3-arg form, threshold 15 = the max per-pair bound for 60-char
-    heads) and the self-join is BLOCKED on (lang, token-count band) —
-    candidates only meet inside a block, bounding pair fan-out like the
-    LSH band join. At 100 TB you tighten blocks instead of widening the
-    scan: the operator's ``simhash_prefix_bits`` knob adds a simhash-
-    prefix block key (see ``dedup_fuzzy.edit_distance_head_pairs``);
-    here it stays None for exact oracle parity."""
+    heads) and the self-join is BLOCKED on (lang, token-count band,
+    6-bit simhash prefix of the head) — candidates only meet inside a
+    block, bounding pair fan-out like the LSH band join. The simhash
+    prefix is the PRODUCTION "tighten blocks at scale" knob
+    (``dedup_fuzzy.edit_distance_head_pairs``) and the oracle mirrors
+    it bit-for-bit, exactly as it already mirrors the token-count band
+    — so the checked configuration is the deployable one. Like every
+    blocked near-dup join here, blocking is a recall trade (a pair
+    whose few edits flip a high vote bit lands in different prefix
+    buckets); ``tests/test_properties.py`` pins the measured recall of
+    the prefix block against the unblocked form."""
     from .operators.dedup_fuzzy import edit_distance_head_pairs
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     return edit_distance_head_pairs(
-        d, "text", "doc_id", "lang", head_len=60, max_rel_dist=0.25, band_tokens=40
+        d, "text", "doc_id", "lang", head_len=60, max_rel_dist=0.25, band_tokens=40,
+        simhash_prefix_bits=6,
     )
 
 

