@@ -433,6 +433,7 @@ def duplicated_ngram_spans(
     id_col: str,
     n: int = 5,
     max_posting_size: int | None = None,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Per-document coverage by cross-document repeated n-gram spans —
     the n-gram-granularity approximation of exact substring dedup
@@ -446,12 +447,27 @@ def duplicated_ngram_spans(
     reports how much of each doc is built from such shared spans —
     the curation signal for boilerplate/template removal.
 
-    Scale shape: gram explode -> per-gram doc-count aggregate
-    (vocabulary-sized, map-side combined) -> join back on the gram key
-    -> per-doc aggregate. No doc-pair work at all, so there is no
-    quadratic term; ``max_posting_size`` (drop grams in more docs than
-    the cap from the JOIN, counting them as duplicated by definition)
-    bounds even the posting join's skew at 100 TB. None = exact.
+    Scale shape — ZERO joins of the gram stream. Because grams are
+    per-doc DISTINCT, ``n_dup_grams = n_grams - #grams unique to the
+    doc``, and a corpus-unique gram identifies its single owner, so:
+
+    - ``n_grams`` is just ``size(gram_array)`` — computed row-wise in
+      the scan, no explode, no shuffle;
+    - one gram-keyed aggregate ``(count, min(doc_id))`` finds the
+      unique grams AND their owners in the same pass; ``count == 1``
+      rows fold into a doc-sized per-owner count.
+
+    The gram stream shuffles ONCE (vs the naive count-then-join-back
+    plan's two full-stream shuffles plus a stream×vocabulary join),
+    and hot boilerplate grams cost O(#map partitions) partial-agg rows
+    — no join fan-out — so ``max_posting_size`` is unnecessary and
+    retained only for API compatibility (ignored: results are exact at
+    any posting size). With ``hash_grams`` (default) the shuffle key
+    is ``xxhash64(gram)`` (8 bytes vs ~40-byte gram strings — ~5×
+    less shuffle IO); a collision would merge two grams' counts
+    (P < m²/2⁶⁵: ~1e-7 at 10M distinct grams, a handful of marginally
+    miscounted grams at 10¹²), pass ``hash_grams=False`` for
+    string-exact grouping.
 
     Docs with fewer than ``n`` tokens have no spans to share: they get
     an explicit (n_grams 0, n_dup_grams 0, dup_fraction NULL) row
@@ -461,32 +477,50 @@ def duplicated_ngram_spans(
     Output: (``id_col``, n_grams long, n_dup_grams long,
     dup_fraction double rounded 6) — one row for EVERY input doc.
     """
+    del max_posting_size  # exact at any posting size; see docstring
     toks = punct_tokens_expr(F.col(text_col))
-    grams = word_ngrams_expr(toks, n, pad_short=False)
-    g = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
-    gd = g.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    if max_posting_size is not None:
-        # grams past the cap are duplicated by definition; skip the join
-        gd = gd.filter(F.col("n_docs") <= max_posting_size)
-        joined = g.join(gd, "gram", "left").select(
-            "id", F.coalesce(F.col("n_docs"), F.lit(max_posting_size + 1)).alias("n_docs")
-        )
-    else:
-        joined = g.join(gd, "gram").select("id", "n_docs")
-    agg = joined.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.count(F.when(F.col("n_docs") >= 2, 1)).cast("long").alias("n_dup_grams"),
-    )
-    # short docs produced no gram rows: attach explicit zero rows
-    all_ids = df.select(F.col(id_col).alias("id"))
-    return (
-        all_ids.join(agg, "id", "left")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
-            F.round(F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6).alias(
-                "dup_fraction"
+    if hash_grams:
+        # hash the token SLICE directly: no per-gram string is ever
+        # materialized (concat_ws + string array_distinct are the
+        # dominant cost of the gram build), and slice-hash equality is
+        # strictly more faithful than string equality anyway (tokens
+        # cannot contain the join character post-split, so the two
+        # coincide — modulo the documented collision odds)
+        upper = F.size(toks) - (n - 1)
+        grams = F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(upper, F.lit(1))),
+                    lambda i: F.xxhash64(F.slice(toks, i, n)),
+                )
             ),
-        )
+        ).otherwise(F.array().cast("array<long>"))
+    else:
+        grams = word_ngrams_expr(toks, n, pad_short=False)
+    # branch 1: per-doc gram counts, row-wise in the scan (no shuffle
+    # until the final doc-keyed join)
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(grams).cast("long").alias("n_grams")
+    )
+    # branch 2: corpus-unique grams -> their single owner -> per-owner
+    # count. One full-stream shuffle, map-side combined.
+    uniq_per_doc = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gk"))
+        .groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("id").alias("owner"))
+        .filter(F.col("c") == 1)
+        .groupBy("owner")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_uniq"))
+    )
+    n_dup = F.col("n_grams") - F.coalesce(F.col("n_uniq"), F.lit(0).cast("long"))
+    return base.join(uniq_per_doc, base.id == uniq_per_doc.owner, "left").select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        # ANSI-safe: short docs (n_grams 0) get NULL, not a /0 error
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(n_dup / F.col("n_grams").cast("double"), 6),
+        ).alias("dup_fraction"),
     )
