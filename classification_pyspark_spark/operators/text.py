@@ -351,11 +351,17 @@ def bigram_lm_perplexity(
 
     Scale shape: one token explode feeds the unigram aggregate, one
     bigram explode (built with an array ``transform`` — zero joins)
-    feeds the bigram aggregate; both are vocabulary-sized with
-    map-side combine. Scoring joins the data-sized bigram stream to
-    the bigram-count table on (w1, w2) — AQE broadcasts it when the
-    vocabulary fits — then aggregates per doc. The corpus never
-    collects to the driver; V rides along as a 1-row broadcast.
+    feeds the bigram aggregate; both run map-side combine. Scoring
+    joins the data-sized bigram stream to the bigram-count table on
+    (w1, w2) as a SHUFFLED HASH join, pinned by hint: the bigram
+    table is NOT vocabulary-bounded — on an open-vocabulary corpus
+    distinct bigrams grow with the corpus (at our sf10 probe the
+    count table deserialized to 5 GiB and AQE's broadcast conversion,
+    fed by its ~60 MB *compressed* shuffle size, OOMed the driver).
+    Hot-bigram skew in that exchange is AQE skew-join territory
+    (splittable for SHJ/SMJ). The unigram join stays broadcast-
+    eligible — unigrams ARE vocabulary-bounded — and V rides along
+    as a 1-row broadcast. The corpus never collects to the driver.
 
     Output: (``id_col``, n_bigrams long, ppl double rounded 4,
     keep int 0/1 at ``keep_threshold``) — one row for EVERY input doc.
@@ -389,7 +395,7 @@ def bigram_lm_perplexity(
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cbg"))
     scored = (
-        bg.join(bgc, ["w1", "w2"])
+        bg.join(bgc.hint("shuffle_hash"), ["w1", "w2"])
         .join(uni.withColumnRenamed("tok", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(

@@ -68,9 +68,15 @@ def gen(spark: SparkSession, out_dir: str, mult: float) -> None:
     n = {t: max(1, int(c * mult)) for t, c in BASE.items()}
     n_cust, n_supp, n_part, n_ord = n["customer"], n["supplier"], n["part"], n["orders"]
 
+    # file counts scale with the data so per-file row counts (and thus
+    # scan-task sizes) stay constant across sf points — a probe that
+    # compared sf1@16-files to sf10@16-files would conflate data scaling
+    # with task-granularity effects
+    pscale = max(1, int(round(mult)))
+
     def write(df, name, parts):
         path = os.path.join(out_dir, f"{name}.parquet")
-        df.repartition(parts).write.mode("overwrite").parquet(path)
+        df.repartition(parts * pscale if parts > 1 else 1).write.mode("overwrite").parquet(path)
         print(f"wrote {name}: {n.get(name, 'dim')} rows -> {path}")
 
     region = spark.createDataFrame(

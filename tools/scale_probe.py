@@ -1,17 +1,19 @@
-"""One-point scale probe above bench scale (VERDICT r3 §5).
+"""Scale probe above bench scale (VERDICT r3 §5).
 
 sf0.1 hides constant factors (band-bucket sizes, posting-list skew,
-shuffle setup); this probe times the heaviest headline queries at sf0.1
-and sf1 over the SAME generator (tools/gen_scale_data.py) and reports
-the per-query time ratio for a 10× data increase. Near-linear operators
-land well under ~12×; anything super-linear is a scaling bug the sf0.1
-bench cannot see.
+shuffle setup); this probe times the heaviest headline queries at two
+sf points of the SAME generator (tools/gen_scale_data.py) and reports
+the per-query time ratio for the data-size increase. Near-linear
+operators land well under ~1.2x the row factor; anything super-linear
+is a scaling bug the sf0.1 bench cannot see.
 
-Writes BENCH_sf1.json at the repo root:
-  {"queries": {name: {"sf0.1_sec": s, "sf1_sec": s, "ratio": r}},
-   "max_ratio": r, "near_linear": bool}
+Writes {"queries": {name: {"small_sec": s, "big_sec": s, "ratio": r}},
+        "max_ratio": r, "near_linear": bool} to the output file.
 
-Usage: python tools/scale_probe.py [--regen]
+Usage: python tools/scale_probe.py [--regen] [small_sf big_sf out.json]
+  default: 0.1 1 BENCH_sf1.json (the round-4 artifact); the second
+  decade is `python tools/scale_probe.py 1 10 BENCH_sf10.json`
+  (100x above bench — two decades of measured scaling).
 """
 
 from __future__ import annotations
@@ -25,8 +27,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SMALL = os.path.join(REPO, ".localdata", "sf0.1g")
-BIG = os.path.join(REPO, ".localdata", "sf1")
+
+
+def _sf_dir(sf: str) -> str:
+    # the legacy 0.1 point lives at sf0.1g (the 'g' marks "generated
+    # here", distinct from the driver's read-only /root/testdata/sf0.1)
+    name = "sf0.1g" if sf == "0.1" else f"sf{float(sf):g}"
+    return os.path.join(REPO, ".localdata", name)
 
 # the heaviest headline queries of BENCH_r03 plus one representative of
 # each scale-sensitive operator family: keyed-checksum reconciliation
@@ -49,8 +56,8 @@ PROBE = [
 ]
 
 
-def _ensure_data(regen: bool) -> None:
-    for sf, path in [("0.1", SMALL), ("1", BIG)]:
+def _ensure_data(regen: bool, points: list[tuple[str, str]]) -> None:
+    for sf, path in points:
         if regen or not os.path.isdir(os.path.join(path, "lineitem.parquet")):
             subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools", "gen_scale_data.py"), sf, path],
@@ -60,7 +67,11 @@ def _ensure_data(regen: bool) -> None:
 
 def main() -> int:
     regen = "--regen" in sys.argv
-    _ensure_data(regen)
+    pos = [a for a in sys.argv[1:] if a != "--regen"]
+    sf_small, sf_big, out_file = pos if len(pos) == 3 else ("0.1", "1", "BENCH_sf1.json")
+    small, big = _sf_dir(sf_small), _sf_dir(sf_big)
+    factor = float(sf_big) / float(sf_small)
+    _ensure_data(regen, [(sf_small, small), (sf_big, big)])
 
     from classification_pyspark_spark.operators.caching import release_tracked
     from classification_pyspark_spark.queries import QUERIES
@@ -80,29 +91,29 @@ def main() -> int:
 
     # warm codegen/broadcast pools once per query shape at the small SF
     for name in PROBE:
-        run(name, SMALL)
+        run(name, small)
 
     out: dict[str, dict] = {}
     for name in PROBE:
-        s_small = run(name, SMALL)
-        s_big = run(name, BIG)
+        s_small = run(name, small)
+        s_big = run(name, big)
         ratio = round(s_big / s_small, 2) if s_small > 0 else float("inf")
         out[name] = {
-            "sf0.1_sec": round(s_small, 3),
-            "sf1_sec": round(s_big, 3),
+            f"sf{sf_small}_sec": round(s_small, 3),
+            f"sf{sf_big}_sec": round(s_big, 3),
             "ratio": ratio,
         }
         print(f"{name}: {s_small:.2f}s -> {s_big:.2f}s = {ratio}x")
 
     max_ratio = max(v["ratio"] for v in out.values())
     result = {
-        "probe": "sf0.1 -> sf1 (10x rows, same generator)",
+        "probe": f"sf{sf_small} -> sf{sf_big} ({factor:g}x rows, same generator)",
         "queries": out,
         "max_ratio": max_ratio,
-        "near_linear": max_ratio <= 12.0,
+        "near_linear": max_ratio <= 1.2 * factor,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
-    path = os.path.join(REPO, "BENCH_sf1.json")
+    path = os.path.join(REPO, out_file)
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

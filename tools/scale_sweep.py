@@ -41,8 +41,24 @@ def _tfidf_capped(spark, sf_dir):
     return tfidf_cosine_pairs(d, "text", "doc_id", "lang", min_cosine=0.85)
 
 
+def _describe_numeric_approx_production(spark, sf_dir):
+    """describe_numeric_approx at the documented production accuracy
+    (1000, rank error <= 0.1%): the registered query pins accuracy to
+    2**31-1 so the GK summary is EXACT and DuckDB-oracle-checkable, but
+    that funnels every value through one aggregation buffer — the
+    documented wrong-at-100TB plan (see queries.py docstring)."""
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.profile import describe_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return describe_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], approx=True, accuracy=1000
+    )
+
+
 PRODUCTION_MODE = {
     "tfidf_cosine_pairs": _tfidf_capped,
+    "describe_numeric_approx": _describe_numeric_approx_production,
 }
 
 
