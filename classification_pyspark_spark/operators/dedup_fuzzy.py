@@ -78,15 +78,48 @@ def minhash_signature_exprs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n_hashes: int = N_MINHASH, k: int = SHINGLE_K
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = N_MINHASH,
+    k: int = SHINGLE_K,
+    engine: str = "md5_windows",
+    seed: int = 7,
 ) -> DataFrame:
     """(id, minhash_0..minhash_{H-1}) signature frame.
 
     Plan: explode shingle positions (pure codegen — no higher-order
-    lambdas, which evaluate interpreted and dominate runtime), md5 each
-    shingle once, then ONE hash aggregate taking all H window-mins.
+    lambdas, which evaluate interpreted and dominate runtime), hash
+    each shingle once, then ONE hash aggregate taking all H mins.
     The groupBy(id) agg does map-side partial mins, so at 100 TB the
-    shuffle carries only H minima per (mapper, doc)."""
+    shuffle carries only H minima per (mapper, doc).
+
+    Engines:
+
+    - ``md5_windows`` (default, ORACLE-PARITY): hash s is the min hex
+      window ``digest[8s : 8s+8]`` of the shingle's md5 — four
+      disjoint 32-bit slices of one digest are independent uniform
+      hashes. ``n_hashes`` beyond 4 draws extra salted digests
+      (group g hashes ``md5(shingle || g)``; group 0 stays unsalted,
+      so H <= 4 output is bit-identical to the original single-digest
+      form and its DuckDB oracles), at ceil(H/4) md5s per shingle.
+    - ``universal`` (PRODUCTION): one ``xxhash64`` per shingle folded
+      to 32 bits, then H affine permutations ``(a_g*h + b_g) mod
+      (2^61-1)`` — codegen'd integer arithmetic, so H scales nearly
+      free (H=16 measured 4.6s vs 25s+ for 4 salted md5s at sf1; the
+      32-bit fold keeps ``a*h`` inside ANSI-safe LONG range, and a
+      fold collision only merges two shingles' identities — the
+      standard minhash implementation trade, bias O(shingles/2^32)).
+      Constants derive from ``seed`` (deterministic across runs and
+      layouts).
+
+    Production near-dup banding needs H well above 4: with r rows per
+    band, a random pair at baseline similarity j collides per band
+    with P = j^r, so H=4/r=2 emits ~(H/r)·j²·N²/2 false candidates on
+    ANY corpus with nonzero baseline similarity (measured: 1.9e8
+    pairs on 5e5 synthetic docs at j~0.03); H=16/r=8 drives the same
+    corpus to ~0 false pairs while keeping ~67% per-pass recall at
+    j=0.9 (the standard S-curve tradeoff)."""
     t = F.lower(F.col(text_col))
     pos = df.select(
         F.col(id_col),
@@ -95,10 +128,35 @@ def minhash_signatures(
             F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
         ).alias("__i"),
     )
-    dg = pos.select(F.col(id_col), F.md5(F.expr(f"substr(__t, __i, {k})")).alias("__d"))
+    sh = F.expr(f"substr(__t, __i, {k})")
+    if engine == "universal":
+        import random
+
+        rng = random.Random(seed)
+        ab = [(rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31)) for _ in range(n_hashes)]
+        p = (1 << 61) - 1
+        base = pos.select(
+            F.col(id_col), F.xxhash64(sh).bitwiseAND(F.lit((1 << 32) - 1)).alias("__h")
+        )
+        return base.groupBy(id_col).agg(
+            *[
+                F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"minhash_{g}")
+                for g, (a, b) in enumerate(ab)
+            ]
+        )
+    if engine != "md5_windows":
+        raise ValueError(f"unknown minhash engine {engine!r}: md5_windows | universal")
+    n_groups = (n_hashes + 3) // 4
+    dg = pos.select(
+        F.col(id_col),
+        *[
+            F.md5(sh if g == 0 else F.concat(sh, F.lit(str(g)))).alias(f"__d{g}")
+            for g in range(n_groups)
+        ],
+    )
     return dg.groupBy(id_col).agg(
         *[
-            F.min(F.substring("__d", 8 * s + 1, 8)).alias(f"minhash_{s}")
+            F.min(F.substring(f"__d{s // 4}", 8 * (s % 4) + 1, 8)).alias(f"minhash_{s}")
             for s in range(n_hashes)
         ]
     )
@@ -118,6 +176,8 @@ def minhash_candidate_pairs(
     id_col: str,
     rows_per_band: int = 2,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    n_hashes: int = N_MINHASH,
+    engine: str = "md5_windows",
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing a minhash BAND (bands of
     ``rows_per_band`` hashes ANDed together, bands ORed — standard LSH
@@ -126,6 +186,15 @@ def minhash_candidate_pairs(
     that r=1 suffers on low-entropy corpora (collision probability
     j^r per band vs j). Pairs meet only inside band buckets — never a
     cross join. Output (id_a < id_b, n_shared_bands).
+
+    The H=4/r=2 default is the ORACLE-PARITY configuration (DuckDB
+    mirrors the 4 hex windows of one md5). Candidate volume on a real
+    corpus is ~(H/r)·j^r·N²/2 at baseline pair similarity j, which is
+    quadratic-on-content for small r regardless of bucket caps —
+    production near-dup dedup should run ``n_hashes=16,
+    rows_per_band=8`` (or wider), where j^8 zeroes the random-pair
+    term: at the sf10 probe (5e5 docs, j~0.03) H=4/r=2 emits 1.9e8
+    candidate pairs, H=16/r=8 emits only genuine near-dups.
 
     The banded frame is persisted (MEMORY_AND_DISK) before the
     self-join: without it both join sides re-run the whole
@@ -141,12 +210,19 @@ def minhash_candidate_pairs(
     digest-based exact dedup instead). The guard is ON by default
     (``DEFAULT_MAX_BUCKET_SIZE``); pass None for exhaustive pairing
     (oracle parity at test scale)."""
-    sig = minhash_signatures(df, text_col, id_col)
-    n_bands = N_MINHASH // rows_per_band
+    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes, engine=engine)
+    n_bands = n_hashes // rows_per_band
+    # the .cast("string") is a no-op for the md5_windows engine (hex
+    # strings already) and stringifies the universal engine's longs —
+    # band VALUES for the oracle configuration are untouched
     band_cols = [
         F.md5(
             F.concat_ws(
-                "|", *[F.col(f"minhash_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.col(f"minhash_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         ).alias(f"band_{b}")
         for b in range(n_bands)

@@ -84,6 +84,35 @@ def test_exact_and_minhash_dedup(spark, docs):
     assert (0, 4) not in pairs  # unrelated docs don't collide
 
 
+def test_minhash_universal_engine_production_banding(spark, docs):
+    """The production engine (universal hashing, wide bands): exact
+    dups still collide in every band, unrelated docs collide in none,
+    and signatures are a pure function of (data, seed)."""
+    sig = minhash_signatures(docs, "text", "doc_id", n_hashes=16, engine="universal")
+    rows = {r.doc_id: tuple(r)[1:] for r in sig.collect()}
+    assert rows[0] == rows[1]  # identical docs share all 16 hashes
+    assert rows[0] != rows[4]
+    again = {
+        r.doc_id: tuple(r)[1:]
+        for r in minhash_signatures(
+            docs, "text", "doc_id", n_hashes=16, engine="universal"
+        ).collect()
+    }
+    assert again == rows  # deterministic for a given seed
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in minhash_candidate_pairs(
+            docs, "text", "doc_id", rows_per_band=8, n_hashes=16, engine="universal"
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 2  # exact dups collide in both (16/8=2) bands
+    assert (0, 4) not in pairs
+
+    with pytest.raises(ValueError, match="minhash engine"):
+        minhash_signatures(docs, "text", "doc_id", engine="nope").collect()
+
+
 def test_simhash_near_for_near_dups(spark, docs):
     sh = {r.doc_id: r.sh for r in docs.select("doc_id", simhash_expr("text").alias("sh")).collect()}
     assert sh[0] == sh[1]

@@ -188,20 +188,27 @@ def gen(spark: SparkSession, out_dir: str, mult: float) -> None:
 
     # documents: 40-120 word texts. Token model = Zipf-ish head/tail mix:
     # ~60% draws from the 36-word head vocab, ~40% are hash-suffixed rare
-    # tokens (head word + 0..1999), giving ~72k distinct tokens. The
+    # tokens (head word + suffix), giving 72k+ distinct tokens. The
     # driver corpus has only 31 distinct tokens, which is fine at 5k docs
     # but makes EVERY doc a near-duplicate of every other at 50k+ docs —
     # posting lists grow O(n_docs) per term and uncapped pair operators
     # go quadratic on content, which measures corpus pathology, not
-    # engine scaling. The long tail keeps per-term posting sizes bounded
-    # the way a real crawl corpus does.
+    # engine scaling. The suffix space SCALES with sf (2000 x pscale):
+    # per-rare-token doc frequency — and with it true pairwise Jaccard
+    # and posting sizes — stays constant across sf points the way a
+    # growing real crawl corpus behaves. A fixed tail saturated at
+    # sf10: every rare token landed in 10x more docs, cross-doc Jaccard
+    # rose, and minhash-LSH pair OUTPUT grew 98x for 10x docs —
+    # measuring the corpus, not the engine. sf <= 1 output is unchanged
+    # (pscale = 1 there).
     def tok(i):
         base = F.element_at(
             F.array(*[F.lit(w) for w in VOCAB]),
             (F.abs(F.xxhash64(F.col("id"), i, F.lit("dw"))) % len(VOCAB) + 1).cast("int"),
         )
         rare = F.concat(
-            base, (F.abs(F.xxhash64(F.col("id"), i, F.lit("dt"))) % 2000).cast("string")
+            base,
+            (F.abs(F.xxhash64(F.col("id"), i, F.lit("dt"))) % (2000 * pscale)).cast("string"),
         )
         head = (F.abs(F.xxhash64(F.col("id"), i, F.lit("dh"))) % 10) < 6
         return F.when(head, base).otherwise(rare)

@@ -56,9 +56,27 @@ def _describe_numeric_approx_production(spark, sf_dir):
     )
 
 
+def _minhash_pairs_production(spark, sf_dir):
+    """minhash_dup_pairs at production banding (universal engine,
+    H=16 / r=8, bucket cap on): the registered H=4 / r=2 form exists
+    for DuckDB-oracle parity (4 hex windows of one md5) but its
+    per-band collision probability j^2 emits ~j²·N² candidate pairs
+    on any corpus with baseline similarity j — quadratic on content
+    regardless of caps (1.9e8 pairs at the sf10 probe). j^8 zeroes
+    the random-pair term; see operators/dedup_fuzzy.py."""
+    from classification_pyspark_spark.catalog import load_table, spread_for_compute
+    from classification_pyspark_spark.operators.dedup_fuzzy import minhash_candidate_pairs
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return minhash_candidate_pairs(
+        d, "text", "doc_id", rows_per_band=8, n_hashes=16, engine="universal"
+    )
+
+
 PRODUCTION_MODE = {
     "tfidf_cosine_pairs": _tfidf_capped,
     "describe_numeric_approx": _describe_numeric_approx_production,
+    "minhash_dup_pairs": _minhash_pairs_production,
 }
 
 
