@@ -268,6 +268,60 @@ def _word_grams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def ws_tok_sql(col_name: str) -> str:
+    """SQL text of the whitespace tokenizer (``tokens_expr`` twin on
+    lowered text)."""
+    return f"split(trim(lower(`{col_name}`)), '\\\\s+')"
+
+
+def punct_tok_sql(col_name: str) -> str:
+    """SQL text of the alnum tokenizer (``punct_tokens_expr`` twin)."""
+    return f"filter(split(trim(lower(`{col_name}`)), '[^0-9a-z]+'), x -> length(x) > 0)"
+
+
+def rolling_gram_hash_sql(
+    tok_sql: str, n: int, *, distinct: bool = True, pad_short: bool = False
+) -> str:
+    """SQL text for 64-bit hashed word n-gram keys of a token array —
+    the equality-equivalent of ``word_ngrams_expr`` when gram IDENTITY
+    (joins, counts, distincts) is all a caller needs.
+
+    Gram key = XOR of position-rotated per-token xxhash64s, built with
+    n-1 whole-array ``zip_with``s over shifted views: each token
+    hashes ONCE and each position costs one xor+rotate. The per-
+    position ``concat_ws(slice)`` / ``xxhash64(slice)`` forms allocate
+    an n-token slice and re-process every token n times inside an
+    interpreted HOF — ~5x slower measured at the sf10 probe, and the
+    string form shuffles ~40-byte keys where this shuffles 8 bytes.
+    Two positions key equal iff their n token-hash windows match; a
+    cross-sequence collision needs a fixed GF(2)-linear relation over
+    independent 64-bit hashes (P = 2**-64 per pair).
+
+    ``pad_short=True`` mirrors ``word_ngrams_expr``'s posting-join
+    behavior: a doc with fewer than ``n`` tokens emits ONE key — the
+    hash of its whole token list, which can only collide with another
+    short doc's identical token list (string-gram equality classes are
+    preserved: an m<n-token join and an n-token join can never be
+    string-equal either)."""
+    th = f"transform({tok_sql}, t -> xxhash64(t))"
+    glen = f"greatest(size({tok_sql}) - {n - 1}, 0)"
+    acc = f"slice({th}, 1, {glen})"
+    for j in range(1, n):
+        k = (13 * j) % 64
+        acc = (
+            f"zip_with({acc}, slice({th}, {1 + j}, {glen}), "
+            f"(x, y) -> x ^ (shiftleft(y, {k}) | shiftrightunsigned(y, {64 - k})))"
+        )
+    if distinct:
+        acc = f"array_distinct({acc})"
+    short = (
+        f"array(xxhash64(concat_ws(' ', {tok_sql})))"
+        if pad_short
+        else "cast(array() as array<bigint>)"
+    )
+    return f"case when size({tok_sql}) >= {n} then {acc} else {short} end"
+
+
 def distinct_token_ratio_expr(col: Column | str) -> Column:
     """distinct tokens / tokens — 1.0 means no repeated token; low
     values flag boilerplate/repetitive docs (Gopher-style repetition
@@ -286,19 +340,34 @@ def top_gram_fraction_expr(col: Column | str, n: int = 2) -> Column:
     (codegen) and fold once, tracking the longest equal run. Cost is
     O(g log g) per doc locally; nothing leaves the row.
 
+    When ``col`` is a column NAME the gram array is the rolling
+    64-bit hash form (``rolling_gram_hash_sql``, non-distinct):
+    run-length-of-equals is invariant to relabeling gram identities,
+    longs sort ~5x cheaper than gram strings, and each token hashes
+    once instead of being re-concatenated n times (a Column input
+    falls back to the string-gram fold — SQL text cannot be built
+    from an opaque Column).
+
     The gram array is referenced EXACTLY ONCE: higher-order functions
     run interpreted (outside whole-stage codegen) and get no common-
     subexpression elimination, so a second ``size(grams)`` reference
     re-tokenizes and re-sorts the whole document. Carrying the gram
     count in the fold accumulator instead made this 4.6x faster at
     sf1 (19.3s -> 4.2s for repetition_stats)."""
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(col) if isinstance(col, str) else col)), r"[^0-9a-z]+"),
-        lambda t: F.length(t) > 0,
-    )
-    grams = F.array_sort(_word_grams(toks, n))
+    if isinstance(col, str):
+        grams = F.array_sort(
+            F.expr(rolling_gram_hash_sql(punct_tok_sql(col), n, distinct=False))
+        )
+        prev0: Column = F.lit(None).cast("long")  # never equals a hash
+    else:
+        toks = F.filter(
+            F.split(F.trim(F.lower(col)), r"[^0-9a-z]+"),
+            lambda t: F.length(t) > 0,
+        )
+        grams = F.array_sort(_word_grams(toks, n))
+        prev0 = F.lit("")
     zero = F.struct(
-        F.lit("").alias("prev"),
+        prev0.alias("prev"),
         F.lit(0).alias("run"),
         F.lit(0).alias("best"),
         F.lit(0).alias("cnt"),

@@ -1158,18 +1158,15 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     key, which is what makes exact decontamination tractable at
     100 TB (pair-based jaccard would be quadratic)."""
     from .operators.sampling import hash_split_expr
-    from .operators.text import tokens_expr
+    from .operators.text import rolling_gram_hash_sql, ws_tok_sql
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", hash_split_expr("doc_id").alias("split")
     )
-    toks = tokens_expr(F.lower(F.col("text")))
-    five = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-        )
-    )
+    # rolling 64-bit gram keys: identity is all the collision join
+    # needs, the build is ~5x cheaper than concat_ws(slice) strings,
+    # and the train-side DISTINCT set broadcasts 8-byte keys
+    five = F.expr(rolling_gram_hash_sql(ws_tok_sql("text"), 5, pad_short=True))
     grams = d.select("doc_id", "split", F.explode(five).alias("gram"))
     train_grams = grams.filter(F.col("split") == "train").select("gram").distinct()
     ev = grams.filter(F.col("split") == "test").alias("g")
