@@ -21,11 +21,18 @@ aggregation:
    rank); ONE ``mapInPandas`` pass selects the needed order statistics
    with ``numpy.partition`` (O(n_partition), no in-partition sort).
 4. the (<= 2 x len(probs))-row result interpolates on the driver with
-   the exact ``percentile_cont`` formula in the WEIGHTED form both
-   Spark and DuckDB use — ``v_lo*(1-f) + v_hi*f`` with
-   ``f = (n-1)p - floor((n-1)p)`` — NOT the algebraically-equal
-   ``v_lo + (v_hi-v_lo)*f``, which differs in the last ulp and can
-   flip a downstream round() at a .5 boundary (observed at sf0.1).
+   the exact ``percentile_cont`` formula in DuckDB's WEIGHTED form —
+   ``v_lo*(1-f) + v_hi*f`` with ``f = (n-1)p - floor((n-1)p)`` — NOT
+   the algebraically-equal ``v_lo + (v_hi-v_lo)*f``, which differs in
+   the last ulp and can flip a downstream round() at a .5 boundary
+   (observed at sf0.1). The bit-exactness reference is DuckDB
+   ``quantile_cont`` (the oracle engine), applied unconditionally:
+   Spark's builtin ``percentile`` uses the same weighted form but its
+   value-deduplicated buffer short-circuits tie runs (rank_lo and
+   rank_hi on the same unique value return it without arithmetic), so
+   on ties Spark and DuckDB themselves differ in the last ulp — this
+   operator sides with the oracle (and stays within 1 ulp of Spark,
+   property-tested).
 
 Peak memory is one partition's column (the same bound every
 sort-within-partition stage already has); total work is one full
@@ -53,8 +60,9 @@ def exact_quantiles_multi(
 ) -> dict[str, list[float | None]]:
     """Exact quantiles of several columns in ONE selection pass.
 
-    ``discrete=False`` → ``percentile_cont`` (interpolated), the exact
-    semantics of Spark ``percentile`` / DuckDB ``quantile_cont``.
+    ``discrete=False`` → ``percentile_cont`` (interpolated), bit-exact
+    to DuckDB ``quantile_cont`` (within 1 ulp of Spark ``percentile``,
+    which short-circuits tie runs — see module doc).
     ``discrete=True`` → the element at 0-based rank
     ``max(0, ceil(p*n) - 1)`` — verified identical to Spark
     ``percentile_approx(..., 2^31-1)`` AND DuckDB ``quantile_disc``
@@ -169,8 +177,8 @@ def exact_quantiles_multi(
                 lo, hi = math.floor(x), math.ceil(x)
                 v_lo, v_hi = got[(c, lo)], got[(c, hi)]
                 f = x - lo
-                # weighted form — bit-identical to Spark percentile
-                # and DuckDB quantile_cont (see module doc)
+                # weighted form — bit-identical to DuckDB
+                # quantile_cont, the oracle engine (see module doc)
                 vals_out.append(v_lo * (1 - f) + v_hi * f)
         out[c] = vals_out
     return out
