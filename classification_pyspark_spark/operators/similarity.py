@@ -384,17 +384,23 @@ def kmeans_numpy(X: np.ndarray, n_clusters: int, seed: int = 42, max_iter: int =
     Deterministic for a given (X, seed)."""
     k = min(n_clusters, len(X))
     rng = np.random.default_rng(seed)
-    # kmeans++ init
+    # kmeans++ init, incremental: keep the running min distance to the
+    # chosen set and score only the ONE new center per step — O(k*n)
+    # instead of the textbook-literal O(k^2*n) full-matrix recompute
+    # (at PQ's k=256 on a 4096-row sample the full recompute was 13s
+    # of driver time; this form is the same distribution, ~100x less
+    # arithmetic)
     idx = [int(rng.integers(len(X)))]
     x2 = (X * X).sum(axis=1)
+    c = X[idx[0]]
+    d2 = np.maximum(x2 - 2.0 * (X @ c) + float(c @ c), 0.0)
     for _ in range(1, k):
-        C = X[idx]
-        d2 = np.maximum(x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :], 0.0).min(
-            axis=1
-        )
         total = d2.sum()
         p = d2 / total if total > 0 else None
-        idx.append(int(rng.choice(len(X), p=p)))
+        j = int(rng.choice(len(X), p=p))
+        idx.append(j)
+        c = X[j]
+        d2 = np.minimum(d2, np.maximum(x2 - 2.0 * (X @ c) + float(c @ c), 0.0))
     C = X[idx].copy()
     for _ in range(max_iter):
         d = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
