@@ -75,17 +75,21 @@ def connected_components(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
+                # convergence flag computed IN the update so the probe
+                # below is a filter on the already-materialized frame,
+                # not another vertex-keyed join of two label frames
+                # per round (NULL nbr compares to NULL -> otherwise
+                # False)
+                F.when(
+                    F.col("nbr_component") < F.col("component"), F.lit(True)
+                )
+                .otherwise(F.lit(False))
+                .alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     return labels
