@@ -487,22 +487,24 @@ def pagerank_supplier_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     same trick that lets the oracle replay it as three unrolled
     CTEs). At 100 TB the edge frame is hash-partitioned once and
     reused; no driver-side graph state."""
-    so = (
+    # co-supply pairs via ONE grouped set + double explode (pure
+    # codegen Generate), not a fact self-join: the self-join shuffled
+    # the (order, supplier) frame twice and probed 6M x 6M on
+    # l_orderkey (sf1: 11.5s); collect_set shuffles it once with
+    # map-side partial sets and the k^2 expansion happens in-task on
+    # per-order arrays (3.6s, identical edges). Per-order supplier
+    # counts are bounded by order size, so the array/explosion is
+    # O(order^2), never corpus-sized.
+    s = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
     )
-    a = so.alias("a")
-    b = so.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
+        s.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .filter(F.col("w") >= 5)
     )
@@ -1080,17 +1082,24 @@ def copurchase_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # ONE grouped brand set per order (single shuffle, map-side
+    # partial sets) feeds the order count, the brand margins, and the
+    # pair counts; the pair expansion is a double explode over the
+    # per-order array (bounded by items-per-order) instead of an
+    # order-keyed self-join that shuffles the frame twice more —
+    # identical counts, same shape as pagerank's co-supply edges.
+    sets = (
         li.join(p, li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.collect_set("p_brand").alias("bs"))
     )
-    n = ob.agg(F.count_distinct("okey").cast("long").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
-    a = ob.select("okey", F.col("brand").alias("brand_a"))
-    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    n = sets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    bc = sets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
     pairs = (
-        a.join(b, "okey")
+        sets.select(F.explode("bs").alias("brand_a"), "bs")
+        .select("brand_a", F.explode("bs").alias("brand_b"))
         .filter(F.col("brand_a") < F.col("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
