@@ -65,6 +65,59 @@ def stopword_count_expr(col: Column | str, stopwords: tuple[str, ...] = STOPWORD
     return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
 
 
+def ws_token_stats_expr(
+    col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
+    """``struct(n int, stop int)`` — whitespace token count and
+    stopword count out of ONE split + fold.
+
+    Higher-order-function lambdas get no common-subexpression
+    elimination, so a query that evaluates ``token_count_expr`` and
+    ``stopword_count_expr`` side by side re-splits the text once per
+    expression; this fused fold splits once. ``n`` is bit-identical to
+    ``token_count_expr`` (one element per split piece, empties
+    included) and ``stop`` to ``stopword_count_expr`` (lowercasing
+    commutes with whitespace splitting)."""
+    toks = tokens_expr(col)
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("n"), F.lit(0).cast("int").alias("stop")
+    )
+    return F.aggregate(
+        toks,
+        acc0,
+        lambda a, t: F.struct(
+            (a["n"] + F.lit(1)).cast("int").alias("n"),
+            (
+                a["stop"]
+                + F.when(F.lower(t).isin(*stopwords), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("int")
+            .alias("stop"),
+        ),
+    )
+
+
+def alnum_token_stats_expr(col: Column | str) -> Column:
+    """``struct(n int, len bigint)`` — alphanumeric token count and
+    total token length out of ONE split + fold (the inputs of
+    ``mean_word_length_expr``, which otherwise re-splits per use)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(F.lower(c)), r"[^0-9a-z]+")
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("n"), F.lit(0).cast("long").alias("len")
+    )
+    return F.aggregate(
+        pieces,
+        acc0,
+        lambda a, t: F.struct(
+            (a["n"] + F.when(F.length(t) > 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("int")
+            .alias("n"),
+            (a["len"] + F.length(t).cast("long")).alias("len"),
+        ),
+    )
+
+
 def punct_ratio_expr(col: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/whitespace."""
     c = F.col(col) if isinstance(col, str) else col
@@ -80,10 +133,14 @@ def quality_score_expr(col: Column | str, round_to: int = 8) -> Column:
     The shape mirrors common LLM-corpus quality filters (length,
     symbol noise, stopword prior); weights are arbitrary but fixed.
     """
-    n = token_count_expr(col).cast("double")
+    # one fused split+fold for token and stopword counts (HOF lambdas
+    # get no CSE; the per-term formulation re-split the text twice)
+    ws = ws_token_stats_expr(col)
+    n = ws["n"].cast("double")
+    stop = ws["stop"].cast("double")
     length_factor = F.least(n / 100.0, F.lit(1.0))
     punct = punct_ratio_expr(col)
-    stop_factor = F.least(stopword_count_expr(col) / F.greatest(n, F.lit(1.0)) / 0.10, F.lit(1.0))
+    stop_factor = F.least(stop / F.greatest(n, F.lit(1.0)) / 0.10, F.lit(1.0))
     return F.round(0.4 * length_factor + 0.3 * (1.0 - punct) + 0.3 * stop_factor, round_to)
 
 

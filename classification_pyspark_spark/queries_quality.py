@@ -626,22 +626,31 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule filter, entirely whole-stage-codegen expressions (one scan,
     no shuffle, no UDF)."""
     from .operators.text import (
-        mean_word_length_expr,
+        alnum_token_stats_expr,
         punct_ratio_expr,
-        stopword_count_expr,
-        token_count_expr,
+        ws_token_stats_expr,
     )
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    n_words = token_count_expr("text").cast("int")
-    mwl = mean_word_length_expr("text")
-    n_stop = stopword_count_expr("text")
-    punct = punct_ratio_expr("text")
+    # two fused split+folds materialized in a FIRST projection, rules
+    # derived from the struct fields in a second: HOF lambdas get no
+    # CSE, so the per-rule expression form re-split the text ~6x per
+    # row (sf1: 7.5s -> 3.3s, outputs identical)
+    base = d.select(
+        "doc_id",
+        ws_token_stats_expr("text").alias("__ws"),
+        alnum_token_stats_expr("text").alias("__al"),
+        punct_ratio_expr("text").alias("__punct"),
+    )
+    n_words = F.col("__ws.n")
+    mwl = F.when(
+        F.col("__al.n") > 0, F.col("__al.len") / F.col("__al.n").cast("double")
+    ).otherwise(F.lit(0.0))
     wc_ok = n_words.between(50, 100000)
     mwl_ok = mwl.between(3.0, 10.0)
-    stop_ok = n_stop >= 2
-    punct_ok = punct <= 0.1
-    return d.select(
+    stop_ok = F.col("__ws.stop") >= 2
+    punct_ok = F.col("__punct") <= 0.1
+    return base.select(
         "doc_id",
         n_words.alias("n_words"),
         wc_ok.alias("wc_ok"),
