@@ -490,18 +490,24 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    paired = posting
+    # pair intersection counts via ONE grouped posting list + double
+    # explode (codegen Generate) instead of a (blk, gram)-keyed
+    # self-join: the join shuffled the posting frame twice and needed
+    # a separate posting-length agg+join for the cap; here the cap is
+    # a free size(list) filter and the k^2 occurrence pairs are
+    # generated in-task and partially aggregated before the (id_a,
+    # id_b) exchange. collect_list keeps duplicate ids (a doc
+    # repeating a gram), so multiset intersection counts are
+    # join-identical. A hot gram's k^2 work lands in one task either
+    # way (the join keyed on the same gram); the cap bounds it at
+    # cap^2.
+    posts = posting.groupBy("blk", "gram").agg(F.collect_list("id").alias("ids"))
+    posts = posts.filter(F.size("ids") >= 2)
     if max_posting_size is not None:
-        plen = posting.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("__pn"))
-        paired = (
-            posting.join(plen, on=["blk", "gram"])
-            .filter(F.col("__pn") <= max_posting_size)
-            .drop("__pn")
-        )
-    a = paired.select(F.col("id").alias("id_a"), "blk", "gram")
-    b = paired.select(F.col("id").alias("id_b"), "blk", "gram")
+        posts = posts.filter(F.size("ids") <= max_posting_size)
     inter = (
-        a.join(b, on=["blk", "gram"])
+        posts.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -48,7 +48,12 @@ def connected_components(
     checkpointed frames — a vertex-keyed join of two materialized
     vertex-sized frames; only the scalar reaches the driver.
     """
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the edge list BEFORE symmetrizing: the union's two
+    # branches each re-evaluate the caller's (often expensive) pair
+    # pipeline otherwise — posting joins, LSH scoring — doubling it
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
 

@@ -602,19 +602,25 @@ def tfidf_cosine_pairs(
         )
     )
     norms = wts.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    paired = wts
+    # posting-list pair expansion via ONE grouped list + double explode
+    # (codegen Generate), not a (blk, term)-keyed self-join: the join
+    # shuffled the weight frame twice and needed a separate
+    # posting-size agg+join for the cap; here the cap is a free
+    # size(list) filter and the k^2 pair terms are generated in-task,
+    # partially aggregated before the (id_a, id_b) exchange. Postings
+    # are capped (default 2000), so the collected list is bounded.
+    posts = wts.groupBy("blk", "term").agg(
+        F.collect_list(F.struct("id", "w")).alias("ps")
+    )
+    posts = posts.filter(F.size("ps") >= 2)
     if max_posting_size is not None:
-        plen = wts.groupBy("blk", "term").agg(F.count(F.lit(1)).alias("__pn"))
-        paired = (
-            wts.join(plen, ["blk", "term"]).filter(F.col("__pn") <= max_posting_size).drop("__pn")
-        )
-    a = paired.select(F.col("id").alias("id_a"), "blk", "term", F.col("w").alias("wa"))
-    b = paired.select(F.col("id").alias("id_b"), "blk", "term", F.col("w").alias("wb"))
+        posts = posts.filter(F.size("ps") <= max_posting_size)
     dots = (
-        a.join(b, ["blk", "term"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        posts.select(F.explode("ps").alias("x"), "ps")
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.sum(F.col("x.w") * F.col("y.w")).alias("dot"))
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))

@@ -766,13 +766,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component) and cluster size — exactly the frame you anti-join
     against a corpus to keep one representative per group. Oracle:
     recursive-CTE label walk in DuckDB."""
+    from .operators.caching import track
     from .operators.dedup_fuzzy import ngram_jaccard_pairs
     from .operators.graph import connected_components
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", "lang", n=3, min_jaccard=0.05,
-                                max_posting_size=None).select(
-        "id_a", "id_b"
+    # pairs feed the clone branch AND the CC edge list: persist so the
+    # posting-join pipeline runs once (tracked — released by runners)
+    pairs = track(
+        ngram_jaccard_pairs(
+            d, "text", "doc_id", "lang", n=3, min_jaccard=0.05, max_posting_size=None
+        ).select("id_a", "id_b")
     )
     clones = pairs.select("id_a").distinct().select(
         F.col("id_a"), (F.col("id_a") + 1000000).alias("id_b")
