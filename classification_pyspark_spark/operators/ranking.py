@@ -9,11 +9,12 @@ curation. Okapi BM25 (Robertson et al., TREC-3) with the standard
 
 Scale shape (the part that matters at 100 TB):
 
-- the query-term filter is applied to the exploded token stream BEFORE
-  the (doc, term) aggregation, so only postings for the |Q| query
-  terms ever reach a shuffle — the full vocabulary never does;
+- the query-term filter is applied INSIDE the token array, so the
+  explode emits only matching tokens and only postings for the |Q|
+  query terms ever exist as rows — the full token stream is never
+  exploded and the full vocabulary never shuffles;
 - document length and corpus stats (N, avgdl) are computed from the
-  token-array *size* without exploding (one codegen pass), and the
+  token-array *size* in the SAME single corpus scan, and the
   (N, avgdl) frame is a 1-row broadcast, never a driver collect;
 - per-term document frequencies are |Q| rows — broadcast into the
   scoring join;
@@ -25,18 +26,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .caching import track
 from .text import punct_tokens_expr
-
-
-def _dl_expr(text_col: str) -> Column:
-    """Document length in tokens, computed on the array size (no
-    explode): zero-token documents keep dl=0 and still count toward
-    N and avgdl, matching the oracle's ``len(list_filter(...))``."""
-    return F.size(punct_tokens_expr(F.col(text_col))).cast("long")
 
 
 def bm25_topk(
@@ -59,30 +53,36 @@ def bm25_topk(
     definition and they never survive the posting filter).
     """
     terms = [t.lower() for t in query_terms]
-    # dl is NOT persisted: it feeds the stats agg and the scoring join,
-    # but its recompute is a no-explode size(split()) projection — two
-    # cheap parallel scans beat materializing a doc-count-sized cache
-    # (measured 1.6x faster at sf0.1)
-    dl = df.select(F.col(id_col), _dl_expr(text_col).alias("dl"))
+    # ONE corpus scan: document length from the array size and the
+    # query-term hits filtered INSIDE the token array, so the explode
+    # below emits only matching tokens — the previous form scanned the
+    # corpus twice and exploded the full token stream (~100M rows at
+    # sf1) just to isin-filter it back down to the |Q|-term postings.
+    # base is doc-count-sized (id, dl, tiny hits array) and feeds the
+    # stats agg, the tf posting, and the scoring join — persist it
+    # (tracked; runners release after the terminal action).
+    toks = punct_tokens_expr(F.col(text_col))
+    base = track(
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("dl"),
+            F.filter(toks, lambda t: t.isin(*terms)).alias("__hits"),
+        )
+    )
     # 1-row corpus stats: broadcast, not a driver .count()
-    stats = dl.agg(
+    stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    # posting filter BEFORE the (doc, term) agg: only |Q| terms shuffle.
-    # tf feeds both the df-frequency agg and the scoring join — persist
-    # it (|Q|-term postings) or the explode pipeline runs twice
-    # (same policy as text.tfidf_top_terms).
-    tf = track(
-        df.select(F.col(id_col), F.explode(punct_tokens_expr(F.col(text_col))).alias("term"))
-        .filter(F.col("term").isin(list(terms)))
+    tf = (
+        base.select(F.col(id_col), F.explode("__hits").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
+        .join(base.select(F.col(id_col), "dl"), id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
