@@ -394,12 +394,17 @@ def collect_vector_sample(
     sub-quantizers.
 
     The sample is the ``max_rows`` HASH-SMALLEST vectors (xxhash64 of
-    the vector content, string-cast tiebreak), so it is a pure
+    the vector content; a second, salted xxhash64 breaks 64-bit
+    collisions between distinct vectors — a 2^-128 event; equal
+    vectors are interchangeable for a quantizer fit), so it is a pure
     function of the data — not of partition/file-listing order — and
     hash order is pseudo-random, so a corpus whose physical layout
     correlates with content (time-/source-sorted parquet at 100 TB)
     cannot bias the centroid fit toward its leading partitions. A bare
     ``limit(max_rows)`` would take exactly those leading partitions.
+    (The tiebreak used to be a string cast of the vector — a per-row
+    stringification of the whole array inside every heap comparison;
+    the salted hash is a few integer ops.)
 
     Scale: ``orderBy(hash).limit(k)`` compiles to
     TakeOrderedAndProject — each partition keeps a k-row heap and the
@@ -408,8 +413,12 @@ def collect_vector_sample(
     v = _as_double(F.col(vec_col))
     rows = (
         df.filter(F.col(vec_col).isNotNull())
-        .select(v.alias("__v"), F.xxhash64(v).alias("__h"))
-        .orderBy("__h", F.col("__v").cast("string"))
+        .select(
+            v.alias("__v"),
+            F.xxhash64(v).alias("__h"),
+            F.xxhash64(v, F.lit(1)).alias("__h2"),
+        )
+        .orderBy("__h", "__h2")
         .limit(max_rows)
         .select("__v")
         .collect()

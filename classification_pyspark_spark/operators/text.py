@@ -466,7 +466,12 @@ def mean_word_length_expr(col: Column | str) -> Column:
 
 
 def bigram_lm_perplexity(
-    df: DataFrame, text_col: str, id_col: str, keep_threshold: float = 31.0
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_threshold: float = 31.0,
+    count_mode: str = "window",
+    hash_keys: bool = True,
 ) -> DataFrame:
     """Per-document perplexity under an add-one-smoothed bigram LM
     trained on the corpus itself — the CCNet-style LM quality filter
@@ -475,19 +480,39 @@ def bigram_lm_perplexity(
 
     p(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V);  ppl = exp(-mean ln p).
 
-    Scale shape: one token explode feeds the unigram aggregate, one
-    bigram explode (built with an array ``transform`` — zero joins)
-    feeds the bigram aggregate; both run map-side combine. Scoring
-    joins the data-sized bigram stream to the bigram-count table on
-    (w1, w2) as a SHUFFLED HASH join, pinned by hint: the bigram
-    table is NOT vocabulary-bounded — on an open-vocabulary corpus
-    distinct bigrams grow with the corpus (at our sf10 probe the
-    count table deserialized to 5 GiB and AQE's broadcast conversion,
-    fed by its ~60 MB *compressed* shuffle size, OOMed the driver).
-    Hot-bigram skew in that exchange is AQE skew-join territory
-    (splittable for SHJ/SMJ). The unigram join stays broadcast-
-    eligible — unigrams ARE vocabulary-bounded — and V rides along
-    as a 1-row broadcast. The corpus never collects to the driver.
+    Scale shape: one token explode feeds the unigram aggregate; the
+    bigram stream (built with an array ``transform`` — zero joins)
+    is scored in ONE pass. ``count_mode``:
+
+    - ``"window"`` (default): ``count(*) over (partition by w1, w2)``
+      attaches each bigram's corpus count in the same exchange that
+      would have fed the count aggregate — the stream is built ONCE
+      and shuffled ONCE (the join form re-ran the whole
+      tokenize+explode pipeline for each join side; measured 1.6x
+      faster at sf0.1 and sf1). One bigram's rows land in one window
+      task, so extreme hot-bigram skew is the trade.
+    - ``"join"``: aggregate counts, then SHUFFLED-HASH-join them back
+      (pinned by hint: the bigram table is NOT vocabulary-bounded —
+      at our sf10 probe it deserialized to 5 GiB and AQE's broadcast
+      conversion, fed by its ~60 MB *compressed* shuffle size, OOMed
+      the driver). AQE can SPLIT a skewed SHJ partition, so this is
+      the posture for corpora where one bigram is a meaningful
+      fraction of all text.
+
+    ``hash_keys`` (default): tokens are hashed ONCE
+    (``transform(w, t -> xxhash64(t))``) and every downstream
+    identity is an 8-byte long — the unigram key is the token hash,
+    the bigram key is ``xxhash64(h1, h2)`` — so the count exchange,
+    window sort, and scoring join never touch strings (the string
+    keys were the sf10 bottleneck: 77s -> 14s for the same plan).
+    Counts are exact up to the same 2^-64-per-pair collision class as
+    ``ngram_jaccard_pairs(hash_grams=True)``; pass ``hash_keys=False``
+    for string-exact identities. Either way the per-doc output (ppl
+    over the doc's bigrams) is unchanged at any collision-free scale.
+
+    The unigram join stays broadcast-eligible — unigrams ARE
+    vocabulary-bounded — and V rides along as a 1-row broadcast. The
+    corpus never collects to the driver.
 
     Output: (``id_col``, n_bigrams long, ppl double rounded 4,
     keep int 0/1 at ``keep_threshold``) — one row for EVERY input doc.
@@ -496,6 +521,8 @@ def bigram_lm_perplexity(
     absent — a curation pipeline that joins on this output must see an
     explicit verdict for degenerate docs).
     """
+    if count_mode not in ("window", "join"):
+        raise ValueError(f"unknown count_mode {count_mode!r}: window | join")
     toks = df.select(
         F.col(id_col),
         F.filter(
@@ -503,6 +530,19 @@ def bigram_lm_perplexity(
             lambda x: F.length(x) > 0,
         ).alias("w"),
     )
+    if hash_keys:
+        toks = toks.select(
+            F.col(id_col), F.expr("transform(w, t -> xxhash64(t))").alias("w")
+        )
+        pair_expr = (
+            "transform(sequence(1, size(w) - 1),"
+            " i -> struct(w[i-1] AS w1, xxhash64(w[i-1], w[i]) AS bk))"
+        )
+    else:
+        pair_expr = (
+            "transform(sequence(1, size(w) - 1),"
+            " i -> struct(w[i-1] AS w1, struct(w[i-1], w[i]) AS bk))"
+        )
     uni = (
         toks.select(F.explode("w").alias("tok"))
         .groupBy("tok")
@@ -511,18 +551,18 @@ def bigram_lm_perplexity(
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
     bg = (
         toks.filter(F.size("w") >= 2)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")
-            ).alias("p"),
-        )
-        .select(id_col, "p.w1", "p.w2")
+        .select(F.col(id_col), F.explode(F.expr(pair_expr)).alias("p"))
+        .select(id_col, "p.w1", "p.bk")
     )
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cbg"))
+    if count_mode == "window":
+        counted = bg.withColumn(
+            "cbg", F.count(F.lit(1)).over(Window.partitionBy("bk")).cast("long")
+        )
+    else:
+        bgc = bg.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("cbg"))
+        counted = bg.join(bgc.hint("shuffle_hash"), "bk")
     scored = (
-        bg.join(bgc.hint("shuffle_hash"), ["w1", "w2"])
-        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        counted.join(uni.withColumnRenamed("tok", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
