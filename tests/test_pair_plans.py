@@ -1,0 +1,208 @@
+"""Equivalence locks for the round-4 pair-plan rewrites.
+
+Each optimized physical formulation (grouped-GEMM cosine pairs,
+grouped-posting-list double-explode pair expansion, hashed-key
+windowed bigram LM) must stay RESULT-IDENTICAL to the naive/reference
+formulation it replaced — these tests pin that with randomized inputs
+so a future "optimization" cannot silently change semantics. The
+DuckDB oracle gate covers the registered configurations; these cover
+the operator parameter space (thresholds, caps, engines) beyond what
+the registry exercises.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from classification_pyspark_spark.operators.caching import release_tracked
+
+
+@pytest.fixture(autouse=True)
+def _release(spark):
+    yield
+    release_tracked()
+
+
+def _rand_docs(seed: int, n: int):
+    rng = random.Random(seed)
+    vocab = "alpha beta gamma delta eps zeta eta theta".split()
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 30)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k)),
+                     rng.choice(["en", "de"])))
+    return rows
+
+
+def test_cosine_dup_pairs_gemm_equals_join_formulation(spark):
+    """The per-bucket blocked-GEMM path must equal the (bucket-join +
+    per-pair kernel) formulation bit-for-bit at several thresholds."""
+    import numpy as np
+
+    from classification_pyspark_spark.operators.similarity import (
+        _as_double,
+        _cosine_pudf,
+        cosine_dup_pairs,
+        make_lsh_bucket_pudf,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    base = rng.normal(size=(12, dim))
+    # near-dup structure: perturbed copies + an exact zero vector
+    vecs = [base[i % 12] + rng.normal(scale=0.05, size=dim) for i in range(40)]
+    vecs.append(np.zeros(dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(3)
+
+    def join_form(min_cosine: float):
+        bucket = make_lsh_bucket_pudf(dim)(_as_double(F.col("embedding")))
+        b = df.select(
+            F.col("vec_id").alias("id"),
+            _as_double(F.col("embedding")).alias("v"),
+            bucket.alias("bucket"),
+        )
+        a = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        c = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        cos = _cosine_pudf(F.col("va"), F.col("vb"))
+        return (
+            a.join(c, on="bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+            .filter(F.col("cosine") >= min_cosine)
+        )
+
+    for thr in (0.3, 0.9, 0.999):
+        got = {tuple(r) for r in cosine_dup_pairs(df, "vec_id", "embedding", dim, thr).collect()}
+        want = {tuple(r) for r in join_form(thr).collect()}
+        assert got == want, (thr, got ^ want)
+        assert got or thr > 0.99  # the low thresholds must find pairs
+
+
+def test_ngram_jaccard_grouped_equals_bruteforce(spark):
+    """Grouped-posting double-explode intersection counts must equal a
+    driver-side brute-force DISTINCT-gram Jaccard (the operator
+    dedups grams per doc; pad_short emits one truncated gram for
+    short docs, mirroring the whitespace tokenizer exactly —
+    ``split(trim(lower(x)), '\\s+')`` keeps the empty token of an
+    empty doc)."""
+    import re
+
+    from classification_pyspark_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+
+    rows = _rand_docs(7, 25)
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(3)
+
+    def brute(n=2, min_j=0.2):
+        def grams(t):
+            toks = re.split(r"\s+", t.strip().lower())
+            upper = max(len(toks) - (n - 1), 1)
+            return {" ".join(toks[i : i + n]) for i in range(upper)}
+
+        out = {}
+        by_id = {i: (grams(t), lang) for i, t, lang in rows}
+        ids = sorted(by_id)
+        for x in ids:
+            for y in ids:
+                if x >= y or by_id[x][1] != by_id[y][1]:
+                    continue
+                sa, sb = by_id[x][0], by_id[y][0]
+                inter = len(sa & sb)
+                if inter == 0:
+                    continue
+                j = round(inter / (len(sa) + len(sb) - inter), 4)
+                if j >= min_j:
+                    out[(x, y)] = j
+        return out
+
+    want = brute()
+    assert want  # the random corpus must actually produce pairs
+    for hash_grams in (True, False):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df,
+                "text",
+                "doc_id",
+                "lang",
+                n=2,
+                min_jaccard=0.2,
+                max_posting_size=None,
+                hash_grams=hash_grams,
+            ).collect()
+        }
+        assert got == want, hash_grams
+
+
+def test_bigram_lm_variants_identical(spark):
+    """hash_keys x count_mode — all four combinations must produce the
+    same (n_bigrams, ppl, keep) per document."""
+    from classification_pyspark_spark.operators.text import bigram_lm_perplexity
+
+    rows = [(i, t, lang) for i, t, lang in _rand_docs(23, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").repartition(3)
+    results = []
+    for hk in (True, False):
+        for cm in ("window", "join"):
+            out = {
+                tuple(r)
+                for r in bigram_lm_perplexity(
+                    df, "text", "doc_id", count_mode=cm, hash_keys=hk
+                ).collect()
+            }
+            results.append(((hk, cm), out))
+    base = results[0][1]
+    assert len(base) == len(rows)  # one verdict per doc, empties included
+    for tag, out in results[1:]:
+        assert out == base, tag
+
+
+def test_pagerank_pair_expansion_matches_self_join(spark, sf_dir):
+    """collect_set + double-explode co-supply edges == the fact
+    self-join edge list (weights included)."""
+    from classification_pyspark_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
+    grouped = (
+        s.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    so = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = so.alias("a"), so.alias("b")
+    joined = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    assert {tuple(r) for r in grouped.collect()} == {tuple(r) for r in joined.collect()}
+
+
+def test_quantizer_sample_layout_independent(spark):
+    """The hash-smallest sample must be identical across partition
+    layouts and orderings (the pure-function-of-data contract)."""
+    import numpy as np
+
+    from classification_pyspark_spark.operators.similarity import collect_vector_sample
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "id long, v array<double>").repartition(2)
+    df2 = (
+        spark.createDataFrame(list(reversed(rows)), "id long, v array<double>")
+        .repartition(7)
+        .sortWithinPartitions(F.desc("id"))
+    )
+    s1 = collect_vector_sample(df1, "v", 50, "test")
+    s2 = collect_vector_sample(df2, "v", 50, "test")
+    assert np.array_equal(s1, s2)
