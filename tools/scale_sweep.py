@@ -73,10 +73,45 @@ def _minhash_pairs_production(spark, sf_dir):
     )
 
 
+def _split_leakage_production(spark, sf_dir):
+    """split_leakage_audit over production minhash banding (universal
+    engine, H=16 / r=8, bucket cap on) — the registered form consumes
+    the H=4 / r=2 oracle-parity banding, whose ~j²·N² candidate
+    volume is the dominant cost at sf1+ (same rationale as
+    minhash_dup_pairs above; the audit itself is two broadcast joins
+    and a 1-row aggregate)."""
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.catalog import load_table, spread_for_compute
+    from classification_pyspark_spark.operators.dedup_fuzzy import minhash_candidate_pairs
+    from classification_pyspark_spark.operators.sampling import hash_split_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        minhash_candidate_pairs(d, "text", "doc_id", rows_per_band=8, n_hashes=16, engine="universal")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    splits = d.select("doc_id", hash_split_expr("doc_id", train_pct=80).alias("split"))
+    sa = splits.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a")
+    sb = splits.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b")
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    cross = F.count(F.when(F.col("split_a") != F.col("split_b"), F.lit(1)))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+        cross.cast("long").alias("n_cross_split"),
+        F.round(
+            F.coalesce(cross / F.nullif(F.count(F.lit(1)).cast("double"), F.lit(0.0)), F.lit(0.0)),
+            6,
+        ).alias("leak_rate"),
+    )
+
+
 PRODUCTION_MODE = {
     "tfidf_cosine_pairs": _tfidf_capped,
     "describe_numeric_approx": _describe_numeric_approx_production,
     "minhash_dup_pairs": _minhash_pairs_production,
+    "split_leakage_audit": _split_leakage_production,
 }
 
 
