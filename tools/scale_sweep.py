@@ -129,12 +129,20 @@ def main() -> int:
         mode = "registered"
         if name in PRODUCTION_MODE:
             fn, mode = PRODUCTION_MODE[name], "production-capped"
-        t0 = time.perf_counter()
         try:
-            release_tracked()
-            spark.catalog.clearCache()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            results[name] = {"sec": round(time.perf_counter() - t0, 2), "mode": mode}
+            # min-of-2, same policy as bench.py: a single long session
+            # accumulates JVM heap/GC state over 188 queries, and
+            # single-run times were measured up to 2x over the same
+            # query isolated — the artifact should record steady-state
+            # per-query cost, not the sweep harness's GC debt
+            best = float("inf")
+            for _ in range(2):
+                release_tracked()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name] = {"sec": round(best, 2), "mode": mode}
             print(f"OK   {name}: {results[name]['sec']}s ({mode})")
         except Exception as e:  # noqa: BLE001 — sweep must report, not die
             results[name] = {"err": f"{type(e).__name__}: {str(e)[:200]}", "mode": mode}
