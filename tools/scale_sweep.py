@@ -156,7 +156,9 @@ def main() -> int:
         "fails": fails,
         "queries": results,
     }
-    with open(os.path.join(REPO, "SCALE_SWEEP_sf1.json"), "w") as f:
+    # artifact name follows the sf dir: .localdata/sf10 -> SCALE_SWEEP_sf10.json
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf1"
+    with open(os.path.join(REPO, f"SCALE_SWEEP_{tag}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(f"\n{out['n_ok']} ok, {out['n_fail']} fail of {len(results)}")
     return 0 if not fails else 1
