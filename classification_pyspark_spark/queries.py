@@ -70,91 +70,75 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 4 window: ALL 50 slots are queries that
-# have never had a driver CORRECTNESS row (the round-3 window went 50/50
-# green in CORRECTNESS_r03, so every slot rotates out).  Chosen as the
-# first 50 of tools/window_rotation.py's 73 never-driver-checked
-# candidates, prioritizing the operator families the brief names
-# explicitly: encoders/binning, ML metrics, streaming batch-twins, LLM
-# pipeline ops, JSON extraction, and pandas-UDF per-group regression.
+# tools/check_oracle.py).  Round 5 window: the FULL set of 30 remaining
+# never-driver-checked oracle queries (exactly tools/window_rotation.py's
+# candidate list after CORRECTNESS_r04 went 50/50 green) — this closes
+# cumulative driver coverage at 180/180 oracle queries — plus 20
+# re-verification slots filled with the OLDEST green rows (r01 vintage),
+# so the earliest-validated operators get a fresh driver row three rounds
+# later.  Do not hand-edit this list: regenerate via
+# `python tools/window_rotation.py` (test_window_matches_rotation_tool
+# pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # transformers: encode / bin / outlier-treat (SURVEY M2-M4)
-    "ordinal_encode",
-    "onehot_indicators",
-    "binning_fixed_width",
-    "binning_explicit_splits",
-    "outlier_cap",
-    "feature_hash_buckets",
-    # ML metrics / evaluation (SURVEY M13-M14, E9 aggregates)
-    "binary_classification_metrics",
-    "calibration_curve",
-    "auc_by_segment",
-    "confusion_cells",
-    "residual_distribution",
-    "pred_vs_actual_binned",
-    "class_density_histogram",
-    "boxplot_stats_lineitem",
-    # streaming batch-twins + stateful ops
-    "window_tumbling_hourly",
-    "window_sliding_30min",
-    "streaming_tumbling_counts",
-    "streaming_session_windows",
-    "streaming_stateful_user_stats",
-    "view_abandonment_daily",
-    # sketch state / incremental maintenance
-    "incremental_distinct_sketch",
-    "sliding_distinct_users_sketch",
-    # LLM-pipeline ops
-    "training_export",
-    "duplicated_ngram_spans",
-    "tfidf_cosine_pairs",
-    "corpus_mix_sample",
-    "negative_sampling_pairs",
-    "gopher_quality_rules",
-    "repetition_stats",
-    "bm25_keyword_topk",
-    # dedup / similarity (never-checked variants)
-    "embedding_dedup_clusters",
-    "simhash_hamming_pairs",
-    "media_resize_thumbs",
-    # JSON / semi-structured
-    "json_props_extract",
-    # pandas-UDF per-group regression twin
-    "per_group_ols",
-    # stats / hypothesis tests
-    "ab_test_proportion_ztest",
-    "chi_square_independence",
-    "mad_robust_outliers",
-    "k_anonymity_profile",
-    # time series / windows
-    "ewma_customer_spend",
-    "acf_daily_revenue",
-    "rollup_time_multigrain",
-    "retention_cohorts",
-    # graph / planner / ops tooling
-    "pagerank_supplier_influence",
-    "key_skew_report",
-    "join_cardinality_estimate",
-    "table_diff_reconciliation",
-    # reshape / set ops / strings
-    "unpivot_measures",
-    "union_distinct_intersect_except",
-    "clean_strings",
+    # --- 30 never-driver-checked (closes coverage at 180/180) ---
+    # heavy hitters / UDTF / anomaly / quantiles / sessionization
+    "heavy_hitters_tokens",
+    "udtf_word_windows",
+    "anomaly_rolling_zscore",
+    "distributed_exact_quantiles",
+    "gaps_islands_activity",
+    # semi-structured (VARIANT shredding, round-4 addition)
+    "variant_props_shred",
+    # data-quality / sampling / curation knobs
+    "data_quality_checks",
+    "hash_sample_per_group",
+    "domain_mix_weights",
+    "adaptive_quality_threshold",
+    "psi_weekly_drift",
+    # time-series / funnels / behavioral analytics
+    "resample_hourly_gapfill",
+    "event_transition_matrix",
+    "funnel_three_step",
+    "copurchase_brand_lift",
+    "funnel_time_to_convert",
+    "activity_heatmap_dow_hour",
+    "weekly_active_users",
+    "streaming_sliding_rates",
+    "supplier_lead_time_stats",
+    "monthly_revenue_seasonality",
+    "part_type_revenue_pareto",
+    # histograms / sketches / skew handling
+    "histogram_fixed_buckets",
+    "approx_distinct_counts",
+    "skew_salted_groupby",
+    "pivot_status_counts",
+    "grouped_quantiles",
+    # SQL-interface surface
+    "sql_interface_regional_revenue",
+    "sql_interface_segment_priority_mix",
+    "sql_pipe_syntax_ship_status",
+    # --- 20 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
+    "flagship_customer_features",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "dedup_keep_first",
+    "dedup_exact_text",
+    "minhash_signatures",
+    "minhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "embedding_dup_pairs",
+    "knn_bruteforce",
+    "knn_ivf",
+    "corpus_curation",
+    "doc_chunks",
+    "split_leakage_audit",
+    "text_langid",
+    "doc_fingerprint",
+    "sessionize_events",
+    "embedding_int8_quantization",
 ]
-# Round-5 rotation plan: after this window goes green in CORRECTNESS_r04,
-# 23 oracle queries remain never-driver-checked (tools/window_rotation.py
-# lists them): data_quality_checks, hash_sample_per_group,
-# domain_mix_weights, adaptive_quality_threshold, psi_weekly_drift,
-# resample_hourly_gapfill, event_transition_matrix, funnel_three_step,
-# copurchase_brand_lift, funnel_time_to_convert, activity_heatmap_dow_hour,
-# weekly_active_users, streaming_sliding_rates, supplier_lead_time_stats,
-# monthly_revenue_seasonality, part_type_revenue_pareto,
-# histogram_fixed_buckets, approx_distinct_counts, skew_salted_groupby,
-# pivot_status_counts, grouped_quantiles, sql_interface_regional_revenue,
-# sql_interface_segment_priority_mix — plus variant_props_shred (added
-# round 4, never sampled).  Put all 24 first in the round-5 window, then
-# fill the rest with re-verification of the oldest green rows — that
-# closes cumulative driver coverage to 174/174.
 
 
 def _apply_driver_window() -> None:

@@ -49,6 +49,32 @@ def test_window_maximizes_new_driver_coverage():
     )
 
 
+def test_window_matches_rotation_tool():
+    """Round-4 verdict: the hand-maintained rotation comment drifted from
+    the tool's candidate list. Pin the window to tools/window_rotation.py
+    output instead: every never-driver-checked oracle query (up to 50)
+    must occupy a window slot, so the rotation can never be hand-mangled."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from window_rotation import rotation_candidates
+    finally:
+        sys.path.pop(0)
+
+    candidates = rotation_candidates()
+    if not candidates and not os.path.exists(
+        os.path.join(repo, "CORRECTNESS_r01.json")
+    ):
+        return  # fresh clone without driver artifacts: nothing to pin
+    missing = [n for n in candidates[:50] if n not in DRIVER_WINDOW]
+    assert missing == [], (
+        f"never-driver-checked oracle queries absent from DRIVER_WINDOW: {missing}"
+    )
+
+
 def test_registry_reorder_loses_nothing():
     # reordering must be a permutation: every registered query and
     # oracle is still present exactly once

@@ -23,7 +23,8 @@ from classification_pyspark_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> int:
+def driver_green() -> dict[str, str]:
+    """Map query name -> first CORRECTNESS_r*.json artifact it was green in."""
     seen: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path)
@@ -31,7 +32,20 @@ def main() -> int:
             for name, row in json.load(f).items():
                 if row.get("err") is None and row.get("hash_match"):
                     seen.setdefault(name, rnd)
-    never = [n for n in QUERIES if n in ORACLES and n not in seen]
+    return seen
+
+
+def rotation_candidates() -> list[str]:
+    """Oracle queries that have never had a driver-green CORRECTNESS row,
+    in registry order. The window's never-checked prefix must equal this
+    (tests/test_registry_window.py pins it)."""
+    seen = driver_green()
+    return [n for n in QUERIES if n in ORACLES and n not in seen]
+
+
+def main() -> int:
+    seen = driver_green()
+    never = rotation_candidates()
     rows_only = [n for n in QUERIES if n not in ORACLES]
     in_window_already_green = [n for n in DRIVER_WINDOW if n in seen]
 
