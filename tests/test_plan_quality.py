@@ -103,6 +103,23 @@ def test_q15_scalar_max_reuses_revenue_shuffle(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
+def test_threshold_sweep_aggregates_before_threshold_join(spark, sf_dir):
+    """Round-4 verdict #3: the sweep must NOT replicate fact rows once
+    per threshold. The scale-safe shape: fact scan -> per-bucket
+    HashAggregate (<=n+2 rows) -> bounded join with the threshold
+    frame. Pinned: the join sits ABOVE a HashAggregate on the fact
+    side (tree prints top-down, so join line precedes that aggregate,
+    which precedes the parquet scan), and no CartesianProduct."""
+    plan = _plan(QUERIES["threshold_sweep"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    join_pos = plan.index("BroadcastNestedLoopJoin")
+    scan_pos = plan.index("FileScan parquet")
+    between = plan[join_pos:scan_pos]
+    assert "HashAggregate" in between, (
+        "threshold join must consume the bucket aggregate, not raw fact rows"
+    )
+
+
 def test_every_query_plan_has_no_unexplained_scale_flags(spark, sf_dir):
     """Full-registry audit: single-partition exchanges, cartesian
     products, global windows, and row-at-a-time Python UDFs must all

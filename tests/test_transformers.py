@@ -188,6 +188,40 @@ def test_binary_metrics_and_auc(spark):
     assert r0.recall == 1.0  # everything predicted positive at t=0
 
 
+def test_threshold_sweep_binning_matches_per_threshold_bruteforce(spark):
+    """The binned sweep must classify scores sitting EXACTLY on a
+    threshold double (and just off it, and outside [0,1], and null)
+    identically to a literal per-threshold `s >= t` comparison — the
+    +-1 boundary correction in the bucket expression is what makes the
+    single-scan rewrite lossless."""
+    from classification_pyspark_spark.functions.metrics import threshold_sweep
+
+    n = 11
+    # every threshold double itself, 1-ulp-ish neighbors, out-of-range,
+    # and a null score (excluded from all four counts)
+    scores = [round(i / 10, 6) for i in range(n)]
+    scores += [s + 1e-12 for s in scores] + [s - 1e-12 for s in scores[1:]]
+    scores += [-0.3, 1.7, 0.123456, None]
+    rows = [(i % 2, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "y int, s double")
+
+    got = {
+        r.threshold: (r.tp, r.fp, r.tn, r.fn)
+        for r in threshold_sweep(df, "y", "s", n_thresholds=n).collect()
+    }
+    # brute force in python over the same threshold doubles Spark makes
+    th = [
+        r.threshold
+        for r in spark.range(n).selectExpr("round(id / 10, 6) AS threshold").collect()
+    ]
+    for t in th:
+        tp = sum(1 for y, s in rows if s is not None and y == 1 and s >= t)
+        fp = sum(1 for y, s in rows if s is not None and y == 0 and s >= t)
+        tn = sum(1 for y, s in rows if s is not None and y == 0 and s < t)
+        fn = sum(1 for y, s in rows if s is not None and y == 1 and s < t)
+        assert got[t] == (tp, fp, tn, fn), f"threshold {t}"
+
+
 def test_standard_scaler_fits_single_value(spark):
     """One non-null value: sample stddev is NULL but the fit must
     succeed (transform falls back to unit spread) — only truly empty

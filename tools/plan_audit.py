@@ -38,7 +38,6 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "global_window": "rank-based AUC needs a total order of scores; input "
         "is the score-level aggregate, not raw rows",
     },
-    "threshold_sweep": {"single_partition": "101-row threshold frame"},
     "part_type_revenue_pareto": {
         "single_partition": "cumulative-share fold over the part-type frame",
         "global_window": "Pareto cumsum over the bounded |types| aggregate",
