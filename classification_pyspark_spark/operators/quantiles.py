@@ -168,6 +168,20 @@ def exact_quantiles_multi(
         got: dict[tuple[str, int], float] = {
             mid_map[int(r["__mid"])]: r["v"] for r in rows
         }
+        # The isin-on-row-code selection silently couples to two
+        # assumptions: monotonically_increasing_id's (pid << 33 | row)
+        # bit layout, and the cached scan reproducing the exact
+        # partition indices recorded via spark_partition_id above. A
+        # missing code would raise KeyError below, but a SHIFTED code
+        # could select a wrong row and return a silently wrong
+        # quantile — so fail loudly if any assumption broke.
+        if len(got) != len(mid_map):
+            raise RuntimeError(
+                "quantile row-code selection returned "
+                f"{len(got)} of {len(mid_map)} expected order statistics; "
+                "monotonically_increasing_id layout or cached partition "
+                "indices no longer match the recorded offsets"
+            )
     finally:
         part.unpersist()
 

@@ -288,6 +288,7 @@ def cosine_dup_pairs(
     dim: int,
     min_cosine: float = 0.9,
     vectorized: bool = True,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold,
     LSH-blocked (pairs only meet inside a bucket).
@@ -301,11 +302,27 @@ def cosine_dup_pairs(
     row carrying BOTH vectors (at sf1: ~19.5M join rows x two 64-dim
     arrays ≈ 20 GB through the exchange for a 264k-pair answer).
     The kernel pre-filters with a 1e-4 slack and the exact
-    ``round(cos, 4) >= min_cosine`` threshold stays JVM-side, so
-    results are bit-identical to the join formulation. Kernel memory
-    is O(block x bucket) — degenerate buckets bound a task by bucket
-    size; raise ``N_HYPERPLANES`` (more, smaller buckets) for corpora
-    with heavy boilerplate."""
+    ``round(cos, 4) >= min_cosine`` threshold stays JVM-side. Results
+    are verified identical to the join formulation on the test data
+    (equivalence tests at three thresholds) — but the GEMM computes
+    the cosine in a different floating-point order than the JVM
+    per-pair expression, so a pair sitting EXACTLY on a round(_, 4)
+    half-ulp boundary could in principle flip inclusion across BLAS
+    builds; the 1e-4 slack makes the prefilter itself safe either way.
+
+    Degenerate buckets (heavy boilerplate corpora hashing to one LSH
+    bucket) would otherwise hand ONE task an O(bucket²) GEMM and the
+    whole bucket's vector matrix: any bucket larger than
+    ``max_bucket_size`` is therefore triangle-split — rows are hashed
+    into ``g = ceil(n/cap)`` sub-groups and replicated to the
+    upper-triangle task grid (gi <= gj), so every pair still meets in
+    EXACTLY one task (same-group pairs in the (g, g) task, cross-group
+    pairs in the (gi, gj) task) and each task holds at most two
+    sub-groups of <= cap rows. Exact — no pairs are lost — at the cost
+    of replicating oversized buckets' rows g-fold; normal buckets pay
+    only a bucket-count-sized size-lookup broadcast join. Raising
+    ``N_HYPERPLANES`` (more, smaller buckets) remains the cheaper
+    lever when the corpus allows re-bucketing."""
     if not vectorized:
         bucket = lsh_bucket_expr(F.col(vec_col), dim)
         base = df.filter(F.col(vec_col).isNotNull()).select(
@@ -331,33 +348,71 @@ def cosine_dup_pairs(
     id_type = df.schema[id_col].dataType.simpleString()
     slack = min_cosine - 1e-4
 
+    # Triangle split for oversized buckets: nsplit = ceil(size/cap)
+    # sub-groups per bucket; each row (sub-group g) is replicated to
+    # the nsplit task cells of the upper-triangle grid that involve g
+    # — (i, g) for i < g and (g, j) for j >= g — so every unordered
+    # pair meets in exactly one (bucket, ti, tj) task. Bucket sizes
+    # are a bucket-count-sized aggregate; AQE broadcasts the join.
+    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    cap = max(int(max_bucket_size), 2)
+    tasks = (
+        base.join(F.broadcast(sizes), on="bucket")
+        .withColumn("__ns", F.ceil(F.col("__bn") / F.lit(cap)).cast("int"))
+        .withColumn("g", F.pmod(F.xxhash64("id"), F.col("__ns")).cast("int"))
+        .select(
+            "bucket",
+            "id",
+            "v",
+            "g",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, __ns - 1), t -> "
+                    "if(t < g, struct(t AS ti, g AS tj), "
+                    "struct(g AS ti, t AS tj)))"
+                )
+            ).alias("__cell"),
+        )
+        .select("bucket", "id", "v", "g", "__cell.ti", "__cell.tj")
+    )
+
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
         empty = pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
-        if n < 2:
+        if len(pdf) < 2:
             return empty
-        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        ids = pdf["id"].to_numpy()
-        norms = np.linalg.norm(V, axis=1)
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
+        within = ti == tj
+        if within:
+            A = B = pdf
+        else:
+            A = pdf[pdf["g"] == ti]
+            B = pdf[pdf["g"] == tj]
+            if len(A) == 0 or len(B) == 0:
+                return empty
+        VA = np.stack(A["v"].to_numpy()).astype(np.float64)
+        VB = VA if within else np.stack(B["v"].to_numpy()).astype(np.float64)
+        ids_a = A["id"].to_numpy()
+        ids_b = ids_a if within else B["id"].to_numpy()
+        na = np.linalg.norm(VA, axis=1)
+        nb = na if within else np.linalg.norm(VB, axis=1)
         a_out, b_out, c_out = [], [], []
         blk = 1024
-        for s in range(0, n, blk):
-            G = V[s : s + blk] @ V.T
-            D = np.outer(norms[s : s + blk], norms)
+        for s in range(0, len(VA), blk):
+            G = VA[s : s + blk] @ VB.T
+            D = np.outer(na[s : s + blk], nb)
             with np.errstate(divide="ignore", invalid="ignore"):
                 C = G / D
-            valid = D > 0
-            mask = valid & (C >= slack)
+            mask = (D > 0) & (C >= slack)
             ii, jj = np.nonzero(mask)
-            gi = ii + s
-            keep = jj > gi  # each unordered pair once
-            gi, jj = gi[keep], jj[keep]
-            if len(gi):
-                ia, ib = ids[gi], ids[jj]
+            if within:
+                keep = jj > (ii + s)  # each unordered pair once
+                ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                ia, ib = ids_a[ii + s], ids_b[jj]
                 lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
                 a_out.append(lo)
                 b_out.append(hi)
-                c_out.append(C[ii[keep], jj])
+                c_out.append(C[ii, jj])
         if not a_out:
             return empty
         return pd.DataFrame(
@@ -368,7 +423,7 @@ def cosine_dup_pairs(
             }
         )
 
-    survivors = base.groupBy("bucket").applyInPandas(
+    survivors = tasks.groupBy("bucket", "ti", "tj").applyInPandas(
         bucket_pairs, schema=f"id_a {id_type}, id_b {id_type}, __cos double"
     )
     return (

@@ -82,6 +82,54 @@ def test_cosine_dup_pairs_gemm_equals_join_formulation(spark):
         assert got or thr > 0.99  # the low thresholds must find pairs
 
 
+def test_cosine_dup_pairs_bucket_cap_exact_on_degenerate_bucket(spark):
+    """Adversarial single-bucket corpus (boilerplate: every vector a
+    small perturbation of one direction, so all land in one LSH
+    bucket): the triangle split must bound every task at
+    ~2*max_bucket_size rows while losing NO pairs — capped output ==
+    uncapped output == join-formulation output."""
+    import numpy as np
+
+    from classification_pyspark_spark.operators.similarity import (
+        _as_double,
+        cosine_dup_pairs,
+        make_lsh_bucket_pudf,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    anchor = rng.normal(size=dim)
+    anchor /= np.linalg.norm(anchor)
+    vecs = [anchor + rng.normal(scale=0.02, size=dim) for _ in range(120)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+
+    # confirm the corpus IS degenerate: one bucket holds everything
+    buckets = (
+        df.select(make_lsh_bucket_pudf(dim)(_as_double(F.col("embedding"))).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in buckets) == 120
+
+    uncapped = {
+        tuple(r)
+        for r in cosine_dup_pairs(df, "vec_id", "embedding", dim, 0.9).collect()
+    }
+    assert len(uncapped) > 1000  # near-clique: the pair volume is real
+    for cap in (10, 37, 119):  # forces 12-, 4-, 2-way splits
+        capped = {
+            tuple(r)
+            for r in cosine_dup_pairs(
+                df, "vec_id", "embedding", dim, 0.9, max_bucket_size=cap
+            ).collect()
+        }
+        assert capped == uncapped, (cap, len(capped ^ uncapped))
+
+
 def test_ngram_jaccard_grouped_equals_bruteforce(spark):
     """Grouped-posting double-explode intersection counts must equal a
     driver-side brute-force DISTINCT-gram Jaccard (the operator
