@@ -400,12 +400,25 @@ def edit_distance_head_pairs(
     max_rel_dist: float = 0.25,
     band_tokens: int = 40,
     simhash_prefix_bits: int | None = None,
+    probe_adjacent_bands: bool = False,
 ) -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs on ``head_len``-char
     document heads, blocked on (block, token-count band). Levenshtein
     runs the 3-arg banded DP with threshold = max_rel_dist*head_len
     (early exit past the diagonal band) and pairs keep
     dist <= max_rel_dist * max(len) — identical to the unbounded form.
+
+    The token-count band is itself an approximation: band BOUNDARIES
+    split true near-dup pairs. Two heads that differ by one token can
+    straddle a floor(count/band_tokens) edge (counts 39 vs 41 at
+    band_tokens=40 land in bands 0 and 1) and never meet.
+    ``probe_adjacent_bands=True`` recovers those: the a-side is
+    replicated to bands {band-1, band, band+1}, so a pair is a
+    candidate iff its bands differ by at most 1 — each such pair still
+    joins on EXACTLY one key (the b-side band is a single value), so
+    no dedup pass is needed and output rows stay unique. Cost: 3x
+    a-side replication; pairs 2+ bands apart (token counts differing
+    by > 2*band_tokens) remain out of reach by design.
 
     ``simhash_prefix_bits`` is the documented "tighten blocks at scale"
     knob made concrete: it adds the top b bits of a 16-bit simhash of
@@ -432,7 +445,17 @@ def edit_distance_head_pairs(
         )
     d = df.select(F.col(id_col).alias("id"), head.alias("head"), *keys)
     join_cols = ["blk", "band"] + (["pfx"] if simhash_prefix_bits is not None else [])
-    a = d.select(F.col("id").alias("id_a"), F.col("head").alias("ha"), *join_cols)
+    a_band = (
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
+        if probe_adjacent_bands
+        else F.col("band")
+    )
+    a = d.select(
+        F.col("id").alias("id_a"),
+        F.col("head").alias("ha"),
+        *[c for c in join_cols if c != "band"],
+        a_band.alias("band"),
+    )
     b = d.select(F.col("id").alias("id_b"), F.col("head").alias("hb"), *join_cols)
     dist = F.levenshtein("ha", "hb", threshold)
     return (

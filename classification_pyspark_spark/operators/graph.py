@@ -32,6 +32,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every vertex of the undirected edge list with the minimum
     vertex id reachable from it. Returns ``(vertex, component)``.
@@ -44,24 +45,38 @@ def connected_components(
     truncation at sf0.1). The checkpoint is cheap because labels are
     one row per vertex, far smaller than the edge frame.
 
+    ``localCheckpoint`` stores the truncated lineage in EXECUTOR
+    block-manager memory/disk — losing an executor mid-run loses
+    blocks with no lineage to recompute them. Fine single-node / at
+    sandbox scale; on a real cluster where a long CC run must survive
+    executor churn, pass ``checkpoint_dir`` (an HDFS/S3 path) to
+    switch every truncation to a RELIABLE ``checkpoint`` persisted to
+    that fault-tolerant storage — same labels, one distributed write
+    per round as the insurance premium.
+
     The convergence probe counts changed labels between two
     checkpointed frames — a vertex-keyed join of two materialized
     vertex-sized frames; only the scalar reaches the driver.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # materialize the edge list BEFORE symmetrizing: the union's two
     # branches each re-evaluate the caller's (often expensive) pair
     # pipeline otherwise — posting joins, LSH scoring — doubling it
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
-    )
+    fwd = _truncate(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = _truncate(sym)
 
-    labels = (
+    labels = _truncate(
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .select("vertex", F.col("vertex").alias("component"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -91,8 +106,8 @@ def connected_components(
                 .otherwise(F.lit(False))
                 .alias("__changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _truncate(new_labels)
         changed = new_labels.filter("__changed").limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -465,12 +465,20 @@ def mean_word_length_expr(col: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# bigram_lm_perplexity auto mode: corpora at or under this doc count
+# score through the measured-faster window formulation; above it the
+# AQE-skew-splittable join formulation takes over (Zipfian hot-bigram
+# skew dominates at scale). Every test/sweep scale (sf10 ~ 500k docs)
+# sits below the line; any real pretraining corpus sits far above it.
+AUTO_COUNT_MODE_DOC_THRESHOLD = 2_000_000
+
+
 def bigram_lm_perplexity(
     df: DataFrame,
     text_col: str,
     id_col: str,
     keep_threshold: float = 31.0,
-    count_mode: str = "window",
+    count_mode: str = "auto",
     hash_keys: bool = True,
 ) -> DataFrame:
     """Per-document perplexity under an add-one-smoothed bigram LM
@@ -484,7 +492,7 @@ def bigram_lm_perplexity(
     bigram stream (built with an array ``transform`` — zero joins)
     is scored in ONE pass. ``count_mode``:
 
-    - ``"window"`` (default): ``count(*) over (partition by w1, w2)``
+    - ``"window"``: ``count(*) over (partition by w1, w2)``
       attaches each bigram's corpus count in the same exchange that
       would have fed the count aggregate — the stream is built ONCE
       and shuffled ONCE (the join form re-ran the whole
@@ -497,7 +505,16 @@ def bigram_lm_perplexity(
       conversion, fed by its ~60 MB *compressed* shuffle size, OOMed
       the driver). AQE can SPLIT a skewed SHJ partition, so this is
       the posture for corpora where one bigram is a meaningful
-      fraction of all text.
+      fraction of all text — on real Zipfian corpora at the 100 TB
+      design point, a hot bigram ("of the") IS a meaningful fraction,
+      and the window form would land all of it in one task.
+    - ``"auto"`` (default): a BOUNDED doc-count probe
+      (``limit(AUTO_COUNT_MODE_DOC_THRESHOLD + 1).count()`` — never a
+      full scan) picks ``window`` for small/mid corpora (measured
+      faster through sf10) and ``join`` above the threshold, where
+      hot-bigram skew is the dominant risk and AQE skew-splitting
+      matters more than the second tokenize pass. All three modes are
+      result-identical (equivalence-tested).
 
     ``hash_keys`` (default): tokens are hashed ONCE
     (``transform(w, t -> xxhash64(t))``) and every downstream
@@ -521,8 +538,11 @@ def bigram_lm_perplexity(
     absent — a curation pipeline that joins on this output must see an
     explicit verdict for degenerate docs).
     """
-    if count_mode not in ("window", "join"):
-        raise ValueError(f"unknown count_mode {count_mode!r}: window | join")
+    if count_mode not in ("auto", "window", "join"):
+        raise ValueError(f"unknown count_mode {count_mode!r}: auto | window | join")
+    if count_mode == "auto":
+        probe = df.limit(AUTO_COUNT_MODE_DOC_THRESHOLD + 1).count()
+        count_mode = "join" if probe > AUTO_COUNT_MODE_DOC_THRESHOLD else "window"
     toks = df.select(
         F.col(id_col),
         F.filter(

@@ -207,6 +207,28 @@ def test_bigram_lm_variants_identical(spark):
     for tag, out in results[1:]:
         assert out == base, tag
 
+    # auto mode: picks window under the doc threshold, join above it
+    # (forced via monkeypatched threshold) — output identical either way
+    from classification_pyspark_spark.operators import text as text_mod
+
+    auto_small = {
+        tuple(r)
+        for r in bigram_lm_perplexity(df, "text", "doc_id", count_mode="auto").collect()
+    }
+    assert auto_small == base
+    orig = text_mod.AUTO_COUNT_MODE_DOC_THRESHOLD
+    try:
+        text_mod.AUTO_COUNT_MODE_DOC_THRESHOLD = 5  # 30 docs > 5 -> join path
+        auto_big = {
+            tuple(r)
+            for r in bigram_lm_perplexity(
+                df, "text", "doc_id", count_mode="auto"
+            ).collect()
+        }
+    finally:
+        text_mod.AUTO_COUNT_MODE_DOC_THRESHOLD = orig
+    assert auto_big == base
+
 
 def test_pagerank_pair_expansion_matches_self_join(spark, sf_dir):
     """collect_set + double-explode co-supply edges == the fact

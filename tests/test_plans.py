@@ -298,6 +298,59 @@ def test_tracker_factory_and_failure_records(spark, tmp_path):
     assert job_end["n_failed"] == 1 and job_end["success"] is False
 
 
+def test_mlflow_tracker_nested_runs(tmp_path):
+    """Live MlflowTracker exercise against a file-store backend
+    (reference parity: ``task_runner.run_tracked_task`` opens a parent
+    job run + one NESTED run per task, logging params/wall_s/stage/
+    status tags — reference tracking.py:52-125 / task_runner.py:92-128).
+    Auto-skips where the optional mlflow package is absent (this
+    container); runs for real on any env that has it."""
+    import pytest
+
+    from classification_pyspark_spark.plans.tracking import (
+        MlflowTracker,
+        TaskRunRecord,
+        create_tracker,
+        mlflow_available,
+    )
+
+    if not mlflow_available():
+        pytest.skip("mlflow not installed in this environment")
+
+    import time
+
+    import mlflow
+
+    uri = "file://" + str(tmp_path / "mlruns")
+    mlflow.set_tracking_uri(uri)
+    tracker = create_tracker({"driver": "mlflow", "experiment": "t-exp"})
+    assert isinstance(tracker, MlflowTracker)
+    tracker.start_job("job1")
+    now = time.time()
+    tracker.log_task(
+        TaskRunRecord(
+            run_id="r1", job="job1", stage="s1", task="t1",
+            params={"x": 1}, success=True, message="ok",
+            wall_s=0.5, started_at=now, ended_at=now + 0.5,
+        )
+    )
+    tracker.end_job("job1", n_tasks=1, n_failed=0, wall_s=0.5)
+
+    exp = mlflow.get_experiment_by_name("t-exp")
+    runs = mlflow.search_runs([exp.experiment_id], output_format="list")
+    parents = [r for r in runs if "mlflow.parentRunId" not in r.data.tags]
+    children = [r for r in runs if "mlflow.parentRunId" in r.data.tags]
+    assert len(parents) == 1 and len(children) == 1
+    assert parents[0].info.status == "FINISHED"
+    assert parents[0].data.metrics["n_failed"] == 0
+    child = children[0]
+    assert child.data.tags["mlflow.parentRunId"] == parents[0].info.run_id
+    assert child.data.params == {"x": "1"}
+    assert child.data.tags["stage"] == "s1"
+    assert child.data.tags["status"] == "Success"
+    assert child.data.metrics["wall_s"] == 0.5
+
+
 def test_corpus_curation_job(spark, sf_dir, tmp_path):
     """The corpus-curation production job runs through the orchestrator
     with the hot-bucket guards on, writing curated docs + drop report."""

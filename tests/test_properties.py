@@ -370,6 +370,71 @@ def test_edit_distance_banded_equals_unbounded_property(spark, docs):
     assert got == want
 
 
+def test_edit_distance_adjacent_band_probe(spark):
+    """probe_adjacent_bands=True must (1) recover a true near-dup pair
+    that straddles a token-count band boundary (39 vs 41 tokens at
+    band_tokens=40 -> bands 0 and 1: invisible to the default), and
+    (2) equal the |band diff| <= 1 mirrored brute force exactly, with
+    no duplicate pair rows from the 3x a-side replication."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        edit_distance_head_pairs,
+    )
+    from classification_pyspark_spark.operators.text import token_count_expr
+
+    # doc 0: 39 tokens, doc 1: same text + 2 extra tokens appended far
+    # past the 60-char head -> identical heads, bands 0 vs 1.
+    # docs 2/3: same-band near-dups (the default path must keep them).
+    w39 = " ".join(f"t{i}" for i in range(39))
+    rows = [
+        (0, w39, "en"),
+        (1, w39 + " x y", "en"),
+        (2, "hello world example corpus", "en"),
+        (3, "hello world exampel corpus", "en"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+
+    default = set(
+        map(tuple, edit_distance_head_pairs(d, "text", "doc_id", "lang").collect())
+    )
+    probed_rows = list(
+        map(
+            tuple,
+            edit_distance_head_pairs(
+                d, "text", "doc_id", "lang", probe_adjacent_bands=True
+            ).collect(),
+        )
+    )
+    probed = set(probed_rows)
+    assert len(probed_rows) == len(probed)  # replication added no dups
+    assert (0, 1, 0) not in default and (0, 1, 0) in probed
+    assert (2, 3, 2) in default and (2, 3, 2) in probed
+    assert default <= probed
+
+    # mirrored brute force: all within-block pairs with |band diff|<=1
+    head = F.substring(F.trim(F.lower("text")), 1, 60)
+    dd = d.select(
+        "doc_id",
+        F.col("lang").alias("blk"),
+        head.alias("head"),
+        F.floor(token_count_expr("text") / 40).cast("long").alias("band"),
+    )
+    a = dd.select(F.col("doc_id").alias("id_a"), "blk", F.col("band").alias("ba"), F.col("head").alias("ha"))
+    b = dd.select(F.col("doc_id").alias("id_b"), "blk", F.col("band").alias("bb"), F.col("head").alias("hb"))
+    dist = F.levenshtein("ha", "hb")
+    want = set(
+        map(
+            tuple,
+            a.join(b, on="blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.abs(F.col("ba") - F.col("bb")) <= 1)
+            .filter(dist <= (0.25 * F.greatest(F.length("ha"), F.length("hb"))).cast("long"))
+            .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
+            .collect(),
+        )
+    )
+    assert probed == want
+
+
 def test_edit_distance_simhash_prefix_recall(spark, sf_dir):
     """The production simhash-prefix block (the registry query's
     ``simhash_prefix_bits=6``) is a pruning-only recall trade: it must

@@ -84,3 +84,33 @@ def test_connected_components_known_graph(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches localCheckpoint -> reliable checkpoint
+    (fault-tolerant storage; survives executor loss on a cluster):
+    identical labels, and the checkpoint dir actually receives RDD
+    checkpoint data."""
+    import os
+
+    from classification_pyspark_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (22, 20), (23, 20)],
+        "src bigint, dst bigint",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+    # reliable checkpoints were written under the requested dir
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "no reliable checkpoint data written"
