@@ -5,7 +5,9 @@ Capability parity with the reference's ``dp.read_data`` /
 ``utils.save_model`` (``src/ta_lib/pyspark/utils.py:212-222``) — but
 expressed directly on ``spark.read`` / ``df.write``. Spark handles
 glob patterns (S3, ``itr_data_*.parquet``) and remote filesystem URIs
-natively, so there is no fsspec layer (S6).
+natively, so there is no fsspec layer (S6) — ``resolve_fs_paths`` is
+the URI-normalization shim that replaces the reference's fsspec
+resolution + dbfs path rewrite for Spark's Hadoop-FS world.
 
 Scale notes:
 - Parquet is the canonical format: columnar, predicate-pushdown- and
@@ -19,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -61,6 +64,57 @@ def _require_delta() -> None:
         )
 
 
+# scheme aliases: what users (and the reference's dbfs-era configs)
+# write -> the connector scheme Spark's Hadoop FS layer actually loads
+_SCHEME_ALIASES = {"s3": "s3a", "s3n": "s3a"}
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):(//)?(.*)$")
+
+
+def resolve_fs_paths(
+    paths: str | Sequence[str], fs: str | None = None
+) -> list[str]:
+    """Normalize user paths (+ an optional filesystem hint) into the
+    Hadoop-FS URIs Spark reads, replacing the reference's fsspec
+    resolution (``utils.get_fs_and_abs_path``, ``utils.py:115-137``)
+    and ``dp.read_data``'s hardcoded ``fs + ":" + path`` dbfs rewrite
+    (``dp.py:76-78``). Spark IO goes through the JVM Hadoop FileSystem,
+    not a Python filesystem object — so "resolution" here is URI
+    normalization, the one part of the reference convenience that has
+    a Spark analog:
+
+    - a path that already carries a scheme keeps it, with connector
+      aliases applied (``s3://`` / ``s3n://`` -> ``s3a://`` — plain
+      ``s3`` is not a loadable Spark connector scheme);
+    - ``fs`` (e.g. ``"dbfs"``, ``"s3"``, ``"hdfs"``, ``"file"``)
+      prefixes scheme-less paths, reference-style, without clobbering
+      explicit schemes in the same list;
+    - scheme-less paths with no hint pass through UNCHANGED — on a
+      cluster they resolve against ``fs.defaultFS`` (HDFS there, local
+      FS in local mode), which is the Hadoop-native contract; forcing
+      ``file:`` here (fsspec's local default) would silently redirect
+      defaultFS-relative paths on real clusters.
+
+    Windows drive letters ("C:/...") are indistinguishable from
+    one-letter schemes in URI syntax; this engine targets cluster
+    filesystems, where single-letter schemes don't occur.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    out = []
+    for p in paths:
+        m = _SCHEME_RE.match(p)
+        if m:
+            scheme, slashes, rest = m.groups()
+            scheme = _SCHEME_ALIASES.get(scheme.lower(), scheme.lower())
+            out.append(f"{scheme}:{slashes or ''}{rest}")
+        elif fs is not None:
+            scheme = _SCHEME_ALIASES.get(fs.lower(), fs.lower())
+            out.append(f"{scheme}:{p}" if p.startswith("/") else f"{scheme}:/{p}")
+        else:
+            out.append(p)
+    return out
+
+
 def read_data(
     spark: SparkSession,
     paths: str | Sequence[str],
@@ -68,13 +122,15 @@ def read_data(
     header: bool = True,
     inferschema: bool = True,
     schema=None,
+    fs: str | None = None,
     **options,
 ) -> DataFrame:
     """Load one or more paths (glob patterns allowed) in ``fmt``.
 
     Parity: ``dp.read_data`` (``dp.py:53-80``). Paths may be any
     Hadoop-FS URI (file:/, s3a:/, dbfs:/ ...); lists and globs fan out
-    to a single multi-file scan.
+    to a single multi-file scan. ``fs`` is the reference's filesystem
+    hint, resolved through ``resolve_fs_paths``.
 
     Beyond the reference's formats, two Spark-native ingest formats the
     LLM-pipeline operators consume directly:
@@ -99,9 +155,7 @@ def read_data(
         reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
-    if isinstance(paths, str):
-        paths = [paths]
-    return reader.load(list(paths))
+    return reader.load(resolve_fs_paths(paths, fs))
 
 
 def read_json_robust(

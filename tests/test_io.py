@@ -24,6 +24,30 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     assert dict(csv_back.dtypes)["r_regionkey"] in ("int", "bigint")
 
 
+def test_resolve_fs_paths_shim(spark, sf_dir):
+    """URI-normalization shim (reference get_fs_and_abs_path +
+    dp.read_data's `fs + ':' + path` rewrite, utils.py:115-137 /
+    dp.py:76-78): scheme aliases, fs-hint prefixing that never
+    clobbers explicit schemes, defaultFS passthrough for bare paths."""
+    from classification_pyspark_spark.sources.io import read_data, resolve_fs_paths
+
+    assert resolve_fs_paths("s3://bkt/p.parquet") == ["s3a://bkt/p.parquet"]
+    assert resolve_fs_paths("s3n://bkt/p") == ["s3a://bkt/p"]
+    assert resolve_fs_paths("dbfs:/mnt/x") == ["dbfs:/mnt/x"]
+    assert resolve_fs_paths("/mnt/x", fs="dbfs") == ["dbfs:/mnt/x"]
+    assert resolve_fs_paths("mnt/x", fs="dbfs") == ["dbfs:/mnt/x"]
+    assert resolve_fs_paths("/d/p", fs="s3") == ["s3a:/d/p"]
+    # hint does NOT clobber an explicit scheme in the same list
+    assert resolve_fs_paths(["/a", "hdfs://nn/b"], fs="file") == [
+        "file:/a", "hdfs://nn/b",
+    ]
+    # bare path, no hint: UNCHANGED (defaultFS decides on a cluster)
+    assert resolve_fs_paths("/data/x.parquet") == ["/data/x.parquet"]
+    # end-to-end: the fs hint drives a real read
+    n = read_data(spark, f"{sf_dir}/region.parquet", fs="file").count()
+    assert n == load_table(spark, sf_dir, "region").count()
+
+
 def test_glob_scan(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders")
     for i in range(3):
