@@ -320,7 +320,11 @@ def cosine_dup_pairs(
     pairs in the (gi, gj) task) and each task holds at most two
     sub-groups of <= cap rows. Exact — no pairs are lost — at the cost
     of replicating oversized buckets' rows g-fold; normal buckets pay
-    only a bucket-count-sized size-lookup broadcast join. Raising
+    the insurance premium only: one tracked persist of the narrow
+    (id, v, bucket) frame plus a bucket-count aggregate and its
+    broadcast (measured ~0.45s on a 0.8s sf1 query — linear work with
+    small constants that amortizes as the corpus grows, vs the
+    unbounded single-task GEMM it prevents). Raising
     ``N_HYPERPLANES`` (more, smaller buckets) remains the cheaper
     lever when the corpus allows re-bucketing."""
     if not vectorized:
@@ -340,10 +344,19 @@ def cosine_dup_pairs(
             .filter(F.col("cosine") >= min_cosine)
         )
 
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        make_lsh_bucket_pudf(dim)(_as_double(F.col(vec_col))).alias("bucket"),
+    from .caching import track
+
+    # persisted: the sizes aggregate AND the task fan-out both read
+    # this frame — without the persist the pandas bucket-assign UDF
+    # runs twice over every vector (measured +0.7s at sf1 for a 1.2s
+    # query). The frame is the narrow (id, v, bucket) projection, the
+    # same thing the pair shuffle carries anyway.
+    base = track(
+        df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            make_lsh_bucket_pudf(dim)(_as_double(F.col(vec_col))).alias("bucket"),
+        )
     )
     id_type = df.schema[id_col].dataType.simpleString()
     slack = min_cosine - 1e-4
