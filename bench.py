@@ -99,6 +99,9 @@ HEADLINE = [
     "anomaly_rolling_zscore",
     "gaps_islands_activity",
     "udtf_word_windows",
+    # round-5 addition: the triangle-split + persisted-base GEMM pair
+    # plan, so the degenerate-bucket guard keeps regression coverage
+    "embedding_dup_pairs",
 ]
 
 

@@ -129,6 +129,22 @@ def test_cosine_dup_pairs_bucket_cap_exact_on_degenerate_bucket(spark):
         }
         assert capped == uncapped, (cap, len(capped ^ uncapped))
 
+    # string ids: lo/hi normalization + the cross-group kernel branch
+    # must survive lexicographic id ordering too
+    sdf = spark.createDataFrame(
+        [(f"doc{i:03d}", v) for i, v in rows], "vec_id string, embedding array<double>"
+    ).repartition(4)
+    s_unc = {
+        tuple(r) for r in cosine_dup_pairs(sdf, "vec_id", "embedding", dim, 0.9).collect()
+    }
+    s_cap = {
+        tuple(r)
+        for r in cosine_dup_pairs(
+            sdf, "vec_id", "embedding", dim, 0.9, max_bucket_size=17
+        ).collect()
+    }
+    assert s_cap == s_unc and len(s_unc) == len(uncapped)
+
 
 def test_ngram_jaccard_grouped_equals_bruteforce(spark):
     """Grouped-posting double-explode intersection counts must equal a
