@@ -70,12 +70,13 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 5 window: the FULL set of 30 remaining
-# never-driver-checked oracle queries (exactly tools/window_rotation.py's
-# candidate list after CORRECTNESS_r04 went 50/50 green) — this closes
-# cumulative driver coverage at 180/180 oracle queries — plus 20
-# re-verification slots filled with the OLDEST green rows (r01 vintage),
-# so the earliest-validated operators get a fresh driver row three rounds
+# tools/check_oracle.py).  Round 5 window: the FULL set of never-driver-
+# checked oracle queries — the 30 remaining after CORRECTNESS_r04 went
+# 50/50 green (exactly tools/window_rotation.py's candidate list) plus
+# the round-5-registered zorder_curve_stats — which closes cumulative
+# driver coverage at 181/181 oracle queries — plus 19 re-verification
+# slots filled with the OLDEST green rows (r01 vintage), so the
+# earliest-validated operators get a fresh driver row three rounds
 # later.  Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
@@ -117,7 +118,11 @@ DRIVER_WINDOW: list[str] = [
     "sql_interface_regional_revenue",
     "sql_interface_segment_priority_mix",
     "sql_pipe_syntax_ship_status",
-    # --- 20 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
+    # round-5 addition (z-order layout): registered after the r04 run,
+    # so it is itself never-driver-checked — takes a re-verification
+    # slot to keep every remaining candidate inside the window
+    "zorder_curve_stats",
+    # --- 19 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
     "flagship_customer_features",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -137,7 +142,6 @@ DRIVER_WINDOW: list[str] = [
     "text_langid",
     "doc_fingerprint",
     "sessionize_events",
-    "embedding_int8_quantization",
 ]
 
 

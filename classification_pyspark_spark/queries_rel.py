@@ -1073,3 +1073,55 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+_Z_DIMS_SQL = [
+    ("date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))", 9100.0, 11660.0),
+    ("o_totalprice", 0.0, 512000.0),
+]
+
+
+def _zorder_oracle_sql() -> str:
+    from .operators.layout import zvalue_sql
+
+    return f"""
+    SELECT ({zvalue_sql(_Z_DIMS_SQL, bits=8)} >> 10) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS min_day,
+           CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS max_day,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1
+    """
+
+
+@query("zorder_curve_stats", sql=_zorder_oracle_sql())
+def zorder_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve locality profile of orders over (order day, total
+    price): the z-value (``operators/layout.py:zvalue_expr`` — clamped
+    8-bit ranks, unrolled bit interleave, pure codegen) bucketed into
+    64 curve segments, with each segment's row count and per-dimension
+    min/max span. The spans are the point: contiguous curve segments
+    cover small hyper-rectangles in EVERY dimension, which is exactly
+    why a z-ordered file layout (``layout.write_zordered``) lets
+    parquet min/max stats prune scans filtered on ANY participating
+    column — the 100 TB data-layout lever the raw-write pipeline
+    lacks. Oracle replays the identical arithmetic via
+    ``layout.zvalue_sql``. One hash aggregate; no shuffle beyond it."""
+    from .operators.layout import zvalue_expr
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    z = zvalue_expr([(day, 9100.0, 11660.0), (F.col("o_totalprice"), 0.0, 512000.0)], bits=8)
+    return (
+        o.select(day.alias("__day"), "o_totalprice", F.shiftright(z, 10).alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__day").cast("long").alias("min_day"),
+            F.max("__day").cast("long").alias("max_day"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
