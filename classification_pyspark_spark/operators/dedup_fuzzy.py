@@ -177,6 +177,49 @@ DEFAULT_MAX_BUCKET_SIZE = 2000
 DEFAULT_MAX_POSTING_SIZE = 2000
 
 
+def minhash_band_long(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rows_per_band: int = 2,
+    n_hashes: int = N_MINHASH,
+    engine: str = "md5_windows",
+) -> DataFrame:
+    """The long-format LSH band frame ``(id, band, h)``: one row per
+    (doc, band), ``h`` = md5 of the band's ANDed minhash rows. This IS
+    the dedup index — `minhash_candidate_pairs` self-joins it, the
+    incremental path (`build_minhash_index` /
+    `minhash_incremental_pairs`) persists it and joins new batches
+    against it. Persisted (doc-count-sized: n_bands rows per doc of
+    (id, 8-byte band tag, 32-hex hash)) because every consumer reads
+    it at least twice."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes, engine=engine)
+    n_bands = n_hashes // rows_per_band
+    # the .cast("string") is a no-op for the md5_windows engine (hex
+    # strings already) and stringifies the universal engine's longs —
+    # band VALUES for the oracle configuration are untouched
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"minhash_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    banded = track(sig.select(F.col(id_col), *band_cols))
+    return banded.selectExpr(
+        id_col,
+        "stack({n}, {args}) as (band, h)".format(
+            n=n_bands,
+            args=", ".join(f"'{b}', band_{b}" for b in range(n_bands)),
+        ),
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -217,30 +260,9 @@ def minhash_candidate_pairs(
     digest-based exact dedup instead). The guard is ON by default
     (``DEFAULT_MAX_BUCKET_SIZE``); pass None for exhaustive pairing
     (oracle parity at test scale)."""
-    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes, engine=engine)
-    n_bands = n_hashes // rows_per_band
-    # the .cast("string") is a no-op for the md5_windows engine (hex
-    # strings already) and stringifies the universal engine's longs —
-    # band VALUES for the oracle configuration are untouched
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"minhash_{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
-        ).alias(f"band_{b}")
-        for b in range(n_bands)
-    ]
-    banded = track(sig.select(F.col(id_col), *band_cols))
-    long = banded.selectExpr(
-        id_col,
-        "stack({n}, {args}) as (band, h)".format(
-            n=n_bands,
-            args=", ".join(f"'{b}', band_{b}" for b in range(n_bands)),
-        ),
+    long = minhash_band_long(
+        df, text_col, id_col,
+        rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
     )
     # NOTE: unlike the corpus-sized posting joins in text.py /
     # ngram_jaccard_pairs (rewritten to grouped-list + double-explode),
@@ -260,6 +282,95 @@ def minhash_candidate_pairs(
     return (
         a.join(b, on=["band", "h"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    rows_per_band: int = 2,
+    n_hashes: int = N_MINHASH,
+    engine: str = "md5_windows",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the LSH band frame as a parquet dedup INDEX,
+    partitioned by band. This is the production shape for continuous
+    ingest: signatures are computed ONCE per document ever; each new
+    batch joins against the stored bands instead of re-shingling the
+    full corpus (at 100 TB, re-signaturing history per batch is the
+    cost that kills naive daily dedup). Partitioning by band means a
+    band-bucketed join reads only matching band partitions, and
+    ``mode="append"`` is the per-batch index update — append-after-
+    dedup equals a full rebuild (property-tested)."""
+    minhash_band_long(
+        df, text_col, id_col,
+        rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
+    ).write.mode(mode).partitionBy("band").parquet(path)
+
+
+def minhash_incremental_pairs(
+    indexed: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    n_hashes: int = N_MINHASH,
+    engine: str = "md5_windows",
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW batch against an existing
+    corpus: new-vs-indexed and new-vs-new collisions, NEVER
+    indexed-vs-indexed — the work is proportional to the batch's
+    band-bucket neighborhoods, not the corpus². ``indexed`` is the
+    stored ``(id, band, h)`` frame (``build_minhash_index`` output via
+    ``spark.read.parquet``, or ``minhash_band_long`` directly); ids
+    must be disjoint from the new batch's.
+
+    Output is IDENTICAL in schema and semantics to
+    ``minhash_candidate_pairs`` (id_a < id_b, n_shared_bands), and by
+    construction equals the full-rebuild pair set restricted to pairs
+    involving at least one new doc — the property the equivalence test
+    pins. The hot-bucket guard counts OLD + NEW members per bucket
+    (exactly the bucket the rebuild would see), so capped results also
+    match the capped rebuild.
+
+    Plan: the new batch is signatured once; the join probes the index
+    on (band, h) — with the index parquet partitioned by band, only
+    matching band partitions are scanned. The indexed side never
+    re-derives signatures."""
+    new_long = minhash_band_long(
+        new_df, text_col, id_col,
+        rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
+    )
+    all_long = (
+        indexed.select(id_col, "band", "h").withColumn("__new", F.lit(False))
+    ).unionByName(new_long.withColumn("__new", F.lit(True)))
+    if max_bucket_size is not None:
+        sizes = all_long.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))
+        all_long = (
+            all_long.join(sizes, on=["band", "h"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a = all_long.select(F.col(id_col).alias("__ia"), "band", "h", F.col("__new").alias("__na"))
+    b = all_long.filter("__new").select(F.col(id_col).alias("__ib"), "band", "h")
+    # each qualifying pair meets exactly once: an indexed doc exists
+    # only on the a side (any order vs the new doc), a new-new pair is
+    # kept in the __ia < __ib direction only
+    keep = F.when(F.col("__na"), F.col("__ia") < F.col("__ib")).otherwise(
+        F.col("__ia") != F.col("__ib")
+    )
+    return (
+        a.join(b, on=["band", "h"])
+        .filter(keep)
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )

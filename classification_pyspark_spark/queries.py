@@ -73,15 +73,16 @@ def _register_extensions() -> None:
 # tools/check_oracle.py).  Round 5 window: the FULL set of never-driver-
 # checked oracle queries — the 30 remaining after CORRECTNESS_r04 went
 # 50/50 green (exactly tools/window_rotation.py's candidate list) plus
-# the round-5-registered zorder_curve_stats — which closes cumulative
-# driver coverage at 181/181 oracle queries — plus 19 re-verification
+# the two round-5-registered queries (zorder_curve_stats,
+# minhash_incremental_dedup) — which closes cumulative driver coverage
+# at 182/182 oracle queries — plus 18 re-verification
 # slots filled with the OLDEST green rows (r01 vintage), so the
 # earliest-validated operators get a fresh driver row three rounds
 # later.  Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- 30 never-driver-checked (closes coverage at 180/180) ---
+    # --- 32 never-driver-checked (closes coverage at 182/182) ---
     # heavy hitters / UDTF / anomaly / quantiles / sessionization
     "heavy_hitters_tokens",
     "udtf_word_windows",
@@ -118,11 +119,13 @@ DRIVER_WINDOW: list[str] = [
     "sql_interface_regional_revenue",
     "sql_interface_segment_priority_mix",
     "sql_pipe_syntax_ship_status",
-    # round-5 addition (z-order layout): registered after the r04 run,
-    # so it is itself never-driver-checked — takes a re-verification
-    # slot to keep every remaining candidate inside the window
+    # round-5 additions (z-order layout, incremental minhash dedup):
+    # registered after the r04 run, so they are themselves
+    # never-driver-checked — each takes a re-verification slot to keep
+    # every remaining candidate inside the window
     "zorder_curve_stats",
-    # --- 19 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
+    "minhash_incremental_dedup",
+    # --- 18 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
     "flagship_customer_features",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -141,7 +144,6 @@ DRIVER_WINDOW: list[str] = [
     "split_leakage_audit",
     "text_langid",
     "doc_fingerprint",
-    "sessionize_events",
 ]
 
 

@@ -215,6 +215,52 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_incremental_dedup",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+                            i -> md5(substr(lower(text), i, 5))) AS dg
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, s,
+             list_aggregate(list_transform(dg, x -> substr(x, 8 * s + 1, 8)), 'min') AS h
+      FROM d, (SELECT unnest([0,1,2,3]) AS s)
+    ),
+    banded AS (
+      SELECT doc_id, s // 2 AS band, md5(string_agg(h, '|' ORDER BY s)) AS bh
+      FROM sig GROUP BY doc_id, s // 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+    GROUP BY 1, 2
+    """,
+)
+def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the corpus splits into an INDEXED set
+    (doc_id % 5 != 0, standing in for yesterday's corpus whose band
+    index is already materialized) and a NEW batch (doc_id % 5 == 0);
+    the incremental operator emits exactly the pairs a full rebuild
+    would report that involve at least one new doc — while computing
+    NO indexed-vs-indexed comparisons and re-signaturing nothing but
+    the batch. The oracle is the full-rebuild band join filtered to
+    new-involving pairs: identical by construction, value-hash-checked
+    here."""
+    from .operators.dedup_fuzzy import minhash_band_long, minhash_incremental_pairs
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    indexed = minhash_band_long(
+        d.filter(F.col("doc_id") % 5 != 0), "text", "doc_id"
+    )
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    return minhash_incremental_pairs(
+        indexed, new, "text", "doc_id", max_bucket_size=None
+    )
+
+
+@query(
     "simhash_fingerprints",
     sql="""
     WITH h AS (

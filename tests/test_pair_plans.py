@@ -246,6 +246,72 @@ def test_bigram_lm_variants_identical(spark):
     assert auto_big == base
 
 
+def test_minhash_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental dedup contract: (1) incremental pairs == full
+    rebuild restricted to new-involving pairs, uncapped AND capped
+    (the cap counts old+new bucket members, exactly the rebuild's
+    view); (2) the parquet band index round-trips (build -> read ->
+    incremental == in-memory incremental); (3) append-after-dedup
+    equals a full index rebuild."""
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        build_minhash_index,
+        minhash_band_long,
+        minhash_candidate_pairs,
+        minhash_incremental_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+
+    for cap in (3, None):  # None LAST: the disk check below reuses its `want`
+        full = {
+            tuple(r)
+            for r in minhash_candidate_pairs(
+                d, "text", "doc_id", max_bucket_size=cap
+            ).collect()
+        }
+        new_ids = {r[0] for r in new.select("doc_id").collect()}
+        want = {t for t in full if t[0] in new_ids or t[1] in new_ids}
+        idx = minhash_band_long(old, "text", "doc_id")
+        got = {
+            tuple(r)
+            for r in minhash_incremental_pairs(
+                idx, new, "text", "doc_id", max_bucket_size=cap
+            ).collect()
+        }
+        assert got == want, (cap, len(got ^ want))
+        assert any(t[0] in new_ids and t[1] in new_ids for t in got) or cap
+        assert any((t[0] in new_ids) != (t[1] in new_ids) for t in got) or cap
+
+    # parquet index round-trip + append == rebuild
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(old, "text", "doc_id", path)
+    got_disk = {
+        tuple(r)
+        for r in minhash_incremental_pairs(
+            spark.read.parquet(path), new, "text", "doc_id", max_bucket_size=None
+        ).collect()
+    }
+    assert got_disk == want
+    build_minhash_index(new, "text", "doc_id", path, mode="append")
+    appended = {
+        tuple(r)
+        for r in spark.read.parquet(path).select("doc_id", "band", "h").collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in minhash_band_long(d, "text", "doc_id")
+        .select("doc_id", "band", "h")
+        .collect()
+    }
+    # partitionBy turns band into a partition column; normalize types
+    assert {(i, str(b), h) for i, b, h in appended} == {
+        (i, str(b), h) for i, b, h in rebuilt
+    }
+
+
 def test_pagerank_pair_expansion_matches_self_join(spark, sf_dir):
     """collect_set + double-explode co-supply edges == the fact
     self-join edge list (weights included)."""
