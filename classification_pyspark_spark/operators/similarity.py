@@ -445,6 +445,153 @@ def cosine_dup_pairs(
     )
 
 
+def lsh_base_frame(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """The ``(id, v, bucket)`` frame shared by the pair operators and
+    the persistent index: double-cast vector + random-hyperplane LSH
+    bucket (vectorized assignment)."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        make_lsh_bucket_pudf(dim)(_as_double(F.col(vec_col))).alias("bucket"),
+    )
+
+
+def build_cosine_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the LSH-bucketed vector frame as a parquet dedup
+    index, partitioned by bucket — the embedding twin of
+    ``build_minhash_index``. A new batch's dedup join filters on the
+    batch's bucket values, so partition pruning bounds the index scan
+    to the batch's bucket NEIGHBORHOODS, not the corpus;
+    ``mode="append"`` is the per-batch update (append-after-dedup ==
+    rebuild, property-tested)."""
+    lsh_base_frame(df, id_col, vec_col, dim).write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def cosine_incremental_pairs(
+    indexed: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cosine: float = 0.9,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """Embedding near-dup pairs for a NEW batch against an indexed
+    corpus: new-vs-indexed and new-vs-new, never indexed-vs-indexed —
+    the embedding twin of ``minhash_incremental_pairs``. ``indexed``
+    is the stored ``(id, bucket, v)`` frame (``build_cosine_lsh_index``
+    output via ``spark.read.parquet``, or ``lsh_base_frame``); ids
+    must be disjoint from the batch's. Output schema/semantics match
+    ``cosine_dup_pairs`` and equal its full-rebuild output restricted
+    to new-involving pairs.
+
+    Plan: the index is first bucket-pruned to the batch's buckets (a
+    broadcast semi-join; on the partitioned parquet index this is
+    partition pruning — IO ∝ the batch's bucket neighborhoods). Pair
+    work then runs on a BIPARTITE task grid: per bucket, the candidate
+    side (index∪batch, sub-grouped by ``ceil(n/cap)``) crosses the
+    batch side (likewise sub-grouped), each (ga, gb) cell one
+    applyInPandas GEMM task of <= 2·cap rows — an old-new pair meets
+    in exactly one cell; a new-new pair meets in two (x as candidate /
+    y as batch, and mirrored) and the ``id_a < id_b`` keep rule
+    retains exactly one. Degenerate buckets stay bounded, identical to
+    the ``cosine_dup_pairs`` triangle guarantee."""
+    from .caching import track
+
+    new_base = track(lsh_base_frame(new_df, id_col, vec_col, dim))
+    new_buckets = new_base.select("bucket").distinct()
+    cand = (
+        indexed.select("id", "v", "bucket")
+        .join(F.broadcast(new_buckets), on="bucket", how="left_semi")
+        .withColumn("__new", F.lit(False))
+    )
+    allc = track(cand.unionByName(new_base.withColumn("__new", F.lit(True))))
+    id_type = new_df.schema[id_col].dataType.simpleString()
+    slack = min_cosine - 1e-4
+    cap = max(int(max_bucket_size), 2)
+
+    sizes = allc.groupBy("bucket").agg(
+        F.ceil(F.count(F.lit(1)) / cap).cast("int").alias("__na"),
+        F.ceil(F.count_if("__new") / cap).cast("int").alias("__nb"),
+    )
+    withn = allc.join(F.broadcast(sizes), on="bucket")
+    a_rows = withn.select(
+        "bucket", "id", "v", "__new",
+        F.lit("A").alias("__side"),
+        F.pmod(F.xxhash64("id"), F.col("__na")).cast("int").alias("ti"),
+        F.explode(F.expr("sequence(0, __nb - 1)")).alias("tj"),
+    )
+    b_rows = withn.filter("__new").select(
+        "bucket", "id", "v", "__new",
+        F.lit("B").alias("__side"),
+        F.explode(F.expr("sequence(0, __na - 1)")).alias("ti"),
+        F.pmod(F.xxhash64("id"), F.col("__nb")).cast("int").alias("tj"),
+    )
+    tasks = a_rows.unionByName(b_rows.select(*a_rows.columns))
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+        A = pdf[pdf["__side"] == "A"]
+        B = pdf[pdf["__side"] == "B"]
+        if len(A) == 0 or len(B) == 0:
+            return empty
+        VA = np.stack(A["v"].to_numpy()).astype(np.float64)
+        VB = np.stack(B["v"].to_numpy()).astype(np.float64)
+        ids_a, ids_b = A["id"].to_numpy(), B["id"].to_numpy()
+        new_a = A["__new"].to_numpy().astype(bool)
+        na_, nb_ = np.linalg.norm(VA, axis=1), np.linalg.norm(VB, axis=1)
+        a_out, b_out, c_out = [], [], []
+        blk = 1024
+        for s in range(0, len(VA), blk):
+            G = VA[s : s + blk] @ VB.T
+            D = np.outer(na_[s : s + blk], nb_)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = G / D
+            mask = (D > 0) & (C >= slack)
+            ii, jj = np.nonzero(mask)
+            if len(ii) == 0:
+                continue
+            ia, ib = ids_a[ii + s], ids_b[jj]
+            # old candidate: keep any order (the old id exists only on
+            # the A side, so the pair meets once); new candidate: this
+            # is a new-new pair that also meets mirrored — keep the
+            # id_a < id_b direction only
+            keep = np.where(new_a[ii + s], ia < ib, ia != ib)
+            if not keep.any():
+                continue
+            ia, ib, cc = ia[keep], ib[keep], C[ii[keep], jj[keep]]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            a_out.append(lo)
+            b_out.append(hi)
+            c_out.append(cc)
+        if not a_out:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "__cos": np.concatenate(c_out),
+            }
+        )
+
+    survivors = tasks.groupBy("bucket", "ti", "tj").applyInPandas(
+        cell_pairs, schema=f"id_a {id_type}, id_b {id_type}, __cos double"
+    )
+    return (
+        survivors.select("id_a", "id_b", F.round("__cos", 4).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the scale path past LSH. A KMeans coarse
 # quantizer partitions the corpus into n_clusters cells; a query probes

@@ -73,16 +73,17 @@ def _register_extensions() -> None:
 # tools/check_oracle.py).  Round 5 window: the FULL set of never-driver-
 # checked oracle queries — the 30 remaining after CORRECTNESS_r04 went
 # 50/50 green (exactly tools/window_rotation.py's candidate list) plus
-# the two round-5-registered queries (zorder_curve_stats,
-# minhash_incremental_dedup) — which closes cumulative driver coverage
-# at 182/182 oracle queries — plus 18 re-verification
+# the three round-5-registered queries (zorder_curve_stats,
+# minhash_incremental_dedup, embedding_incremental_dedup) — which
+# closes cumulative driver coverage at 183/183 oracle queries — plus
+# 17 re-verification
 # slots filled with the OLDEST green rows (r01 vintage), so the
 # earliest-validated operators get a fresh driver row three rounds
 # later.  Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- 32 never-driver-checked (closes coverage at 182/182) ---
+    # --- 33 never-driver-checked (closes coverage at 183/183) ---
     # heavy hitters / UDTF / anomaly / quantiles / sessionization
     "heavy_hitters_tokens",
     "udtf_word_windows",
@@ -125,7 +126,8 @@ DRIVER_WINDOW: list[str] = [
     # every remaining candidate inside the window
     "zorder_curve_stats",
     "minhash_incremental_dedup",
-    # --- 18 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
+    "embedding_incremental_dedup",
+    # --- 17 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
     "flagship_customer_features",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -143,7 +145,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_chunks",
     "split_leakage_audit",
     "text_langid",
-    "doc_fingerprint",
 ]
 
 

@@ -412,6 +412,45 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_incremental_dedup",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+        (SELECT SUM(CASE WHEN (
+           SELECT SUM(v[j + 1] * SIN(p.p * 1000 + j)) FROM unnest(range(0, {EMB_DIM})) AS u(j)
+         ) > 0 THEN 1 << p.p ELSE 0 END)
+         FROM (SELECT unnest(range(0, 8)) AS p) p) AS bucket
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b, {_COS.replace('b.', 'b2.')} AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {_COS.replace('b.', 'b2.')} >= 0.3
+      AND (a.vec_id % 5 = 0 OR b2.vec_id % 5 = 0)
+    """,
+)
+def embedding_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup, embedding edition: vectors with
+    vec_id % 5 != 0 stand in for the already-indexed corpus
+    (``build_cosine_lsh_index``'s bucket-partitioned frame), the rest
+    are the new batch. The incremental operator bucket-prunes the
+    index to the batch's neighborhoods and runs the bipartite GEMM
+    grid — new-vs-indexed + new-vs-new, no indexed² work — and its
+    output is by construction the full rebuild restricted to
+    new-involving pairs, which is exactly what the oracle computes."""
+    from .operators.similarity import cosine_incremental_pairs, lsh_base_frame
+
+    e = load_table(spark, sf_dir, "embeddings")
+    indexed = lsh_base_frame(
+        e.filter(F.col("vec_id") % 5 != 0), "vec_id", "embedding", EMB_DIM
+    )
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    return cosine_incremental_pairs(
+        indexed, new, "vec_id", "embedding", EMB_DIM, min_cosine=0.3
+    )
+
+
+@query(
     "tfidf_top_terms",
     sql=r"""
     WITH toks AS (

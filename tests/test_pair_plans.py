@@ -312,6 +312,72 @@ def test_minhash_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     }
 
 
+def test_cosine_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """Embedding twin of the minhash incremental contract:
+    (1) incremental == full cosine_dup_pairs restricted to
+    new-involving pairs, at the default cap and a tiny cap that forces
+    the bipartite grid to split; (2) the bucket-partitioned parquet
+    index round-trips; (3) append-after-dedup == rebuilt index."""
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.similarity import (
+        build_cosine_lsh_index,
+        cosine_dup_pairs,
+        cosine_incremental_pairs,
+        lsh_base_frame,
+    )
+    # import the registry root first: importing queries_llm directly
+    # would begin module init inside _register_extensions and trip the
+    # DRIVER_WINDOW completeness check on a half-registered registry
+    from classification_pyspark_spark import queries  # noqa: F401
+    from classification_pyspark_spark.queries_llm import EMB_DIM
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    new_ids = {r[0] for r in new.select("vec_id").collect()}
+
+    full = {
+        tuple(r)
+        for r in cosine_dup_pairs(e, "vec_id", "embedding", EMB_DIM, 0.3).collect()
+    }
+    want = {t for t in full if t[0] in new_ids or t[1] in new_ids}
+    assert want and want < full  # old-old pairs exist and are excluded
+
+    for cap in (100_000, 7):  # default; forced multi-cell grid
+        got = {
+            tuple(r)
+            for r in cosine_incremental_pairs(
+                lsh_base_frame(old, "vec_id", "embedding", EMB_DIM),
+                new, "vec_id", "embedding", EMB_DIM,
+                min_cosine=0.3, max_bucket_size=cap,
+            ).collect()
+        }
+        assert got == want, (cap, len(got ^ want))
+
+    path = str(tmp_path / "cos_idx")
+    build_cosine_lsh_index(old, "vec_id", "embedding", EMB_DIM, path)
+    got_disk = {
+        tuple(r)
+        for r in cosine_incremental_pairs(
+            spark.read.parquet(path), new, "vec_id", "embedding", EMB_DIM,
+            min_cosine=0.3,
+        ).collect()
+    }
+    assert got_disk == want
+    build_cosine_lsh_index(new, "vec_id", "embedding", EMB_DIM, path, mode="append")
+    appended = {
+        (r["id"], int(r["bucket"]))
+        for r in spark.read.parquet(path).select("id", "bucket").collect()
+    }
+    rebuilt = {
+        (r["id"], int(r["bucket"]))
+        for r in lsh_base_frame(e, "vec_id", "embedding", EMB_DIM)
+        .select("id", "bucket")
+        .collect()
+    }
+    assert appended == rebuilt
+
+
 def test_pagerank_pair_expansion_matches_self_join(spark, sf_dir):
     """collect_set + double-explode co-supply edges == the fact
     self-join edge list (weights included)."""
