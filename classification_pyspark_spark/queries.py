@@ -120,10 +120,11 @@ DRIVER_WINDOW: list[str] = [
     "sql_interface_regional_revenue",
     "sql_interface_segment_priority_mix",
     "sql_pipe_syntax_ship_status",
-    # round-5 additions (z-order layout, incremental minhash dedup):
-    # registered after the r04 run, so they are themselves
-    # never-driver-checked — each takes a re-verification slot to keep
-    # every remaining candidate inside the window
+    # round-5 additions (z-order layout, incremental minhash dedup,
+    # incremental embedding dedup): registered after the r04 run, so
+    # they are themselves never-driver-checked — each takes a
+    # re-verification slot to keep every remaining candidate inside
+    # the window
     "zorder_curve_stats",
     "minhash_incremental_dedup",
     "embedding_incremental_dedup",

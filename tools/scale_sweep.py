@@ -107,11 +107,36 @@ def _split_leakage_production(spark, sf_dir):
     )
 
 
+def _minhash_incremental_production(spark, sf_dir):
+    """minhash_incremental_dedup at production banding + bucket cap —
+    the registered H=4/r=2 uncapped form exists for DuckDB-oracle
+    parity and inherits the same j² candidate blowup as
+    minhash_dup_pairs at sf1+ (see _minhash_pairs_production)."""
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.catalog import load_table, spread_for_compute
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        minhash_band_long,
+        minhash_incremental_pairs,
+    )
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    indexed = minhash_band_long(
+        d.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
+        rows_per_band=8, n_hashes=16, engine="universal",
+    )
+    return minhash_incremental_pairs(
+        indexed, d.filter(F.col("doc_id") % 5 == 0), "text", "doc_id",
+        rows_per_band=8, n_hashes=16, engine="universal",
+    )
+
+
 PRODUCTION_MODE = {
     "tfidf_cosine_pairs": _tfidf_capped,
     "describe_numeric_approx": _describe_numeric_approx_production,
     "minhash_dup_pairs": _minhash_pairs_production,
     "split_leakage_audit": _split_leakage_production,
+    "minhash_incremental_dedup": _minhash_incremental_production,
 }
 
 
