@@ -120,6 +120,25 @@ def test_threshold_sweep_aggregates_before_threshold_join(spark, sf_dir):
     )
 
 
+def test_zorder_stats_single_bounded_exchange(spark, sf_dir):
+    """The z-value is pure projection arithmetic: the curve-stats query
+    must be scan -> project -> partial agg -> ONE hash exchange of
+    <= 64 rows -> final agg. No join, no extra shuffle, no UDF."""
+    plan = _plan(QUERIES["zorder_curve_stats"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_incremental_dedup_probes_index_not_corpus(spark, sf_dir):
+    """Incremental embedding dedup must bucket-prune the index with a
+    broadcast (semi) join on the batch's bucket values — the
+    DataFrame-level stand-in for partition pruning on the stored
+    index — and never plan a cartesian product."""
+    plan = _plan(QUERIES["embedding_incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
 def test_every_query_plan_has_no_unexplained_scale_flags(spark, sf_dir):
     """Full-registry audit: single-partition exchanges, cartesian
     products, global windows, and row-at-a-time Python UDFs must all
