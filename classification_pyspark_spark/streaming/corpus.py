@@ -153,3 +153,115 @@ def ingest_batch(
         )
     finally:
         accepted.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup (minhash) dedup at ingest — the streaming face of
+# operators/dedup_fuzzy.py's incremental index (build_minhash_index /
+# minhash_incremental_pairs). Same epoch-keyed idempotence contract as
+# the exact-digest ingest above; the index rows are LSH band hashes
+# instead of text digests, so arriving NEAR-duplicates (not just exact
+# copies) are vetoed in O(batch + band-probe).
+# ---------------------------------------------------------------------------
+def ingest_documents_neardup(
+    docs: DataFrame,
+    sink_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    rows_per_band: int = 8,
+    n_hashes: int = 16,
+    engine: str = "universal",
+) -> None:
+    """Drain the stream (availableNow) through the near-dup ingest."""
+    (
+        docs.writeStream.foreachBatch(
+            lambda batch, epoch_id: ingest_batch_neardup(
+                batch, epoch_id, sink_path, index_path,
+                checkpoint_tag=checkpoint_path,
+                rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def ingest_batch_neardup(
+    batch: DataFrame,
+    epoch_id: int,
+    sink_path: str,
+    index_path: str,
+    checkpoint_tag: str | None = None,
+    rows_per_band: int = 8,
+    n_hashes: int = 16,
+    engine: str = "universal",
+) -> None:
+    """One foreachBatch near-dup ingest step.
+
+    1. LSH band frame for the batch (``minhash_band_long``; NULL text
+       bands as empty text, same posture as the digest ingest);
+    2. in-batch greedy-by-id: a doc is REJECTED if any of its band
+       buckets contains a smaller doc_id. Deterministic and parallel
+       (one band-bucket aggregate); transitive near-dup chains
+       collapse to the earliest doc — the standard greedy
+       approximation of pair clustering (a mid-chain doc can be
+       rejected by a doc that was itself rejected), trading bounded
+       over-rejection for zero iterative work per trigger;
+    3. vs the index: rejected if any band matches epochs < N (the
+       batch's own replayed bands never veto it);
+    4. accepted docs -> ``sink/epoch=N``; their bands ->
+       ``index/epoch=N`` — overwrite both, so checkpoint replay is
+       idempotent by construction. Sound invariant: across the whole
+       accepted corpus, every (band, h) bucket has exactly one member.
+    """
+    from ..operators.dedup_fuzzy import minhash_band_long
+
+    spark = batch.sparkSession
+    _check_tag(spark, sink_path, checkpoint_tag)
+    safe = batch.withColumn("__text", F.coalesce(F.col("text"), F.lit("")))
+    bands = minhash_band_long(
+        safe.select("doc_id", "__text"), "__text", "doc_id",
+        rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
+    )
+    bucket_min = bands.groupBy("band", "h").agg(F.min("doc_id").alias("__m"))
+    in_batch_ok = (
+        bands.join(bucket_min, on=["band", "h"])
+        .groupBy("doc_id")
+        .agg(F.max((F.col("__m") < F.col("doc_id")).cast("int")).alias("__dup"))
+        .filter(F.col("__dup") == 0)
+        .select("doc_id")
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = spark.read.parquet(index_path).filter(F.col("epoch") < int(epoch_id))
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        index = None
+    ok = in_batch_ok
+    if index is not None:
+        vetoed = (
+            bands.join(index.select("band", "h"), on=["band", "h"], how="left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        ok = ok.join(vetoed, "doc_id", "left_anti")
+    accepted = batch.join(ok, "doc_id", "left_semi").persist()
+    try:
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"epoch={int(epoch_id)}")
+        )
+        bands.join(ok, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(index_path, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        accepted.unpersist()
+        # minhash_band_long tracked a persist of the banded signature
+        # frame; a long-running stream would accumulate one cached
+        # frame per trigger without this per-batch release
+        from ..operators.caching import release_tracked
+
+        release_tracked()

@@ -111,6 +111,69 @@ def test_null_text_accepted_exactly_once(spark, tmp_path_factory):
     assert corpus.filter(F.col("text").isNull()).count() == 1
 
 
+def test_neardup_ingest_vetoes_across_batches_and_replays(spark, sf_dir, tmp_path_factory):
+    """Near-dup minhash ingest: exact copies are deterministically
+    vetoed (they share EVERY band bucket with the original, in-batch or
+    cross-epoch); the accepted corpus satisfies the sound invariant —
+    every (band, h) bucket globally unique; and a checkpoint replay of
+    an epoch reproduces the identical accept set."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import minhash_band_long
+    from classification_pyspark_spark.streaming.corpus import (
+        ingest_batch_neardup,
+        ingest_documents_neardup,
+        read_corpus,
+        read_documents_stream,
+    )
+
+    base = tmp_path_factory.mktemp("neardup")
+    landing = str(base / "landing")
+    sink, index, ckpt = str(base / "sink"), str(base / "index"), str(base / "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    # file 1: originals; file 2 (appended later => later mtime => later
+    # trigger): exact copies under shifted ids + two fresh texts — the
+    # copies MUST be vetoed cross-batch
+    fresh = spark.createDataFrame(
+        [(700001, "an entirely unprecedented document body xyzzy", "en", "t", 45),
+         (700002, "quite another wholly novel body of text plugh", "en", "t", 45)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.select(*fresh.columns).coalesce(1).write.mode("overwrite").parquet(landing)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes: the file source orders by timestamp
+    copies = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 500000)
+    copies.select(*fresh.columns).unionByName(fresh).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    ingest_documents_neardup(
+        read_documents_stream(spark, landing), sink, index, ckpt
+    )
+    got = read_corpus(spark, sink)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert not any(i >= 500000 and i < 700000 for i in got_ids)  # copies vetoed
+    assert {700001, 700002} <= got_ids  # fresh texts accepted
+
+    # sound invariant: accepted band buckets are globally unique
+    bands = minhash_band_long(
+        got.withColumn("__t", F.coalesce("text", F.lit(""))), "__t", "doc_id",
+        rows_per_band=8, n_hashes=16, engine="universal",
+    )
+    assert bands.groupBy("band", "h").count().filter("count > 1").count() == 0
+
+    # replay idempotence: re-running the LAST epoch overwrites in place
+    epochs = sorted(
+        int(r["epoch"]) for r in spark.read.parquet(sink).select("epoch").distinct().collect()
+    )
+    last = epochs[-1]
+    replay_batch = copies.select(*fresh.columns).unionByName(fresh)
+    before = sorted(got_ids)
+    ingest_batch_neardup(replay_batch, last, sink, index, checkpoint_tag=ckpt)
+    after = sorted(r["doc_id"] for r in read_corpus(spark, sink).select("doc_id").collect())
+    assert before == after
+
+
 def test_read_corpus_as_of_epoch_time_travel(spark, sf_dir, tmp_path_factory):
     base = tmp_path_factory.mktemp("travel")
     sink, index = str(base / "sink"), str(base / "index")
