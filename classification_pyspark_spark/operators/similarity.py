@@ -244,38 +244,142 @@ def lsh_buckets(
 
 
 def knn_lsh(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int = 3, vectorized: bool = True
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    vectorized: bool = True,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k neighbors within each LSH bucket: one shuffle
-    on the bucket id, pairwise cosine only inside buckets.
+    on the bucket id, pairwise cosine only inside buckets. Neighbors
+    with undefined cosine (zero-norm vectors) are excluded, and
+    zero-norm queries return no rows.
 
     Output: (query_id, neighbor_id, cosine rounded 4, rank).
-    """
-    bucket = (
-        make_lsh_bucket_pudf(dim)(_as_double(F.col(vec_col)))
-        if vectorized
-        else lsh_bucket_expr(F.col(vec_col), dim)
+
+    The vectorized path reuses the ``cosine_dup_pairs`` triangle task
+    grid and computes each cell's scores with one blocked GEMM, but
+    emits only each query's IN-CELL top-k — so the exchange after the
+    kernel carries ≤ k·cells candidate rows per query instead of the
+    self-join's bucket² rows (each dragging BOTH vectors). A final
+    query-keyed window merges cell partials into the global top-k.
+    In-kernel ties are broken by ascending neighbor id (rows sorted by
+    id + stable argsort), the same total order as the merge window, so
+    the per-cell truncation never drops a pair the global rank needed.
+    Oversized buckets split exactly as in ``cosine_dup_pairs``
+    (``max_bucket_size``); the non-vectorized form keeps the join +
+    window plan."""
+    if not vectorized:
+        bucket = lsh_bucket_expr(F.col(vec_col), dim)
+        base = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            bucket.alias("bucket"),
+        )
+        a = base.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
+        b = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
+        cos = cosine_expr(F.col("qv"), F.col("nv"))
+        scored = (
+            a.join(b, on="bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cos.alias("__cos"))
+            .filter(F.col("__cos").isNotNull())
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cosine"), "rank")
+        )
+
+    from .caching import track
+
+    base = track(lsh_base_frame(df, id_col, vec_col, dim))
+    id_type = df.schema[id_col].dataType.simpleString()
+    cap = max(int(max_bucket_size), 2)
+    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    tasks = (
+        base.join(F.broadcast(sizes), on="bucket")
+        .withColumn("__ns", F.ceil(F.col("__bn") / F.lit(cap)).cast("int"))
+        .withColumn("g", F.pmod(F.xxhash64("id"), F.col("__ns")).cast("int"))
+        .select(
+            "bucket", "id", "v", "g",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, __ns - 1), t -> "
+                    "if(t < g, struct(t AS ti, g AS tj), "
+                    "struct(g AS ti, t AS tj)))"
+                )
+            ).alias("__cell"),
+        )
+        .select("bucket", "id", "v", "g", "__cell.ti", "__cell.tj")
     )
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        bucket.alias("bucket"),
-    )
-    a = base.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket")
-    b = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
-    cos = (
-        _cosine_pudf(F.col("qv"), F.col("nv"))
-        if vectorized
-        else cosine_expr(F.col("qv"), F.col("nv"))
-    )
-    scored = (
-        a.join(b, on="bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("__cos"))
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "__cos": []})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("id")  # stable argsort ties -> ascending id
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
+        within = ti == tj
+        if within:
+            A = B = pdf
+        else:
+            A = pdf[pdf["g"] == ti]
+            B = pdf[pdf["g"] == tj]
+            if len(A) == 0 or len(B) == 0:
+                return empty
+        VA = np.stack(A["v"].to_numpy()).astype(np.float64)
+        VB = VA if within else np.stack(B["v"].to_numpy()).astype(np.float64)
+        ids_a = A["id"].to_numpy()
+        ids_b = ids_a if within else B["id"].to_numpy()
+        na = np.linalg.norm(VA, axis=1)
+        nb = na if within else np.linalg.norm(VB, axis=1)
+
+        q_out, n_out, c_out = [], [], []
+
+        def emit(Vq, nq, idq, Vn, nn_, idn, exclude_diag: bool):
+            blk = 1024
+            kk = min(k, len(idn))
+            for s in range(0, len(Vq), blk):
+                G = Vq[s : s + blk] @ Vn.T
+                D = np.outer(nq[s : s + blk], nn_)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = np.where(D > 0, G / D, -np.inf)
+                if exclude_diag:
+                    rr = np.arange(s, min(s + blk, len(Vq)))
+                    C[rr - s, rr] = -np.inf
+                order = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+                rows = np.repeat(np.arange(C.shape[0]), order.shape[1])
+                cols = order.ravel()
+                score = C[rows, cols]
+                keep = np.isfinite(score)
+                if keep.any():
+                    q_out.append(idq[rows[keep] + s])
+                    n_out.append(idn[cols[keep]])
+                    c_out.append(score[keep])
+
+        emit(VA, na, ids_a, VB, nb, ids_b, exclude_diag=within)
+        if not within:
+            emit(VB, nb, ids_b, VA, na, ids_a, exclude_diag=False)
+        if not q_out:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(q_out),
+                "neighbor_id": np.concatenate(n_out),
+                "__cos": np.concatenate(c_out),
+            }
+        )
+
+    candidates = tasks.groupBy("bucket", "ti", "tj").applyInPandas(
+        cell_topk, schema=f"query_id {id_type}, neighbor_id {id_type}, __cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cosine"), "rank")
     )

@@ -246,6 +246,42 @@ def test_bigram_lm_variants_identical(spark):
     assert auto_big == base
 
 
+def test_knn_lsh_cell_topk_equals_join_form(spark):
+    """The per-cell GEMM top-k must equal the (bucket self-join +
+    global window) formulation — same neighbors, same ranks, same
+    rounded cosines — at several k, with and without forced bucket
+    splits, including a zero vector (undefined cosine: excluded as a
+    neighbor, empty as a query) and exact-duplicate vectors (cosine
+    ties broken by ascending neighbor id across cell boundaries)."""
+    import numpy as np
+
+    from classification_pyspark_spark.operators.similarity import knn_lsh
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    centers = rng.normal(size=(6, dim))
+    vecs = [centers[i % 6] + rng.normal(scale=0.05, size=dim) for i in range(50)]
+    vecs.append(np.zeros(dim))
+    vecs.append(vecs[7])  # exact duplicate -> cosine 1.0 tie with id order
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(3)
+
+    for k in (1, 3, 7):
+        want = {
+            tuple(r)
+            for r in knn_lsh(df, "vec_id", "embedding", dim, k=k, vectorized=False).collect()
+        }
+        for cap in (100_000, 9):
+            got = {
+                tuple(r)
+                for r in knn_lsh(
+                    df, "vec_id", "embedding", dim, k=k, max_bucket_size=cap
+                ).collect()
+            }
+            assert got == want, (k, cap, len(got ^ want))
+        assert want  # the clustered corpus must produce neighbors
+
+
 def test_minhash_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     """Incremental dedup contract: (1) incremental pairs == full
     rebuild restricted to new-involving pairs, uncapped AND capped
