@@ -243,6 +243,49 @@ def lsh_buckets(
     return df.filter(F.col(vec_col).isNotNull()).select(F.col(id_col), bucket.alias("bucket"))
 
 
+def _triangle_tasks(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, max_bucket_size: int
+) -> DataFrame:
+    """The bounded task frame shared by the in-bucket GEMM kernels
+    (``cosine_dup_pairs``, ``knn_lsh``): triangle split for oversized
+    buckets — nsplit = ceil(size/cap) sub-groups per bucket; each row
+    (sub-group g) is replicated to the nsplit task cells of the
+    upper-triangle grid that involve g — (i, g) for i < g and (g, j)
+    for j >= g — so every unordered pair meets in exactly one
+    (bucket, ti, tj) task and task memory is bounded at ~2·cap rows.
+    Bucket sizes are a bucket-count-sized aggregate; AQE broadcasts
+    the join. The base frame is persisted (tracked): the sizes
+    aggregate AND the task fan-out both read it — without the persist
+    the pandas bucket-assign UDF runs twice over every vector
+    (measured +0.7s at sf1 for a 1.2s query); the frame is the narrow
+    (id, v, bucket) projection, the same thing the pair shuffle
+    carries anyway."""
+    from .caching import track
+
+    base = track(lsh_base_frame(df, id_col, vec_col, dim))
+    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    cap = max(int(max_bucket_size), 2)
+    return (
+        base.join(F.broadcast(sizes), on="bucket")
+        .withColumn("__ns", F.ceil(F.col("__bn") / F.lit(cap)).cast("int"))
+        .withColumn("g", F.pmod(F.xxhash64("id"), F.col("__ns")).cast("int"))
+        .select(
+            "bucket",
+            "id",
+            "v",
+            "g",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, __ns - 1), t -> "
+                    "if(t < g, struct(t AS ti, g AS tj), "
+                    "struct(g AS ti, t AS tj)))"
+                )
+            ).alias("__cell"),
+        )
+        .select("bucket", "id", "v", "g", "__cell.ti", "__cell.tj")
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     id_col: str,
@@ -294,28 +337,8 @@ def knn_lsh(
             .select("query_id", "neighbor_id", F.round("__cos", 4).alias("cosine"), "rank")
         )
 
-    from .caching import track
-
-    base = track(lsh_base_frame(df, id_col, vec_col, dim))
+    tasks = _triangle_tasks(df, id_col, vec_col, dim, max_bucket_size)
     id_type = df.schema[id_col].dataType.simpleString()
-    cap = max(int(max_bucket_size), 2)
-    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
-    tasks = (
-        base.join(F.broadcast(sizes), on="bucket")
-        .withColumn("__ns", F.ceil(F.col("__bn") / F.lit(cap)).cast("int"))
-        .withColumn("g", F.pmod(F.xxhash64("id"), F.col("__ns")).cast("int"))
-        .select(
-            "bucket", "id", "v", "g",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, __ns - 1), t -> "
-                    "if(t < g, struct(t AS ti, g AS tj), "
-                    "struct(g AS ti, t AS tj)))"
-                )
-            ).alias("__cell"),
-        )
-        .select("bucket", "id", "v", "g", "__cell.ti", "__cell.tj")
-    )
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "__cos": []})
@@ -448,50 +471,9 @@ def cosine_dup_pairs(
             .filter(F.col("cosine") >= min_cosine)
         )
 
-    from .caching import track
-
-    # persisted: the sizes aggregate AND the task fan-out both read
-    # this frame — without the persist the pandas bucket-assign UDF
-    # runs twice over every vector (measured +0.7s at sf1 for a 1.2s
-    # query). The frame is the narrow (id, v, bucket) projection, the
-    # same thing the pair shuffle carries anyway.
-    base = track(
-        df.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("id"),
-            _as_double(F.col(vec_col)).alias("v"),
-            make_lsh_bucket_pudf(dim)(_as_double(F.col(vec_col))).alias("bucket"),
-        )
-    )
+    tasks = _triangle_tasks(df, id_col, vec_col, dim, max_bucket_size)
     id_type = df.schema[id_col].dataType.simpleString()
     slack = min_cosine - 1e-4
-
-    # Triangle split for oversized buckets: nsplit = ceil(size/cap)
-    # sub-groups per bucket; each row (sub-group g) is replicated to
-    # the nsplit task cells of the upper-triangle grid that involve g
-    # — (i, g) for i < g and (g, j) for j >= g — so every unordered
-    # pair meets in exactly one (bucket, ti, tj) task. Bucket sizes
-    # are a bucket-count-sized aggregate; AQE broadcasts the join.
-    sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
-    cap = max(int(max_bucket_size), 2)
-    tasks = (
-        base.join(F.broadcast(sizes), on="bucket")
-        .withColumn("__ns", F.ceil(F.col("__bn") / F.lit(cap)).cast("int"))
-        .withColumn("g", F.pmod(F.xxhash64("id"), F.col("__ns")).cast("int"))
-        .select(
-            "bucket",
-            "id",
-            "v",
-            "g",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, __ns - 1), t -> "
-                    "if(t < g, struct(t AS ti, g AS tj), "
-                    "struct(g AS ti, t AS tj)))"
-                )
-            ).alias("__cell"),
-        )
-        .select("bucket", "id", "v", "g", "__cell.ti", "__cell.tj")
-    )
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
