@@ -459,3 +459,49 @@ def test_edit_distance_simhash_prefix_recall(spark, sf_dir):
     )
     assert pfx <= exact
     assert len(pfx) >= 0.85 * len(exact)
+
+
+@given(
+    vals=st.lists(
+        st.lists(finite_doubles, min_size=4, max_size=4), min_size=2, max_size=25
+    ),
+    cap=st.integers(min_value=2, max_value=8),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_triangle_split_invariant_under_cap_property(spark, vals, cap, k):
+    """For ANY vector corpus (zero vectors, duplicates, arbitrary LSH
+    bucket shapes) and ANY cap, the triangle/task-grid formulations
+    must return exactly what their uncapped single-task-per-bucket
+    form returns — for both the pair operator and the top-k operator."""
+    from classification_pyspark_spark.operators.caching import release_tracked
+    from classification_pyspark_spark.operators.similarity import (
+        cosine_dup_pairs,
+        knn_lsh,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    try:
+        pairs_unc = {
+            tuple(r) for r in cosine_dup_pairs(df, "vec_id", "embedding", 4, 0.5).collect()
+        }
+        pairs_cap = {
+            tuple(r)
+            for r in cosine_dup_pairs(
+                df, "vec_id", "embedding", 4, 0.5, max_bucket_size=cap
+            ).collect()
+        }
+        assert pairs_cap == pairs_unc
+        knn_unc = {
+            tuple(r) for r in knn_lsh(df, "vec_id", "embedding", 4, k=k).collect()
+        }
+        knn_cap = {
+            tuple(r)
+            for r in knn_lsh(
+                df, "vec_id", "embedding", 4, k=k, max_bucket_size=cap
+            ).collect()
+        }
+        assert knn_cap == knn_unc
+    finally:
+        release_tracked()
