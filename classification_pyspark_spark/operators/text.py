@@ -785,3 +785,70 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ]
     )
     return df.mapInPandas(batches, schema=schema)
+
+
+def rouge_n(
+    df: DataFrame,
+    ref_col: str,
+    cand_col: str,
+    id_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N overlap between a reference and a candidate text column
+    — the standard n-gram eval metric a training-data pipeline needs
+    to score generated/augmented text against references (Lin 2004):
+    clipped n-gram matches / candidate grams = precision, / reference
+    grams = recall, harmonic mean = F1.
+
+    Distributed shape: both sides explode to (id, gram) COUNT frames
+    (map-side-combined aggregates over 8-byte rolling-hash gram keys —
+    gram identity is all clipping needs), the two count frames join
+    per (id, gram), and ``sum(least(c_ref, c_cand))`` is the clipped
+    match count. Work is proportional to total grams; nothing is
+    quadratic, no driver collects, and the join keys are (id, gram)
+    — co-partitioned, no skew beyond a single document's repetition.
+    Empty sides score 0 (by convention), not NULL.
+
+    Output: (id, n_ref_grams, n_cand_grams, rouge_p, rouge_r, rouge_f
+    — doubles rounded 6), one row per input row.
+    """
+
+    def gram_counts(col: str, alias: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col(col))), r"[^0-9a-z]+"),
+            lambda x: F.length(x) > 0,
+        )
+        # distinct=False: ROUGE clipping needs the gram MULTISET
+        hashed = F.expr(rolling_gram_hash_sql("__toks", n, distinct=False))
+        return (
+            df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+            .select("id", F.explode_outer(hashed).alias("gram"))
+            .groupBy("id", "gram")
+            .agg(F.count(F.when(F.col("gram").isNotNull(), 1)).alias(alias))
+        )
+
+    ref = gram_counts(ref_col, "c_ref")
+    cand = gram_counts(cand_col, "c_cand")
+    joined = ref.join(cand, on=["id", "gram"], how="full_outer")
+    per_id = joined.groupBy("id").agg(
+        F.sum(F.coalesce("c_ref", F.lit(0))).cast("long").alias("n_ref_grams"),
+        F.sum(F.coalesce("c_cand", F.lit(0))).cast("long").alias("n_cand_grams"),
+        F.sum(
+            F.least(F.coalesce("c_ref", F.lit(0)), F.coalesce("c_cand", F.lit(0)))
+        ).cast("long").alias("__match"),
+    )
+    p = F.when(F.col("n_cand_grams") > 0, F.col("__match") / F.col("n_cand_grams")).otherwise(0.0)
+    r = F.when(F.col("n_ref_grams") > 0, F.col("__match") / F.col("n_ref_grams")).otherwise(0.0)
+    f = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_id, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_ref_grams", F.lit(0)).alias("n_ref_grams"),
+            F.coalesce("n_cand_grams", F.lit(0)).alias("n_cand_grams"),
+            F.round(F.coalesce(p, F.lit(0.0)), 6).alias("rouge_p"),
+            F.round(F.coalesce(r, F.lit(0.0)), 6).alias("rouge_r"),
+            F.round(F.coalesce(f, F.lit(0.0)), 6).alias("rouge_f"),
+        )
+    )

@@ -268,3 +268,88 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "neg_id", "rank")
     )
+
+
+@query(
+    "rouge_halves_overlap",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, text,
+             substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS head
+      FROM documents
+    ),
+    rt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS t
+      FROM d
+    ),
+    ct AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(head)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS t
+      FROM d
+    ),
+    rg AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c_ref FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                           ELSE []::VARCHAR[] END) AS gram
+        FROM rt
+      ) GROUP BY 1, 2
+    ),
+    cg AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c_cand FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                           ELSE []::VARCHAR[] END) AS gram
+        FROM cg_src
+      ) GROUP BY 1, 2
+    ),
+    cg_src AS (SELECT doc_id, t FROM ct),
+    m AS (
+      SELECT doc_id,
+             SUM(COALESCE(c_ref, 0)) AS n_ref,
+             SUM(COALESCE(c_cand, 0)) AS n_cand,
+             SUM(LEAST(COALESCE(c_ref, 0), COALESCE(c_cand, 0))) AS matches
+      FROM rg FULL JOIN cg USING (doc_id, gram)
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT d.doc_id AS id,
+             CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref_grams,
+             CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand_grams,
+             CASE WHEN COALESCE(n_cand, 0) > 0
+                  THEN CAST(matches AS DOUBLE) / n_cand ELSE 0.0 END AS p,
+             CASE WHEN COALESCE(n_ref, 0) > 0
+                  THEN CAST(matches AS DOUBLE) / n_ref ELSE 0.0 END AS r
+      FROM d LEFT JOIN m USING (doc_id)
+    )
+    SELECT id, n_ref_grams, n_cand_grams,
+           ROUND(p, 6) AS rouge_p, ROUND(r, 6) AS rouge_r,
+           ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS rouge_f
+    FROM s
+    """,
+)
+def rouge_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 of each document's first half against the full text —
+    the standard generated-text eval metric (clipped n-gram
+    precision/recall/F1, Lin 2004) exercised as a self-pair so the
+    synthetic corpus provides both sides. Distributed shape in
+    ``operators/text.py:rouge_n``: per-(id, gram) count frames over
+    8-byte rolling-hash gram keys, a co-partitioned full-outer join,
+    and a clipped-min sum — work linear in total grams. The oracle
+    replays the identical clipping over string bigrams (hash identity
+    preserves multiset counts up to the usual 2^-64 class)."""
+    from .operators.text import rouge_n
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        F.expr("substring(text, 1, cast(floor(length(text) / 2) as int))").alias(
+            "head"
+        ),
+    )
+    return rouge_n(d, "text", "head", "doc_id", n=2)

@@ -442,3 +442,25 @@ def test_edit_distance_prefix_blocking_subset_and_recall(spark):
     assert (1, 3, 1) in exact and (1, 3, 1) in pfx
     # unrelated docs never pair
     assert not any(4 in p[:2] or 5 in p[:2] for p in exact)
+
+
+def test_rouge_n_known_values(spark):
+    """ROUGE-2 against hand-computed clipped-count references,
+    including the repetition-clipping case and an empty candidate."""
+    from classification_pyspark_spark.operators.text import rouge_n
+
+    rows = [
+        (0, "a b a c", "a b a"),   # matches 2: p=1, r=2/3, f=0.8
+        (1, "a a a", "a a a a"),   # clipped min(2,3)=2: p=2/3, r=1, f=0.8
+        (2, "a b c", "x"),         # no candidate bigrams: all 0
+        (3, "", "a b"),            # no reference bigrams: p=0, r=0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ref string, cand string")
+    got = {
+        r["id"]: (r["n_ref_grams"], r["n_cand_grams"], r["rouge_p"], r["rouge_r"], r["rouge_f"])
+        for r in rouge_n(df, "ref", "cand", "doc_id", n=2).collect()
+    }
+    assert got[0] == (3, 2, 1.0, 0.666667, 0.8)
+    assert got[1] == (2, 3, 0.666667, 1.0, 0.8)
+    assert got[2] == (2, 0, 0.0, 0.0, 0.0)
+    assert got[3] == (0, 1, 0.0, 0.0, 0.0)
