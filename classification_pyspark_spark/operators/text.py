@@ -852,3 +852,85 @@ def rouge_n(
             F.round(F.coalesce(f, F.lit(0.0)), 6).alias("rouge_f"),
         )
     )
+
+
+def bleu_n(
+    df: DataFrame,
+    ref_col: str,
+    cand_col: str,
+    id_col: str,
+    max_n: int = 2,
+) -> DataFrame:
+    """Sentence-level BLEU up to ``max_n`` (Papineni et al. 2002):
+    geometric mean of clipped n-gram precisions × brevity penalty
+    ``min(1, exp(1 - ref_len/cand_len))``. Complements ``rouge_n``
+    (recall-oriented) with the precision-oriented standard; same
+    distributed shape — per-(id, gram) count frames per n, clipped-min
+    sums, everything linear in total grams.
+
+    Smoothing: a zero clipped count at any n zeroes the score (the
+    uns moothed definition — deterministic and oracle-replayable).
+    Empty candidates score 0. Output: (id, n_ref_tokens long,
+    n_cand_tokens long, p1..p{max_n} double rounded 6, bleu double
+    rounded 6)."""
+    toks = lambda c: F.filter(  # noqa: E731 — tiny local alias
+        F.split(F.trim(F.lower(F.col(c))), r"[^0-9a-z]+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks(ref_col).alias("__rt"),
+        toks(cand_col).alias("__ct"),
+    )
+    lens = base.select(
+        "id",
+        F.size("__rt").cast("long").alias("n_ref_tokens"),
+        F.size("__ct").cast("long").alias("n_cand_tokens"),
+    )
+
+    def clipped(n: int) -> DataFrame:
+        def counts(tok_col: str, alias: str) -> DataFrame:
+            grams = F.expr(rolling_gram_hash_sql(tok_col, n, distinct=False))
+            return (
+                base.select("id", F.explode_outer(grams).alias("gram"))
+                .groupBy("id", "gram")
+                .agg(F.count(F.when(F.col("gram").isNotNull(), 1)).alias(alias))
+            )
+
+        j = counts("__rt", "c_ref").join(
+            counts("__ct", "c_cand"), on=["id", "gram"], how="full_outer"
+        )
+        return j.groupBy("id").agg(
+            F.sum(F.coalesce("c_cand", F.lit(0))).cast("long").alias(f"__cand_{n}"),
+            F.sum(
+                F.least(F.coalesce("c_ref", F.lit(0)), F.coalesce("c_cand", F.lit(0)))
+            ).cast("long").alias(f"__match_{n}"),
+        )
+
+    out = lens
+    for n in range(1, max_n + 1):
+        out = out.join(clipped(n), "id", "left")
+    ps = [
+        F.when(
+            F.coalesce(F.col(f"__cand_{n}"), F.lit(0)) > 0,
+            F.coalesce(F.col(f"__match_{n}"), F.lit(0)) / F.col(f"__cand_{n}"),
+        ).otherwise(0.0)
+        for n in range(1, max_n + 1)
+    ]
+    geo = ps[0]
+    for p in ps[1:]:
+        geo = geo * p
+    geo = F.pow(geo, 1.0 / max_n)
+    bp = F.when(F.col("n_cand_tokens") >= F.col("n_ref_tokens"), 1.0).otherwise(
+        F.when(
+            F.col("n_cand_tokens") > 0,
+            F.exp(1.0 - F.col("n_ref_tokens") / F.col("n_cand_tokens")),
+        ).otherwise(0.0)
+    )
+    return out.select(
+        "id",
+        "n_ref_tokens",
+        "n_cand_tokens",
+        *[F.round(p, 6).alias(f"p{n}") for n, p in enumerate(ps, start=1)],
+        F.round(bp * geo, 6).alias("bleu"),
+    )

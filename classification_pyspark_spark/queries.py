@@ -73,17 +73,17 @@ def _register_extensions() -> None:
 # tools/check_oracle.py).  Round 5 window: the FULL set of never-driver-
 # checked oracle queries — the 30 remaining after CORRECTNESS_r04 went
 # 50/50 green (exactly tools/window_rotation.py's candidate list) plus
-# the four round-5-registered queries (zorder_curve_stats,
+# the five round-5-registered queries (zorder_curve_stats,
 # minhash_incremental_dedup, embedding_incremental_dedup,
-# rouge_halves_overlap) — which closes cumulative driver coverage at
-# 184/184 oracle queries — plus 16 re-verification
+# rouge_halves_overlap, bleu_halves_overlap) — which closes cumulative
+# driver coverage at 185/185 oracle queries — plus 15 re-verification
 # slots filled with the OLDEST green rows (r01 vintage), so the
 # earliest-validated operators get a fresh driver row three rounds
 # later.  Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- 34 never-driver-checked (closes coverage at 184/184) ---
+    # --- 35 never-driver-checked (closes coverage at 185/185) ---
     # heavy hitters / UDTF / anomaly / quantiles / sessionization
     "heavy_hitters_tokens",
     "udtf_word_windows",
@@ -121,7 +121,7 @@ DRIVER_WINDOW: list[str] = [
     "sql_interface_segment_priority_mix",
     "sql_pipe_syntax_ship_status",
     # round-5 additions (z-order layout, incremental minhash dedup,
-    # incremental embedding dedup, ROUGE): registered after the r04
+    # incremental embedding dedup, ROUGE, BLEU): registered after the r04
     # run, so they are themselves never-driver-checked — each takes a
     # re-verification slot to keep every remaining candidate inside
     # the window
@@ -129,6 +129,7 @@ DRIVER_WINDOW: list[str] = [
     "minhash_incremental_dedup",
     "embedding_incremental_dedup",
     "rouge_halves_overlap",
+    "bleu_halves_overlap",
     # --- 17 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
     "flagship_customer_features",
     "q1_pricing_summary",
@@ -145,7 +146,6 @@ DRIVER_WINDOW: list[str] = [
     "knn_ivf",
     "corpus_curation",
     "doc_chunks",
-    "split_leakage_audit",
 ]
 
 

@@ -353,3 +353,90 @@ def rouge_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rouge_n(d, "text", "head", "doc_id", n=2)
+
+
+@query(
+    "bleu_halves_overlap",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, text,
+             substr(text, 1, CAST(floor(length(text) / 2) AS INT)) AS head
+      FROM documents
+    ),
+    rt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS t
+      FROM d
+    ),
+    ct AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(head)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS t
+      FROM d
+    ),
+    r1 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c_ref
+           FROM (SELECT doc_id, unnest(t) AS gram FROM rt) GROUP BY 1, 2),
+    c1 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c_cand
+           FROM (SELECT doc_id, unnest(t) AS gram FROM ct) GROUP BY 1, 2),
+    m1 AS (SELECT doc_id,
+                  SUM(COALESCE(c_cand, 0)) AS cand1,
+                  SUM(LEAST(COALESCE(c_ref, 0), COALESCE(c_cand, 0))) AS match1
+           FROM r1 FULL JOIN c1 USING (doc_id, gram) GROUP BY 1),
+    r2 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c_ref FROM (
+             SELECT doc_id,
+                    unnest(CASE WHEN len(t) >= 2
+                                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                                ELSE []::VARCHAR[] END) AS gram
+             FROM rt) GROUP BY 1, 2),
+    c2 AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c_cand FROM (
+             SELECT doc_id,
+                    unnest(CASE WHEN len(t) >= 2
+                                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                                ELSE []::VARCHAR[] END) AS gram
+             FROM ct) GROUP BY 1, 2),
+    m2 AS (SELECT doc_id,
+                  SUM(COALESCE(c_cand, 0)) AS cand2,
+                  SUM(LEAST(COALESCE(c_ref, 0), COALESCE(c_cand, 0))) AS match2
+           FROM r2 FULL JOIN c2 USING (doc_id, gram) GROUP BY 1),
+    s AS (
+      SELECT d.doc_id AS id,
+             CAST(len(rt.t) AS BIGINT) AS n_ref_tokens,
+             CAST(len(ct.t) AS BIGINT) AS n_cand_tokens,
+             CASE WHEN COALESCE(cand1, 0) > 0
+                  THEN CAST(match1 AS DOUBLE) / cand1 ELSE 0.0 END AS p1,
+             CASE WHEN COALESCE(cand2, 0) > 0
+                  THEN CAST(match2 AS DOUBLE) / cand2 ELSE 0.0 END AS p2
+      FROM d JOIN rt USING (doc_id) JOIN ct USING (doc_id)
+             LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+    )
+    SELECT id, n_ref_tokens, n_cand_tokens,
+           ROUND(p1, 6) AS p1, ROUND(p2, 6) AS p2,
+           ROUND(
+             (CASE WHEN n_cand_tokens >= n_ref_tokens THEN 1.0
+                   WHEN n_cand_tokens > 0
+                   THEN EXP(1.0 - CAST(n_ref_tokens AS DOUBLE) / n_cand_tokens)
+                   ELSE 0.0 END)
+             * POWER(p1 * p2, 0.5), 6) AS bleu
+    FROM s
+    """,
+)
+def bleu_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level BLEU-2 (clipped precisions + brevity penalty,
+    Papineni et al. 2002) of each document's first half against its
+    full text — the precision-oriented companion to
+    ``rouge_halves_overlap``, same self-pair convention. Distributed
+    shape in ``operators/text.py:bleu_n``: one clipped-count join per
+    gram size over hashed keys, linear in total grams; the oracle
+    replays the identical clipping, brevity penalty, and geometric
+    mean over string grams."""
+    from .operators.text import bleu_n
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "text",
+        F.expr("substring(text, 1, cast(floor(length(text) / 2) as int))").alias(
+            "head"
+        ),
+    )
+    return bleu_n(d, "text", "head", "doc_id", max_n=2)

@@ -464,3 +464,30 @@ def test_rouge_n_known_values(spark):
     assert got[1] == (2, 3, 0.666667, 1.0, 0.8)
     assert got[2] == (2, 0, 0.0, 0.0, 0.0)
     assert got[3] == (0, 1, 0.0, 0.0, 0.0)
+
+
+def test_bleu_n_known_values(spark):
+    """BLEU-2 against hand-computed references: clipped precisions,
+    brevity penalty, geometric mean, and the empty/degenerate cases."""
+    import math
+
+    from classification_pyspark_spark.operators.text import bleu_n
+
+    rows = [
+        (0, "the cat sat on the mat", "the cat sat on the mat"),
+        (1, "the cat sat on the mat", "the cat the cat"),
+        (2, "a b c d", "x"),
+        (3, "a b", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ref string, cand string")
+    got = {
+        r["id"]: (r["n_ref_tokens"], r["n_cand_tokens"], r["p1"], r["p2"], r["bleu"])
+        for r in bleu_n(df, "ref", "cand", "doc_id", max_n=2).collect()
+    }
+    assert got[0] == (6, 6, 1.0, 1.0, 1.0)
+    # p1 = (min(2,2)+min(2,1))/4 = 0.75 ; p2 = min(2,1)/3 = 1/3
+    # bleu = exp(1 - 6/4) * sqrt(0.75/3)
+    want = round(math.exp(-0.5) * math.sqrt(0.75 / 3.0), 6)
+    assert got[1] == (6, 4, 0.75, 0.333333, want)
+    assert got[2] == (4, 1, 0.0, 0.0, 0.0)
+    assert got[3] == (2, 0, 0.0, 0.0, 0.0)
