@@ -285,3 +285,41 @@ def ingest_documents_job(spark: SparkSession, params: dict) -> TaskStatus:
     except AnalysisException:  # empty landing zone: no batch ever wrote the sink
         n = 0
     return TaskStatus(True, f"corpus at {sink}: {n} unique documents")
+
+
+@register_processor("corpus-ingest", "ingest-documents-neardup")
+def ingest_documents_neardup_job(spark: SparkSession, params: dict) -> TaskStatus:
+    """Near-dup (minhash) streaming ingest as an orchestrated job —
+    the band-index twin of ``ingest-documents``: the same availableNow
+    drain and epoch-keyed idempotence, but arriving NEAR-duplicates
+    (not just exact copies) are vetoed against the persistent LSH band
+    index. Params: landing/sink/index/checkpoint (+ optional
+    rows_per_band, n_hashes, engine — defaults are the production
+    H=16/r=8 universal banding)."""
+    from .streaming.corpus import (
+        ingest_documents_neardup,
+        read_corpus,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(
+        spark,
+        params["landing"],
+        max_files_per_trigger=int(params.get("max_files_per_trigger", 8)),
+    )
+    ingest_documents_neardup(
+        stream,
+        params["sink"],
+        params["index"],
+        params["checkpoint"],
+        rows_per_band=int(params.get("rows_per_band", 8)),
+        n_hashes=int(params.get("n_hashes", 16)),
+        engine=params.get("engine", "universal"),
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        n = read_corpus(spark, params["sink"]).count()
+    except AnalysisException:  # empty landing zone
+        n = 0
+    return TaskStatus(True, f"near-dup-deduped corpus at {params['sink']}: {n} documents")

@@ -454,6 +454,48 @@ def test_corpus_ingest_job_is_incremental(spark, sf_dir, tmp_path):
     assert spark.read.parquet(params["sink"]).count() == n1
 
 
+def test_corpus_ingest_neardup_job(spark, sf_dir, tmp_path):
+    """The near-dup twin of the ingest job: orchestrated run drains the
+    landing zone through the minhash-band ingest; a rerun admits
+    nothing new, and the accepted corpus satisfies the unique-band
+    invariant (no two accepted docs share an LSH band bucket)."""
+    from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.dedup_fuzzy import minhash_band_long
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    landing = str(tmp_path / "landing")
+    load_table(spark, sf_dir, "documents").limit(80).repartition(2).write.parquet(landing)
+    params = {
+        "landing": landing,
+        "sink": str(tmp_path / "corpus"),
+        "index": str(tmp_path / "index"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    plan_cfg = {
+        "name": "corpus-ingest",
+        "stages": [
+            {"name": "ingest",
+             "tasks": [{"name": "ingest-documents-neardup", "params": params}]}
+        ],
+    }
+    results = execute_job(spark, create_job_plan(plan_cfg))
+    assert all(v.success for v in results.values()), results
+    corpus = spark.read.parquet(params["sink"])
+    n1 = corpus.count()
+    assert 0 < n1 <= 80
+    bands = minhash_band_long(
+        corpus.withColumn("__t", F.coalesce("text", F.lit(""))), "__t", "doc_id",
+        rows_per_band=8, n_hashes=16, engine="universal",
+    )
+    assert bands.groupBy("band", "h").count().filter("count > 1").count() == 0
+
+    results2 = execute_job(spark, create_job_plan(plan_cfg))
+    assert all(v.success for v in results2.values())
+    assert spark.read.parquet(params["sink"]).count() == n1
+
+
 def test_curation_keeps_higher_quality_near_dup(spark, tmp_path):
     """Near-dup removal keeps the best-quality copy, not the lowest id."""
     from classification_pyspark_spark import production  # noqa: F401
