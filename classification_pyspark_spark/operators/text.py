@@ -813,22 +813,33 @@ def rouge_n(
     — doubles rounded 6), one row per input row.
     """
 
-    def gram_counts(col: str, alias: str) -> DataFrame:
-        toks = F.filter(
-            F.split(F.trim(F.lower(F.col(col))), r"[^0-9a-z]+"),
-            lambda x: F.length(x) > 0,
+    # persisted: both gram-count branches and the final id join read
+    # this frame — without it each branch re-runs the tokenize regex
+    # (measured neutral on sf1's short synthetic docs; the saved work
+    # grows with document length)
+    toks = lambda c: F.filter(  # noqa: E731 — tiny local alias
+        F.split(F.trim(F.lower(F.col(c))), r"[^0-9a-z]+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = track(
+        df.select(
+            F.col(id_col).alias("id"),
+            toks(ref_col).alias("__rt"),
+            toks(cand_col).alias("__ct"),
         )
+    )
+
+    def gram_counts(tok_col: str, alias: str) -> DataFrame:
         # distinct=False: ROUGE clipping needs the gram MULTISET
-        hashed = F.expr(rolling_gram_hash_sql("__toks", n, distinct=False))
+        hashed = F.expr(rolling_gram_hash_sql(tok_col, n, distinct=False))
         return (
-            df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
-            .select("id", F.explode_outer(hashed).alias("gram"))
+            base.select("id", F.explode_outer(hashed).alias("gram"))
             .groupBy("id", "gram")
             .agg(F.count(F.when(F.col("gram").isNotNull(), 1)).alias(alias))
         )
 
-    ref = gram_counts(ref_col, "c_ref")
-    cand = gram_counts(cand_col, "c_cand")
+    ref = gram_counts("__rt", "c_ref")
+    cand = gram_counts("__ct", "c_cand")
     joined = ref.join(cand, on=["id", "gram"], how="full_outer")
     per_id = joined.groupBy("id").agg(
         F.sum(F.coalesce("c_ref", F.lit(0))).cast("long").alias("n_ref_grams"),
@@ -841,7 +852,7 @@ def rouge_n(
     r = F.when(F.col("n_ref_grams") > 0, F.col("__match") / F.col("n_ref_grams")).otherwise(0.0)
     f = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
     return (
-        df.select(F.col(id_col).alias("id"))
+        base.select("id")
         .join(per_id, "id", "left")
         .select(
             "id",
@@ -877,10 +888,15 @@ def bleu_n(
         F.split(F.trim(F.lower(F.col(c))), r"[^0-9a-z]+"),
         lambda x: F.length(x) > 0,
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks(ref_col).alias("__rt"),
-        toks(cand_col).alias("__ct"),
+    # persisted: lens + two gram-count branches per n all read this
+    # frame (1 + 2*max_n consumers re-tokenizing otherwise; measured
+    # neutral on sf1's short docs, grows with document length)
+    base = track(
+        df.select(
+            F.col(id_col).alias("id"),
+            toks(ref_col).alias("__rt"),
+            toks(cand_col).alias("__ct"),
+        )
     )
     lens = base.select(
         "id",
