@@ -440,3 +440,71 @@ def bleu_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return bleu_n(d, "text", "head", "doc_id", max_n=2)
+
+
+@query(
+    "distinct_n_diversity",
+    sql="""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT source, n, gram FROM (
+        SELECT source, 1 AS n, unnest(t) AS gram FROM t
+        UNION ALL
+        SELECT source, 2 AS n,
+               unnest(CASE WHEN len(t) >= 2
+                           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                           ELSE []::VARCHAR[] END) AS gram
+        FROM t
+        UNION ALL
+        SELECT source, 3 AS n,
+               unnest(CASE WHEN len(t) >= 3
+                           THEN list_transform(range(1, len(t) - 1),
+                                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                           ELSE []::VARCHAR[] END) AS gram
+        FROM t
+      )
+    )
+    SELECT source, n,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+           ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+    FROM g
+    GROUP BY 1, 2
+    """,
+)
+def distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per corpus slice (Li et al. 2016's
+    distinct-1/2 generalized to n=1..3): the standard
+    mode-collapse/diversity gauge for GENERATED corpora — a synthetic
+    dataset whose distinct-2 craters is recycling phrasing. One
+    explode per n over 8-byte rolling-hash gram keys feeding a single
+    (source, n) aggregate with an exact distinct; the shuffle carries
+    hashed grams, never strings, and the result frame is
+    |sources|·3 rows. Oracle replays string grams (hash distincts
+    agree up to the usual 2^-64 collision class)."""
+    from .operators.text import rolling_gram_hash_sql
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "source",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"[^0-9a-z]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("__toks"),
+    )
+    parts = []
+    for n in (1, 2, 3):
+        grams = F.expr(rolling_gram_hash_sql("__toks", n, distinct=False))
+        parts.append(
+            d.select("source", F.lit(n).alias("n"), F.explode(grams).alias("gram"))
+        )
+    g = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return g.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("total_grams"),
+        F.countDistinct("gram").cast("long").alias("distinct_grams"),
+        F.round(F.countDistinct("gram") / F.count(F.lit(1)), 6).alias("distinct_ratio"),
+    )
