@@ -73,18 +73,18 @@ def _register_extensions() -> None:
 # tools/check_oracle.py).  Round 5 window: the FULL set of never-driver-
 # checked oracle queries — the 30 remaining after CORRECTNESS_r04 went
 # 50/50 green (exactly tools/window_rotation.py's candidate list) plus
-# the six round-5-registered queries (zorder_curve_stats,
+# the seven round-5-registered queries (zorder_curve_stats,
 # minhash_incremental_dedup, embedding_incremental_dedup,
-# rouge_halves_overlap, bleu_halves_overlap, distinct_n_diversity) —
-# which closes cumulative driver coverage at 186/186 oracle queries —
-# plus 14 re-verification
+# rouge_halves_overlap, bleu_halves_overlap, distinct_n_diversity,
+# knn_lsh_topk) — which closes cumulative driver coverage at 187/187
+# oracle queries — plus 13 re-verification
 # slots filled with the OLDEST green rows (r01 vintage), so the
 # earliest-validated operators get a fresh driver row three rounds
 # later.  Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- 36 never-driver-checked (closes coverage at 186/186) ---
+    # --- 37 never-driver-checked (closes coverage at 187/187) ---
     # heavy hitters / UDTF / anomaly / quantiles / sessionization
     "heavy_hitters_tokens",
     "udtf_word_windows",
@@ -132,6 +132,7 @@ DRIVER_WINDOW: list[str] = [
     "rouge_halves_overlap",
     "bleu_halves_overlap",
     "distinct_n_diversity",
+    "knn_lsh_topk",
     # --- 17 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
     "flagship_customer_features",
     "q1_pricing_summary",
@@ -146,7 +147,6 @@ DRIVER_WINDOW: list[str] = [
     "embedding_dup_pairs",
     "knn_bruteforce",
     "knn_ivf",
-    "corpus_curation",
 ]
 
 

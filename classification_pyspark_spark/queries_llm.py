@@ -1515,3 +1515,46 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum_n_tokens") - 1) / 256).cast("long").alias("pack_id"),
         hash_split_expr("doc_id", train_pct=90).alias("split"),
     )
+
+
+@query(
+    "knn_lsh_topk",
+    sql=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+        (SELECT SUM(CASE WHEN (
+           SELECT SUM(v[j + 1] * SIN(p.p * 1000 + j)) FROM unnest(range(0, {EMB_DIM})) AS u(j)
+         ) > 0 THEN 1 << p.p ELSE 0 END)
+         FROM (SELECT unnest(range(0, 8)) AS p) p) AS bucket
+      FROM e
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+             list_inner_product(a.v, b2.v) /
+             (SQRT(list_inner_product(a.v, a.v)) * SQRT(list_inner_product(b2.v, b2.v))) AS c
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 4) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate in-bucket top-3 neighbors for EVERY vector — the
+    LSH ANN operator under its round-5 plan (per-cell GEMM top-k on
+    the triangle task grid, `similarity.py:knn_lsh`): candidates
+    leaving each cell are bounded at k per query, the merge window
+    sees <= k·cells rows per query, and degenerate buckets split
+    exactly as cosine_dup_pairs. Fully deterministic (ties break by
+    ascending neighbor id), so the oracle replays bucket assignment +
+    scoring + ranking directly."""
+    from .operators.similarity import knn_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = knn_lsh(e, "vec_id", "embedding", EMB_DIM, k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
