@@ -170,8 +170,24 @@ def main() -> None:
             baseline = json.load(f)
         if str(out["sf"]) == str(baseline.get("sf")):
             base_q = baseline.get("queries", {})
+            # Baselines were recorded across sessions with different
+            # host contention. record_calibration stores the
+            # calibration-probe reading AT RECORD TIME for entries
+            # recorded under drift; deflating such a baseline by
+            # (global quiet-host calibration / its record calibration)
+            # puts every entry in ONE calibration regime, so a baseline
+            # recorded on a 1.7x-slower host doesn't carry a 1.7x-looser
+            # regression gate than its neighbors.
+            base_cal_global = baseline.get("calibration_sec") or 1.0
+            rec_cal = baseline.get("record_calibration", {})
+            eff_base = {
+                n: b * (base_cal_global / rec_cal[n]) if rec_cal.get(n) else b
+                for n, b in base_q.items()
+            }
             deltas = {
-                n: round(t / base_q[n], 2) for n, t in timings.items() if base_q.get(n)
+                n: round(t / eff_base[n], 2)
+                for n, t in timings.items()
+                if eff_base.get(n)
             }
             out["baseline_delta"] = deltas
             # Regression detection must separate "this query's PLAN got
@@ -196,7 +212,7 @@ def main() -> None:
                 n
                 for n, d in deltas.items()
                 for r in [d / max(med, 0.1)]
-                for dt in [timings[n] - base_q[n]]
+                for dt in [timings[n] - eff_base[n]]
                 if (r > 2.0 and dt > 0.5) or (r > 4.0 and dt > 0.25)
             )
             # Uniform slowdowns cancel out of the per-query ratios, so a

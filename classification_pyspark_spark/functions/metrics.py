@@ -107,6 +107,19 @@ def threshold_sweep(
     (round-4 verdict "What's wrong" #3: 101 comparison passes over the
     fact table at 100 TB).
     """
+    if not 2 <= n_thresholds <= 1_000_001:
+        # The +-1 bucket correction below is provably exact only while
+        # the threshold spacing 1/(n-1) exceeds the round-6 rounding
+        # error (5e-7): beyond ~2e6 thresholds a score can land two
+        # buckets from floor(s*(n-1)), and duplicate rounded thresholds
+        # would emit duplicate rows the per-threshold comparison merges.
+        # 1e6+1 grid points is far past any ROC/PR use; refuse loudly
+        # rather than return subtly shifted counts.
+        raise ValueError(
+            f"n_thresholds must be in [2, 1_000_001], got {n_thresholds}: "
+            "round-6 threshold spacing must exceed the 5e-7 rounding "
+            "error for the bucket correction to be exact"
+        )
     n1 = n_thresholds - 1
     th = df.sparkSession.range(n_thresholds).select(
         F.col("id").alias("__i"),

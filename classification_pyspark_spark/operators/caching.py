@@ -63,6 +63,37 @@ def release_tracked(blocking: bool = False) -> int:
 
 
 @contextmanager
+def track_scope(blocking: bool = False):
+    """Release ONLY the frames ``track()``ed inside this scope.
+
+    ``release_tracked()`` is a process-wide drain: correct between
+    queries in a single-query harness, but inside a long-lived session
+    (a streaming ``foreachBatch`` step running next to other registry
+    queries) it would unpersist frames those concurrent operators still
+    rely on — their shared subtrees silently recompute. This scopes the
+    release to the suffix of the registry appended during the ``with``
+    block, leaving pre-existing tracked persists untouched.
+
+    The suffix model assumes the scope's own ``track()`` calls happen on
+    the calling thread (true for every operator here — persists are
+    registered during plan *construction*, which is driver-side and
+    synchronous); frames tracked by other threads mid-scope would be
+    released with ours, which is the same behavior they already accept
+    from any concurrent ``release_tracked()`` caller.
+    """
+    start = len(_TRACKED)
+    try:
+        yield
+    finally:
+        while len(_TRACKED) > start:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass
+
+
+@contextmanager
 def persisted(df: DataFrame, level: StorageLevel | None = None, blocking: bool = False):
     """``with persisted(df) as d:`` — persist on entry, unpersist on exit.
 

@@ -338,16 +338,28 @@ def minhash_incremental_pairs(
     (exactly the bucket the rebuild would see), so capped results also
     match the capped rebuild.
 
-    Plan: the new batch is signatured once; the join probes the index
-    on (band, h) — with the index parquet partitioned by band, only
-    matching band partitions are scanned. The indexed side never
-    re-derives signatures."""
-    new_long = minhash_band_long(
+    Plan: the new batch is signatured once (persisted — it feeds the
+    prune key set, the bucket sizes, and both join sides); the index is
+    first pruned to the batch's (band, h) buckets with a left-semi join
+    — only a bucket containing a new doc can ever emit a pair (the
+    probe side is new-only), and pruning keeps EVERY member of a
+    touched bucket, so the hot-bucket sizes below are identical to the
+    unpruned aggregate and capped output still equals the capped
+    rebuild. With the index parquet partitioned by band this is the
+    same IO ∝ batch's-bucket-neighborhoods discipline as
+    ``cosine_incremental_pairs``; without the prune, the sizes
+    aggregate alone would rescan the whole stored index per batch."""
+    from .caching import track
+
+    new_long = track(minhash_band_long(
         new_df, text_col, id_col,
         rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
-    )
+    ))
+    new_keys = new_long.select("band", "h").distinct()
     all_long = (
-        indexed.select(id_col, "band", "h").withColumn("__new", F.lit(False))
+        indexed.select(id_col, "band", "h")
+        .join(F.broadcast(new_keys), on=["band", "h"], how="left_semi")
+        .withColumn("__new", F.lit(False))
     ).unionByName(new_long.withColumn("__new", F.lit(True)))
     if max_bucket_size is not None:
         sizes = all_long.groupBy("band", "h").agg(F.count(F.lit(1)).alias("__bn"))

@@ -216,11 +216,25 @@ def ingest_batch_neardup(
        idempotent by construction. Sound invariant: across the whole
        accepted corpus, every (band, h) bucket has exactly one member.
     """
+    from ..operators.caching import track_scope
     from ..operators.dedup_fuzzy import minhash_band_long
 
     spark = batch.sparkSession
     _check_tag(spark, sink_path, checkpoint_tag)
     safe = batch.withColumn("__text", F.coalesce(F.col("text"), F.lit("")))
+    with track_scope():
+        _ingest_batch_neardup_body(
+            spark, batch, safe, epoch_id, sink_path, index_path,
+            rows_per_band, n_hashes, engine,
+        )
+
+
+def _ingest_batch_neardup_body(
+    spark, batch, safe, epoch_id, sink_path, index_path,
+    rows_per_band, n_hashes, engine,
+) -> None:
+    from ..operators.dedup_fuzzy import minhash_band_long
+
     bands = minhash_band_long(
         safe.select("doc_id", "__text"), "__text", "doc_id",
         rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
@@ -261,7 +275,8 @@ def ingest_batch_neardup(
         accepted.unpersist()
         # minhash_band_long tracked a persist of the banded signature
         # frame; a long-running stream would accumulate one cached
-        # frame per trigger without this per-batch release
-        from ..operators.caching import release_tracked
-
-        release_tracked()
+        # frame per trigger. The enclosing track_scope() in
+        # ingest_batch_neardup releases exactly the frames THIS batch
+        # tracked — a process-wide release_tracked() here would also
+        # drop persists belonging to registry queries running
+        # concurrently in the same session.

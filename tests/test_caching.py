@@ -6,7 +6,12 @@ eviction)."""
 
 from __future__ import annotations
 
-from classification_pyspark_spark.operators.caching import persisted, release_tracked
+from classification_pyspark_spark.operators.caching import (
+    persisted,
+    release_tracked,
+    track,
+    track_scope,
+)
 from classification_pyspark_spark.queries import QUERIES
 
 # one representative per internally-persisting code path:
@@ -41,6 +46,26 @@ def test_sweep_releases_all_persisted_frames(spark, sf_dir):
         n = release_tracked(blocking=True)
         assert n > 0, name
         assert _n_cached(spark) == 0, name
+
+
+def test_track_scope_releases_only_inner_frames(spark):
+    """ADVICE r5: the streaming ingest's per-trigger release must not
+    drop persists belonging to OTHER queries in the same session.
+    track_scope releases exactly the suffix tracked inside the scope."""
+    release_tracked(blocking=True)
+    spark.catalog.clearCache()
+    outer = track(spark.range(50).selectExpr("id", "id * 2 AS v"))
+    outer.count()
+    assert _n_cached(spark) == 1
+    with track_scope(blocking=True):
+        inner = track(spark.range(10))
+        inner.count()
+        assert _n_cached(spark) == 2
+    # inner released, outer persist untouched
+    assert _n_cached(spark) == 1
+    assert outer.storageLevel.useMemory
+    n = release_tracked(blocking=True)
+    assert n == 1 and _n_cached(spark) == 0
 
 
 def test_persisted_context_manager(spark):

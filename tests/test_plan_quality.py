@@ -139,6 +139,17 @@ def test_incremental_dedup_probes_index_not_corpus(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_minhash_incremental_prunes_index_to_batch_buckets(spark, sf_dir):
+    """ADVICE r5 (medium): the minhash incremental path must semi-join
+    the stored index against the batch's (band, h) keys BEFORE the
+    hot-bucket sizes aggregate — without it every trigger rescans the
+    whole index, contradicting the batch-proportional-work contract the
+    embedding twin already honors."""
+    plan = _plan(QUERIES["minhash_incremental_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
 def test_every_query_plan_has_no_unexplained_scale_flags(spark, sf_dir):
     """Full-registry audit: single-partition exchanges, cartesian
     products, global windows, and row-at-a-time Python UDFs must all

@@ -222,6 +222,19 @@ def test_threshold_sweep_binning_matches_per_threshold_bruteforce(spark):
         assert got[t] == (tp, fp, tn, fn), f"threshold {t}"
 
 
+def test_threshold_sweep_rejects_grid_beyond_exactness_bound(spark):
+    """ADVICE r5: the +-1 bucket correction is exact only while the
+    threshold spacing 1/(n-1) exceeds the round-6 rounding error; past
+    ~1e6 grid points the guard must refuse instead of drifting."""
+    from classification_pyspark_spark.functions.metrics import threshold_sweep
+
+    df = spark.createDataFrame([(1, 0.5)], "y int, s double")
+    threshold_sweep(df, "y", "s", n_thresholds=1_000_001)  # boundary: accepted (lazy)
+    for bad in (1, 0, -5, 1_000_002, 10_000_000):
+        with pytest.raises(ValueError, match="n_thresholds"):
+            threshold_sweep(df, "y", "s", n_thresholds=bad)
+
+
 def test_standard_scaler_fits_single_value(spark):
     """One non-null value: sample stddev is NULL but the fit must
     succeed (transform falls back to unit spread) — only truly empty
