@@ -262,7 +262,17 @@ def _triangle_tasks(
     carries anyway."""
     from .caching import track
 
-    base = track(lsh_base_frame(df, id_col, vec_col, dim))
+    return _triangle_tasks_from_base(
+        track(lsh_base_frame(df, id_col, vec_col, dim)), max_bucket_size
+    )
+
+
+def _triangle_tasks_from_base(base: DataFrame, max_bucket_size: int) -> DataFrame:
+    """``_triangle_tasks`` over a caller-supplied ``(id, v, bucket)``
+    frame — the grouping key need not be an LSH bucket (semantic-dedup
+    passes k-means-style cluster assignments). ``base`` must already
+    be persisted (tracked): the sizes aggregate AND the task fan-out
+    both read it."""
     sizes = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
     cap = max(int(max_bucket_size), 2)
     return (
@@ -471,8 +481,32 @@ def cosine_dup_pairs(
             .filter(F.col("cosine") >= min_cosine)
         )
 
-    tasks = _triangle_tasks(df, id_col, vec_col, dim, max_bucket_size)
-    id_type = df.schema[id_col].dataType.simpleString()
+    from .caching import track
+
+    base = track(lsh_base_frame(df, id_col, vec_col, dim))
+    return cosine_pairs_in_groups(
+        base,
+        df.schema[id_col].dataType.simpleString(),
+        min_cosine,
+        max_bucket_size,
+    )
+
+
+def cosine_pairs_in_groups(
+    base: DataFrame,
+    id_type: str,
+    min_cosine: float,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """All unordered pairs with ``round(cosine, 4) >= min_cosine``
+    whose rows share a ``bucket`` value in a caller-supplied
+    ``(id, v, bucket)`` frame — the GEMM pair kernel of
+    ``cosine_dup_pairs`` factored over any grouping (LSH buckets,
+    k-means-style cluster assignments for semantic dedup, ...).
+    ``base`` must already be persisted (tracked by the caller): the
+    triangle task grid reads it twice. Oversized groups are
+    triangle-split exactly as documented on ``cosine_dup_pairs``."""
+    tasks = _triangle_tasks_from_base(base, max_bucket_size)
     slack = min_cosine - 1e-4
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -950,3 +950,74 @@ def bleu_n(
         *[F.round(p, 6).alias(f"p{n}") for n, p in enumerate(ps, start=1)],
         F.round(bp * geo, 6).alias("bleu"),
     )
+
+
+def winnow_keys_expr(col: Column | str, k: int = 5) -> Column:
+    """Packed winnowing gram keys for ``winnow_select_expr``:
+    position i (1-based) of the returned array is
+    ``hash(gram_i) * 2^20 + (2^20 - 1 - i)`` — a 40-bit md5-prefix
+    char-``k``-gram hash packed with the bit-flipped position, so one
+    BIGINT ``min`` implements Schleimer et al.'s robust tie rule
+    (smallest hash, RIGHTMOST position). Empty for docs under ``k``
+    normalized chars. Positions must fit 20 bits (~1M chars — far
+    above this corpus; a longer-doc deployment widens the shift).
+
+    BIND THIS AS A COLUMN before selecting (``withColumn`` then
+    ``winnow_select_expr(F.col(...))``): HOF lambdas get no CSE, so
+    every direct reference re-runs the G md5 calls."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(F.lower(c), "[^0-9a-z]", "")
+    ng = F.length(s) - (k - 1)
+    keys = F.transform(
+        F.sequence(F.lit(1), ng),
+        lambda i: F.conv(F.substring(F.md5(F.substring(s, i, k)), 1, 10), 16, 10)
+        .cast("long")
+        * F.lit(1048576).cast("long")
+        + (F.lit(1048575).cast("long") - i),
+    )
+    empty = F.expr("cast(array() as array<bigint>)")
+    return F.when(ng >= 1, keys).otherwise(empty)
+
+
+def winnow_select_expr(keys: Column, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm) over a
+    BOUND ``winnow_keys_expr`` column: slide a window of ``w``
+    consecutive gram keys and select each window's minimum; the
+    distinct selected keys are the document's fingerprint set,
+    guaranteed to detect any shared substring of at least
+    ``w + k - 1`` characters between two documents.
+
+    Plan shape: pure whole-stage-codegen array HOFs — the per-window
+    min, and distinct all happen INSIDE the row, so the operator needs
+    ZERO shuffles (the window-function formulation would shuffle every
+    gram row by doc).
+
+    The per-window min is built from ``w`` SHIFTED VIEWS of the key
+    array folded with elementwise ``least`` (zip_with) — NOT a
+    ``transform(sequence(...), st -> array_min(slice(keys, st, w)))``:
+    Catalyst evaluates a lambda's subtree per element, so the slice
+    form re-reads (and, on an unbound keys expression, re-hashes) all
+    G grams at every window start — O(G²) md5 calls, measured 70s for
+    a corpus the shifted form fingerprints in about a second. The
+    shifted form touches the bound array w times total.
+
+    Short docs: fewer grams than one window (0 < grams < w) emit a
+    single fingerprint (the global min — the only honest choice that
+    keeps whole-doc duplicates detectable); empty key arrays (docs
+    under ``k`` chars) emit none."""
+    ng = F.size(keys)
+    # w shifted views of keys, folded with elementwise least; position
+    # st of the fold is min(keys[st .. st+w-1]) for st <= ng-w+1 (the
+    # shorter shifted views null-pad on zip_with and least skips nulls,
+    # but the final slice stays inside the fully-populated prefix)
+    fold = keys
+    for j in range(1, w):
+        fold = F.zip_with(fold, F.slice(keys, j + 1, ng), lambda a, b: F.least(a, b))
+    selected = F.array_distinct(F.slice(fold, 1, ng - (w - 1)))
+    empty = F.expr("cast(array() as array<bigint>)")
+    return (
+        F.when(ng >= w, selected)
+        .when(ng >= 1, F.array(F.array_min(keys)))
+        .otherwise(empty)
+    )

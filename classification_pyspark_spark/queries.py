@@ -54,6 +54,7 @@ def _register_extensions() -> None:
         queries_analytics,
         queries_llm,
         queries_llm2,
+        queries_llm3,
         queries_ml,
         queries_plots,
         queries_quality,
@@ -70,83 +71,71 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 5 window: the FULL set of never-driver-
-# checked oracle queries — the 30 remaining after CORRECTNESS_r04 went
-# 50/50 green (exactly tools/window_rotation.py's candidate list) plus
-# the seven round-5-registered queries (zorder_curve_stats,
-# minhash_incremental_dedup, embedding_incremental_dedup,
-# rouge_halves_overlap, bleu_halves_overlap, distinct_n_diversity,
-# knn_lsh_topk) — which closes cumulative driver coverage at 187/187
-# oracle queries — plus 13 re-verification
-# slots filled with the OLDEST green rows (r01 vintage), so the
-# earliest-validated operators get a fresh driver row three rounds
-# later.  Do not hand-edit this list: regenerate via
+# tools/check_oracle.py).  Round 6 window: CORRECTNESS_r05 went 50/50
+# green and closed cumulative driver coverage at 187/187 oracle
+# queries, so the only never-driver-checked candidates are the queries
+# REGISTERED this round (they lead the window); the remaining slots are
+# re-verification, filled with the queries whose LAST driver-green row
+# is oldest (the r01/r02-vintage rows, refreshed four rounds later).
+# Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- 37 never-driver-checked (closes coverage at 187/187) ---
-    # heavy hitters / UDTF / anomaly / quantiles / sessionization
-    "heavy_hitters_tokens",
-    "udtf_word_windows",
-    "anomaly_rolling_zscore",
-    "distributed_exact_quantiles",
-    "gaps_islands_activity",
-    # semi-structured (VARIANT shredding, round-4 addition)
-    "variant_props_shred",
-    # data-quality / sampling / curation knobs
-    "data_quality_checks",
-    "hash_sample_per_group",
-    "domain_mix_weights",
-    "adaptive_quality_threshold",
-    "psi_weekly_drift",
-    # time-series / funnels / behavioral analytics
-    "resample_hourly_gapfill",
-    "event_transition_matrix",
-    "funnel_three_step",
-    "copurchase_brand_lift",
-    "funnel_time_to_convert",
-    "activity_heatmap_dow_hour",
-    "weekly_active_users",
-    "streaming_sliding_rates",
-    "supplier_lead_time_stats",
-    "monthly_revenue_seasonality",
-    "part_type_revenue_pareto",
-    # histograms / sketches / skew handling
-    "histogram_fixed_buckets",
-    "approx_distinct_counts",
-    "skew_salted_groupby",
-    "pivot_status_counts",
-    "grouped_quantiles",
-    # SQL-interface surface
-    "sql_interface_regional_revenue",
-    "sql_interface_segment_priority_mix",
-    "sql_pipe_syntax_ship_status",
-    # round-5 additions (z-order layout, incremental minhash dedup,
-    # incremental embedding dedup, ROUGE, BLEU): registered after the r04
-    # run, so they are themselves never-driver-checked — each takes a
-    # re-verification slot to keep every remaining candidate inside
-    # the window
-    "zorder_curve_stats",
-    "minhash_incremental_dedup",
-    "embedding_incremental_dedup",
-    "rouge_halves_overlap",
-    "bleu_halves_overlap",
-    "distinct_n_diversity",
-    "knn_lsh_topk",
-    # --- 17 re-verification slots: oldest green rows (CORRECTNESS_r01) ---
-    "flagship_customer_features",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "dedup_keep_first",
-    "dedup_exact_text",
-    "minhash_signatures",
-    "minhash_dup_pairs",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "embedding_dup_pairs",
-    "knn_bruteforce",
-    "knn_ivf",
+    # --- round-6 registrations (never driver-checked) ---
+    "semdedup_prune",
+    "dsir_importance_weights",
+    "nb_lang_confusion",
+    "winnowing_fingerprints",
+    "temperature_mix_weights",
+    "scd2_user_history",
+    # --- re-verification: stalest driver-green rows first ---
+    # last green in r01
+    "topn_frequency",
+    "window_lag_days_between_orders",
+    # last green in r02
+    "case_consistency",
+    "class_balance",
+    "coefficient_of_variation",
+    "corpus_curation",
+    "correlation_matrix",
+    "crosstab_counts",
+    "date_range_filter",
+    "decontamination_ngram_overlap",
+    "dedup_subset_distinct",
+    "describe_categorical",
+    "describe_numeric",
+    "distinct_counts",
+    "doc_chunks",
+    "doc_fingerprint",
+    "duplicate_stats",
+    "edit_distance_pairs",
+    "embedding_centroids",
+    "embedding_int8_quantization",
+    "health_report",
+    "lsh_buckets",
+    "media_byte_stats",
+    "media_decode_features",
+    "media_frame_sample",
+    "missing_value_summary",
+    "outlier_summary",
+    "sequence_packing",
+    "set_analysis",
+    "simhash_fingerprints",
+    "split_leakage_audit",
+    "text_langid",
+    "text_redact_pii",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "window_topk_per_group",
+    "zero_density",
+    # last green in r03 (oldest alphabetical prefix to fill 50)
+    "asof_join_last_view_before_purchase",
+    "auc_roc",
+    "cdc_merge_upsert",
+    "cube_rollup",
+    "date_parse_roundtrip",
+    "describe_numeric_approx",
 ]
 
 

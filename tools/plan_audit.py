@@ -52,6 +52,20 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "lag over the weeks frame",
         "global_window": "week-over-week lag — frame bounded by the calendar",
     },
+    "dsir_importance_weights": {
+        "single_partition": "1-row token-total fold over the 1024-row "
+        "hashed-unigram LM frame (sum of bucket counts) — vocab-bounded "
+        "partials, never data rows"
+    },
+    "nb_lang_confusion": {
+        "single_partition": "1-row doc-total fold over the |classes|-row "
+        "prior frame; the model itself is the vocab-bounded "
+        "(512 x classes) broadcast"
+    },
+    "temperature_mix_weights": {
+        "single_partition": "1-row totals fold over the |sources|-row "
+        "aggregate — the whole query output is source-count-bounded"
+    },
     "bm25_keyword_topk": {
         "single_partition": "1-row corpus-stats aggregate (N, avgdl) "
         "broadcast into the scoring join; postings are term-filtered "
