@@ -88,6 +88,9 @@ DRIVER_WINDOW: list[str] = [
     "winnowing_fingerprints",
     "temperature_mix_weights",
     "scd2_user_history",
+    "chrf_halves_overlap",
+    "mmr_diverse_rerank",
+    "source_token_js_divergence",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -133,9 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "asof_join_last_view_before_purchase",
     "auc_roc",
     "cdc_merge_upsert",
-    "cube_rollup",
-    "date_parse_roundtrip",
-    "describe_numeric_approx",
 ]
 
 

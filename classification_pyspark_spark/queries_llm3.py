@@ -518,3 +518,276 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chrF (Popović 2015) — character n-gram F-score
+# ---------------------------------------------------------------------------
+def _chrf_gram_cte(src: str, n: int) -> str:
+    key = (
+        f"('0x' || substr(md5(substring({src}, CAST(i AS INT), {n})), 1, 12))::BIGINT"
+    )
+    return (
+        f"SELECT doc_id, {n} AS n, unnest(CASE WHEN len({src}) >= {n} THEN "
+        f"list_transform(range(1, len({src}) - {n} + 2), i -> {key}) "
+        f"ELSE CAST([] AS BIGINT[]) END) AS key FROM d"
+    )
+
+
+_CHRF_SQL = r"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '\s+', '', 'g') AS rs,
+             regexp_replace(lower(substr(text, 1, CAST(floor(length(text) / 2) AS INT))),
+                            '\s+', '', 'g') AS cs
+      FROM documents
+    ),
+    rg AS (
+      SELECT doc_id, n, key, CAST(COUNT(*) AS BIGINT) AS c_ref FROM (
+        {R1} UNION ALL {R2} UNION ALL {R3}
+      ) GROUP BY 1, 2, 3
+    ),
+    cg AS (
+      SELECT doc_id, n, key, CAST(COUNT(*) AS BIGINT) AS c_cand FROM (
+        {C1} UNION ALL {C2} UNION ALL {C3}
+      ) GROUP BY 1, 2, 3
+    ),
+    per_n AS (
+      SELECT doc_id, n,
+             CAST(SUM(COALESCE(c_ref, 0)) AS BIGINT) AS nr,
+             CAST(SUM(COALESCE(c_cand, 0)) AS BIGINT) AS nc,
+             CAST(SUM(LEAST(COALESCE(c_ref, 0), COALESCE(c_cand, 0))) AS BIGINT) AS m
+      FROM rg FULL OUTER JOIN cg USING (doc_id, n, key)
+      GROUP BY 1, 2
+    ),
+    grid AS (SELECT doc_id, n FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)),
+    pr AS (
+      SELECT grid.doc_id,
+             CASE WHEN per_n.nc > 0 THEN CAST(per_n.m AS DOUBLE) / per_n.nc ELSE 0.0 END AS p,
+             CASE WHEN per_n.nr > 0 THEN CAST(per_n.m AS DOUBLE) / per_n.nr ELSE 0.0 END AS r
+      FROM grid LEFT JOIN per_n USING (doc_id, n)
+    ),
+    avgd AS (
+      SELECT doc_id, SUM(p) / 3 AS p, SUM(r) / 3 AS r FROM pr GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(len(rs) AS INT) AS n_ref_chars,
+           CAST(len(cs) AS INT) AS n_cand_chars,
+           ROUND(a.p, 6) AS chrp,
+           ROUND(a.r, 6) AS chrr,
+           ROUND(CASE WHEN (4.0 * a.p + a.r) > 0
+                      THEN 5.0 * a.p * a.r / (4.0 * a.p + a.r)
+                      ELSE 0.0 END, 6) AS chrf
+    FROM d JOIN avgd a USING (doc_id)
+""".format(
+    R1=_chrf_gram_cte("rs", 1), R2=_chrf_gram_cte("rs", 2), R3=_chrf_gram_cte("rs", 3),
+    C1=_chrf_gram_cte("cs", 1), C2=_chrf_gram_cte("cs", 2), C3=_chrf_gram_cte("cs", 3),
+)
+
+
+@query("chrf_halves_overlap", sql=_CHRF_SQL)
+def chrf_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF of each document's first half against its full text — the
+    character-level eval metric beside word-level ROUGE/BLEU (same
+    self-pair convention). Distributed shape in
+    ``operators/text.py:chrf_score``: one explode of all three gram
+    sizes to (id, n, gram-hash) count frames, a co-partitioned
+    full-outer join, clipped-min sums, and a bounded (id x 3) grid
+    restore before the per-id average."""
+    from .operators.text import chrf_score
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("text").alias("__ref"),
+        F.substring(
+            "text", 1, F.floor(F.length("text") / 2).cast("int")
+        ).alias("__cand"),
+    )
+    out = chrf_score(d, "__ref", "__cand", "doc_id", max_n=3, beta=2.0)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse rerank (Carbonell & Goldstein 1998)
+# ---------------------------------------------------------------------------
+def _mmr_oracle_sql(k: int = 5, pool_size: int = 20) -> str:
+    cos = (
+        "ROUND(list_inner_product({x}.v, {y}.v) / "
+        "(SQRT(list_inner_product({x}.v, {x}.v)) * "
+        "SQRT(list_inner_product({y}.v, {y}.v))), 4)"
+    )
+    parts = [f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    qid AS (SELECT MIN(vec_id) AS m FROM e),
+    scored AS (
+      SELECT e.vec_id, e.v,
+        ROUND(list_inner_product(e.v, q.qv) /
+          (SQRT(list_inner_product(e.v, e.v)) * SQRT(list_inner_product(q.qv, q.qv))),
+          4) AS rel
+      FROM e CROSS JOIN q CROSS JOIN qid WHERE e.vec_id != qid.m
+    ),
+    pool AS (
+      SELECT vec_id, v, rel FROM (
+        SELECT vec_id, v, rel,
+               row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn <= {pool_size}
+    ),
+    sel1 AS (
+      SELECT vec_id, rel, ROUND(CAST(0.7 AS DOUBLE) * rel, 6) AS score, 1 AS rank
+      FROM pool ORDER BY ROUND(CAST(0.7 AS DOUBLE) * rel, 6) DESC, vec_id ASC LIMIT 1
+    ),
+    selset1 AS (SELECT vec_id FROM sel1)"""]
+    for i in range(2, k + 1):
+        prev = i - 1
+        parts.append(f""",
+    cand{i} AS (
+      SELECT p.vec_id, p.rel,
+        ROUND(CAST(0.7 AS DOUBLE) * p.rel
+              - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+          SELECT MAX({cos.format(x='p', y='s')})
+          FROM pool s WHERE s.vec_id IN (SELECT vec_id FROM selset{prev})
+        ), 6) AS score
+      FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM selset{prev})
+    ),
+    sel{i} AS (
+      SELECT vec_id, rel, score, {i} AS rank FROM cand{i}
+      ORDER BY score DESC, vec_id ASC LIMIT 1
+    ),
+    selset{i} AS (SELECT vec_id FROM selset{prev} UNION ALL SELECT vec_id FROM sel{i})""")
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, rel AS relevance, score AS mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + f"\n    {union}"
+
+
+@query("mmr_diverse_rerank", sql=_mmr_oracle_sql(k=5, pool_size=20))
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank: the lowest-id embedding is
+    the query; its top-20 candidates by round-4 cosine relevance are
+    greedily reranked to 5 picks maximizing
+    round(0.7*rel - 0.3*max_sim_to_selected, 6) (ties to the smallest
+    vec_id). The greedy loop runs in ONE bounded applyInPandas task
+    per query (``operators/rerank.py``) with kernel arithmetic that
+    bit-matches the unrolled 5-stage SQL replay — an imperative kernel
+    and a declarative oracle agreeing on every selection."""
+    import math as _math
+
+    from .operators.rerank import mmr_rerank
+    from .operators.similarity import _as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    qrows = e.orderBy("vec_id").limit(1).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, relevance double, mmr_score double"
+        )
+    qid, qv = qrows[0].vec_id, [float(x) for x in qrows[0].v]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qn = 0.0
+    for x in qv:
+        qn += x * x
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    rel = F.round(F.try_divide(dot, vnorm * F.lit(_math.sqrt(qn))), 4)
+    w = Window.orderBy(F.desc("relevance"), F.asc("vec_id"))
+    pool = (
+        e.filter(F.col("vec_id") != qid)
+        .withColumn("relevance", rel)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(F.lit(0).alias("query_id"), F.col("vec_id").alias("id"),
+                "relevance", "v")
+    )
+    out = mmr_rerank(pool, k=5, lam=0.7, query_col="query_id", id_col="id")
+    return out.select(
+        "rank", F.col("id").alias("vec_id"), "relevance", "mmr_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source Jensen-Shannon divergence — corpus drift / outlier sources
+# ---------------------------------------------------------------------------
+@query(
+    "source_token_js_divergence",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS t FROM documents
+    ),
+    tl AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(u.x), 1, 8))::BIGINT % 1024 AS b
+      FROM toks, unnest(t) AS u(x)
+    ),
+    cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb FROM tl GROUP BY 1),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM tl GROUP BY 1),
+    nn AS (SELECT CAST(SUM(cb) AS BIGINT) AS n FROM cb),
+    cs AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c FROM tl GROUP BY 1, 2),
+    terms AS (
+      SELECT g.source, g.ns,
+        CAST(COALESCE(cs.c, 0) + 1 AS DOUBLE) / CAST(g.ns + 1024 AS DOUBLE) AS p,
+        CAST(g.cb + 1 AS DOUBLE) / CAST(nn.n + 1024 AS DOUBLE) AS q
+      FROM (SELECT ns.source, ns.ns, cb.b, cb.cb FROM ns CROSS JOIN cb) g
+      LEFT JOIN cs ON cs.source = g.source AND cs.b = g.b
+      CROSS JOIN nn
+    )
+    SELECT source,
+           CAST(MAX(ns) AS BIGINT) AS n_tokens,
+           ROUND(SUM(0.5 * p * ln(p / ((p + q) / 2))
+                   + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's hashed-unigram
+    distribution and the whole corpus's — the drift gauge that flags
+    outlier sources (machine-generated, off-domain, wrong-language)
+    before they enter a training mix. Laplace-smoothed over the same
+    1024 md5 buckets as DSIR, evaluated on the DENSE source x bucket
+    grid (sources x 1024 rows — bounded regardless of corpus size);
+    the only corpus-scale work is the single tokenize+explode pass."""
+    from .operators.caching import track
+    from .operators.text import punct_tokens_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    tl = track(
+        d.select(
+            "doc_id", "source", F.explode(punct_tokens_expr("text")).alias("tok")
+        ).select(
+            "source",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+                F.lit(1024),
+            ).alias("b"),
+        )
+    )
+    cb = tl.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    ns = tl.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    nn = cb.agg(F.sum("cb").cast("long").alias("n"))
+    cs = tl.groupBy("source", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = ns.crossJoin(cb)
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("ns") + 1024
+    ).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("n") + 1024).cast("double")
+    m = (p + q) / 2
+    terms = (
+        grid.join(cs, on=["source", "b"], how="left")
+        .crossJoin(F.broadcast(nn))
+        .select("source", "ns", (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("__t"))
+    )
+    return terms.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_tokens"),
+        F.round(F.sum("__t"), 6).alias("js_divergence"),
+    )

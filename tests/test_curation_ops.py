@@ -163,3 +163,89 @@ def test_round6_queries_run_at_tiny_sf(spark, name):
     QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+def test_chrf_known_answer(spark):
+    """Hand-checkable chrF: identical cand/ref scores 1.0 everywhere;
+    disjoint alphabets score 0; empty candidate scores 0 not NULL."""
+    from classification_pyspark_spark.operators.text import chrf_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdef", "abcdef"),
+            (2, "aaaa", "bbbb"),
+            (3, "hello world", ""),
+        ],
+        "id int, ref string, cand string",
+    )
+    out = {r.id: r for r in chrf_score(df, "ref", "cand", "id").collect()}
+    assert out[1].chrp == 1.0 and out[1].chrr == 1.0 and out[1].chrf == 1.0
+    assert out[2].chrf == 0.0
+    assert out[3].chrf == 0.0 and out[3].n_cand_chars == 0
+
+
+def test_chrf_clipping_and_beta(spark):
+    """Repetition clips: cand 'aa' vs ref 'a' — unigram matches clip
+    at ref count 1 (p1 = 1/2, r1 = 1); bigram side has 1 cand gram, 0
+    ref grams. beta=2 weights recall over precision."""
+    from classification_pyspark_spark.operators.text import chrf_score
+
+    df = spark.createDataFrame([(1, "a", "aa")], "id int, ref string, cand string")
+    r = chrf_score(df, "ref", "cand", "id", max_n=2, beta=2.0).first()
+    # n=1: p=1/2, r=1/1; n=2: cand has 1 gram, ref 0 -> p=0, r=0
+    assert r.chrp == 0.25 and r.chrr == 0.5
+    f = 5 * 0.25 * 0.5 / (4 * 0.25 + 0.5)
+    assert abs(r.chrf - round(f, 6)) < 1e-9
+
+
+def test_mmr_rerank_diversity_contract(spark):
+    """MMR must (1) lead with pure relevance, (2) never repeat an id,
+    (3) at lam=0 pick maximally-dissimilar items: given two near-dup
+    top candidates, ranks 1-2 cannot both come from the dup pair."""
+    from classification_pyspark_spark.operators.rerank import mmr_rerank
+
+    rows = [
+        # query 7: a, b near-identical high-rel; c orthogonal lower-rel
+        (7, 1, 0.99, [1.0, 0.0, 0.0]),
+        (7, 2, 0.98, [0.999, 0.01, 0.0]),
+        (7, 3, 0.50, [0.0, 1.0, 0.0]),
+    ]
+    pool = spark.createDataFrame(
+        rows, "query_id int, id int, relevance double, v array<double>"
+    )
+    out = sorted(
+        mmr_rerank(pool, k=3, lam=0.5).collect(), key=lambda r: r.rank
+    )
+    assert [r.id for r in out][:2] == [1, 3]  # rank1 = top rel, rank2 = diverse
+    assert len({r.id for r in out}) == 3
+    # lam=1: pure relevance order
+    out_rel = sorted(mmr_rerank(pool, k=3, lam=1.0).collect(), key=lambda r: r.rank)
+    assert [r.id for r in out_rel] == [1, 2, 3]
+
+
+def test_mmr_round_half_up_matches_spark_round(spark):
+    """The kernel's decimal rounding must bit-match F.round for the
+    same doubles (HALF_UP on shortest repr)."""
+    from classification_pyspark_spark.operators.rerank import _round_half_up
+
+    vals = [0.12345, 0.123455, -0.123455, 0.99995, 1e-5, -1e-5, 0.7 * 0.1234,
+            0.30000000000000004, 2.675, -2.675]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.y for r in df.select(F.round("x", 4).alias("y")).collect()]
+    want = [_round_half_up(v, 4) for v in vals]
+    assert got == want
+
+
+def test_js_divergence_properties(spark, sf_dir):
+    """JS >= 0 for every source; a synthetic uniform corpus twin would
+    score ~0 — here just pin non-negativity, boundedness (<= ln 2) and
+    token-total consistency."""
+    import math
+
+    from classification_pyspark_spark.queries import QUERIES
+
+    rows = QUERIES["source_token_js_divergence"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+        assert r.n_tokens > 0

@@ -52,6 +52,16 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "lag over the weeks frame",
         "global_window": "week-over-week lag — frame bounded by the calendar",
     },
+    "mmr_diverse_rerank": {
+        "global_window": "top-20 candidate-pool cut for ONE query's "
+        "rerank; a multi-query deployment partitions the row_number by "
+        "query_id (mmr_rerank itself is per-query parallel)",
+        "single_partition": "same pool cut — 20 surviving rows",
+    },
+    "source_token_js_divergence": {
+        "single_partition": "1-row corpus-token-total fold over the "
+        "1024-row bucket frame — vocab-bounded partials, never data rows"
+    },
     "dsir_importance_weights": {
         "single_partition": "1-row token-total fold over the 1024-row "
         "hashed-unigram LM frame (sum of bucket counts) — vocab-bounded "
