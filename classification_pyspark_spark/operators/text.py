@@ -952,31 +952,76 @@ def bleu_n(
     )
 
 
-def winnow_keys_expr(col: Column | str, k: int = 5) -> Column:
-    """Packed winnowing gram keys for ``winnow_select_expr``:
-    position i (1-based) of the returned array is
-    ``hash(gram_i) * 2^20 + (2^20 - 1 - i)`` — a 40-bit md5-prefix
-    char-``k``-gram hash packed with the bit-flipped position, so one
-    BIGINT ``min`` implements Schleimer et al.'s robust tie rule
-    (smallest hash, RIGHTMOST position). Empty for docs under ``k``
-    normalized chars. Positions must fit 20 bits (~1M chars — far
-    above this corpus; a longer-doc deployment widens the shift).
+POLY_BASE = 131
+POLY_MOD = (1 << 40) - 87  # largest prime below 2^40
 
-    BIND THIS AS A COLUMN before selecting (``withColumn`` then
-    ``winnow_select_expr(F.col(...))``): HOF lambdas get no CSE, so
-    every direct reference re-runs the G md5 calls."""
-    c = F.col(col) if isinstance(col, str) else col
-    s = F.regexp_replace(F.lower(c), "[^0-9a-z]", "")
-    ng = F.length(s) - (k - 1)
-    keys = F.transform(
-        F.sequence(F.lit(1), ng),
-        lambda i: F.conv(F.substring(F.md5(F.substring(s, i, k)), 1, 10), 16, 10)
-        .cast("long")
-        * F.lit(1048576).cast("long")
-        + (F.lit(1048575).cast("long") - i),
+
+def char_codes_expr(col: Column | str) -> Column:
+    """``array<long>`` of the string's character codepoints — the
+    shared input of the polynomial gram hashes below. BIND THIS AS A
+    COLUMN before hashing (HOF lambdas get no CSE; every direct
+    reference re-extracts all characters)."""
+    s = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, 1)).cast("long"),
     )
-    empty = F.expr("cast(array() as array<bigint>)")
-    return F.when(ng >= 1, keys).otherwise(empty)
+    return F.when(F.length(s) >= 1, codes).otherwise(
+        F.expr("cast(array() as array<bigint>)")
+    )
+
+
+def poly_gram_keys_expr(
+    codes: Column, n: int, base: int = POLY_BASE, mod: int = POLY_MOD
+) -> Column:
+    """Polynomial char-``n``-gram hashes over a BOUND codepoint array:
+    ``key_i = (Σ_j codes[i+j]·base^(n-1-j)) mod P`` for every gram
+    start i — built from ``n`` SHIFTED VIEWS of the codes column
+    folded with ``zip_with`` adds, so the whole pass is O(G·n)
+    whole-stage-codegen multiply-adds with NO digest calls and no
+    per-gram substring allocation (the md5-per-gram form this
+    replaced spent its entire runtime in 500M JVM md5 invocations at
+    the sf10 probe: 262 s → arithmetic). Pure integer arithmetic is
+    replayed verbatim by any SQL engine; collisions are
+    rolling-hash-class (P ≈ 2^40) rather than md5-class, which the
+    fingerprinting consumers tolerate by construction — and an oracle
+    replaying the SAME hash sees the SAME collisions. Codepoints up
+    to 0x10FFFF with base 131 and n ≤ 5 stay under 2^49 pre-mod —
+    no BIGINT overflow (ANSI mode would raise, not wrap)."""
+    glen = F.greatest(F.size(codes) - (n - 1), F.lit(0))
+
+    def term(p: int):
+        # factory, NOT a default-arg lambda: zip_with reads lambda
+        # arity, so extra defaulted params would misbind
+        return lambda a, c: a + c * F.lit(p).cast("long")
+
+    acc = F.transform(
+        F.slice(codes, 1, glen),
+        lambda c: c * F.lit(base ** (n - 1)).cast("long"),
+    )
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(codes, 1 + j, glen), term(base ** (n - 1 - j)))
+    return F.transform(acc, lambda x: x % F.lit(mod).cast("long"))
+
+
+def winnow_keys_expr(codes: Column, k: int = 5) -> Column:
+    """Packed winnowing gram keys for ``winnow_select_expr`` over a
+    BOUND ``char_codes_expr`` column: position i (1-based) of the
+    returned array is ``hash(gram_i) * 2^20 + (2^20 - 1 - i)`` — a
+    40-bit polynomial char-``k``-gram hash packed with the bit-flipped
+    position, so one BIGINT ``min`` implements Schleimer et al.'s
+    robust tie rule (smallest hash, RIGHTMOST position). Empty for
+    docs under ``k`` chars. Positions must fit 20 bits (~1M chars —
+    far above this corpus; a longer-doc deployment widens the shift).
+
+    BIND the result AS A COLUMN too (``withColumn`` then
+    ``winnow_select_expr(F.col(...))``): HOF lambdas get no CSE."""
+    keys = poly_gram_keys_expr(codes, k)
+    return F.transform(
+        keys,
+        lambda h, i: h * F.lit(1048576).cast("long")
+        + (F.lit(1048575).cast("long") - (i + 1)),
+    )
 
 
 def winnow_select_expr(keys: Column, w: int = 4) -> Column:
@@ -1045,67 +1090,70 @@ def chrf_score(
     frames join co-partitioned on (id, n, gram), clipped-min sums
     reduce per (id, n), and a bounded (id × max_n) grid right-join
     restores all-empty gram sizes before the per-id average. Work
-    linear in total characters; gram identity via 48-bit md5-prefix
-    keys (collision class 2^-48 per pair, same posture as the hashed
-    word grams).
+    linear in total characters; gram identity via 40-bit polynomial
+    keys over the BOUND codepoint arrays (``poly_gram_keys_expr`` —
+    pure codegen arithmetic the oracle replays verbatim; the
+    md5-per-gram form this replaced also re-ran the whitespace-strip
+    regex once per gram because the normalized string was an alias
+    inside the lambda, O(len²) per row).
 
     Output: (id, n_ref_chars, n_cand_chars, chrp, chrr, chrf) rounded
     6; empty sides score 0 by convention (sacrebleu raises instead —
     a pipeline scoring millions of docs wants totals, not exceptions).
     """
-    from .caching import track
-
     def norm(c: str) -> Column:
         return F.regexp_replace(F.lower(F.col(c)), r"\s+", "")
 
-    base = track(
+    # normalized strings and codepoint arrays bind as COLUMNS in
+    # separate projections (each alias is non-cheap and multi-
+    # referenced, so CollapseProject leaves the chain alone). The
+    # codes frame is deliberately NOT persisted: its three consumers
+    # re-derive it with pure O(len) arithmetic per scan, while caching
+    # it (≈docs × chars × 16 B) competed with the 32 in-flight
+    # partial-agg maps for the unified memory pool and tipped the
+    # sf10 probe into UNABLE_TO_ACQUIRE_MEMORY
+    base = (
         df.select(
             F.col(id_col).alias("id"),
-            norm(ref_col).alias("__r"),
-            norm(cand_col).alias("__c"),
+            norm(ref_col).alias("__rs"),
+            norm(cand_col).alias("__cs"),
         )
+        .withColumn("__rc", char_codes_expr(F.col("__rs")))
+        .withColumn("__cc", char_codes_expr(F.col("__cs")))
+        .select("id", "__rc", "__cc")
     )
 
-    def gram_structs(scol: str) -> Column:
-        # one flattened array of struct(n, key) for n = 1..max_n
-        s = F.col(scol)
+    def gram_longs(codes_name: str) -> Column:
+        # one flattened array<long> for n = 1..max_n, each element
+        # key*(max_n+1) + n: a packed (gram-hash, gram-size) long instead of a
+        # struct — the struct form allocated ~3·len two-field objects
+        # per row and drove the sf10 probe into GCLocker stalls; longs
+        # ride primitive arrays end to end (key < 2^40, so the pack
+        # stays far under 2^63)
+        codes = F.col(codes_name)
 
-        def gram_lambda(n: int):
-            # NOTE: a `lambda i, n=n` two-parameter lambda would be
-            # read by F.transform as (element, index) — the default
-            # arg silently becomes the index column
-            return lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.conv(F.substring(F.md5(F.substring(s, i, n)), 1, 12), 16, 10)
-                .cast("long")
-                .alias("key"),
-            )
+        def pack(n: int):
+            # factory, NOT a default-arg lambda: F.transform reads a
+            # two-parameter lambda as (element, index)
+            return lambda x: x * (max_n + 1) + n
 
         parts = []
         for n in range(1, max_n + 1):
-            keys = F.transform(
-                F.sequence(F.lit(1), F.length(s) - (n - 1)), gram_lambda(n)
-            )
-            parts.append(
-                F.when(F.length(s) >= n, keys).otherwise(
-                    F.expr("cast(array() as array<struct<n:int,key:bigint>>)")
-                )
-            )
+            parts.append(F.transform(poly_gram_keys_expr(codes, n), pack(n)))
         return F.flatten(F.array(*parts))
 
-    def counts(scol: str, alias: str) -> DataFrame:
+    def counts(codes_name: str, alias: str) -> DataFrame:
         return (
-            base.select("id", F.explode(gram_structs(scol)).alias("g"))
-            .select("id", F.col("g.n").alias("n"), F.col("g.key").alias("key"))
-            .groupBy("id", "n", "key")
+            base.select("id", F.explode(gram_longs(codes_name)).alias("k2"))
+            .groupBy("id", "k2")
             .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    ref = counts("__r", "c_ref")
-    cand = counts("__c", "c_cand")
+    ref = counts("__rc", "c_ref")
+    cand = counts("__cc", "c_cand")
     per_n = (
-        ref.join(cand, on=["id", "n", "key"], how="full_outer")
-        .groupBy("id", "n")
+        ref.join(cand, on=["id", "k2"], how="full_outer")
+        .groupBy("id", F.pmod("k2", F.lit(max_n + 1)).cast("int").alias("n"))
         .agg(
             F.sum(F.coalesce("c_ref", F.lit(0))).cast("long").alias("nr"),
             F.sum(F.coalesce("c_cand", F.lit(0))).cast("long").alias("nc"),
@@ -1134,8 +1182,8 @@ def chrf_score(
         (1 + b2) * F.col("p") * F.col("r") / (b2 * F.col("p") + F.col("r")),
     ).otherwise(0.0)
     return (
-        base.select("id", F.length("__r").cast("int").alias("n_ref_chars"),
-                    F.length("__c").cast("int").alias("n_cand_chars"))
+        base.select("id", F.size("__rc").cast("int").alias("n_ref_chars"),
+                    F.size("__cc").cast("int").alias("n_cand_chars"))
         .join(per_id, "id", "left")
         .select(
             "id",

@@ -321,15 +321,22 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_replace(lower(text), '[^0-9a-z]', '', 'g') AS s
       FROM documents
     ),
-    g AS (SELECT doc_id, s, GREATEST(len(s) - 4, 0) AS ng FROM n),
+    c AS (
+      SELECT doc_id,
+             list_transform(range(1, len(s) + 1), i ->
+               CAST(ascii(substring(s, CAST(i AS INT), 1)) AS BIGINT)) AS codes,
+             GREATEST(len(s) - 4, 0) AS ng
+      FROM n
+    ),
     k AS (
       SELECT doc_id, ng,
         CASE WHEN ng >= 1 THEN
           list_transform(range(1, ng + 1), i ->
-            ('0x' || substr(md5(substring(s, CAST(i AS INT), 5)), 1, 10))::BIGINT
+            ((codes[i] * 294499921 + codes[i + 1] * 2248091 + codes[i + 2] * 17161
+              + codes[i + 3] * 131 + codes[i + 4]) % 1099511627689)
               * 1048576 + (1048575 - i))
         ELSE CAST([] AS BIGINT[]) END AS keys
-      FROM g
+      FROM c
     ),
     sel AS (
       SELECT doc_id, ng,
@@ -355,23 +362,33 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window w=4): fingerprint count, distinct selected hashes, and a
     bounded checksum over the selected keys — the MOSS plagiarism/
     near-dup fingerprinting signal, computed entirely inside the row
-    (zero shuffles; see ``winnow_fingerprints_expr``)."""
-    from .operators.text import winnow_keys_expr, winnow_select_expr
+    (zero shuffles; see ``winnow_select_expr``)."""
+    from .operators.text import (
+        char_codes_expr,
+        winnow_keys_expr,
+        winnow_select_expr,
+    )
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    s = F.regexp_replace(F.lower(F.col("text")), "[^0-9a-z]", "")
-    # bind keys THEN the selected array as COLUMNS before fanning out
-    # the stats: direct expression references would re-run the whole
-    # gram-hash pass per reference (HOF lambdas get no CSE);
-    # CollapseProject leaves the intermediate projections alone
-    # because the folds are non-cheap, so each evaluates once per row
+    # normalized string, codepoints, packed gram keys, and the
+    # selected array each bind as COLUMNS before the next stage
+    # references them: HOF lambdas get no CSE, so an alias referenced
+    # inside a lambda re-evaluates PER ELEMENT (the md5-on-string
+    # form re-ran the normalize regex once per gram — O(len²)/row,
+    # 262s at the sf10 probe for what is now pure linear arithmetic);
+    # CollapseProject leaves the chain alone because every
+    # intermediate is non-cheap and multi-referenced
     fps = F.col("__fps")
     return (
-        d.withColumn("__keys", winnow_keys_expr("text", k=5))
+        d.withColumn(
+            "__s", F.regexp_replace(F.lower(F.col("text")), "[^0-9a-z]", "")
+        )
+        .withColumn("__codes", char_codes_expr(F.col("__s")))
+        .withColumn("__keys", winnow_keys_expr(F.col("__codes"), k=5))
         .withColumn("__fps", winnow_select_expr(F.col("__keys"), w=4))
         .select(
             "doc_id",
-            F.greatest(F.length(s) - 4, F.lit(0)).cast("int").alias("n_grams"),
+            F.greatest(F.size("__codes") - 4, F.lit(0)).cast("int").alias("n_grams"),
             F.size(fps).cast("int").alias("n_fingerprints"),
             F.size(F.array_distinct(F.transform(fps, lambda x: F.shiftright(x, 20))))
             .cast("int")
@@ -524,9 +541,12 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chrF (Popović 2015) — character n-gram F-score
 # ---------------------------------------------------------------------------
 def _chrf_gram_cte(src: str, n: int) -> str:
-    key = (
-        f"('0x' || substr(md5(substring({src}, CAST(i AS INT), {n})), 1, 12))::BIGINT"
+    # polynomial char-n-gram key over the codepoint list — mirrors
+    # operators/text.py:poly_gram_keys_expr term for term
+    terms = " + ".join(
+        f"{src}[i + {j}] * {131 ** (n - 1 - j)}" for j in range(n)
     )
+    key = f"(({terms}) % 1099511627689)"
     return (
         f"SELECT doc_id, {n} AS n, unnest(CASE WHEN len({src}) >= {n} THEN "
         f"list_transform(range(1, len({src}) - {n} + 2), i -> {key}) "
@@ -535,12 +555,20 @@ def _chrf_gram_cte(src: str, n: int) -> str:
 
 
 _CHRF_SQL = r"""
-    WITH d AS (
+    WITH d0 AS (
       SELECT doc_id,
-             regexp_replace(lower(text), '\s+', '', 'g') AS rs,
+             regexp_replace(lower(text), '\s+', '', 'g') AS rst,
              regexp_replace(lower(substr(text, 1, CAST(floor(length(text) / 2) AS INT))),
-                            '\s+', '', 'g') AS cs
+                            '\s+', '', 'g') AS cst
       FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             list_transform(range(1, len(rst) + 1), i ->
+               CAST(ascii(substring(rst, CAST(i AS INT), 1)) AS BIGINT)) AS rs,
+             list_transform(range(1, len(cst) + 1), i ->
+               CAST(ascii(substring(cst, CAST(i AS INT), 1)) AS BIGINT)) AS cs
+      FROM d0
     ),
     rg AS (
       SELECT doc_id, n, key, CAST(COUNT(*) AS BIGINT) AS c_ref FROM (

@@ -28,7 +28,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    "spark.driver.memory": "8g",
+    # 16g: local[32] means 32 concurrent tasks share ONE unified memory
+    # pool — at 8g the sf10 probes' explode-then-aggregate shapes
+    # (~1B gram rows, 32 partial-agg maps in flight) starved execution
+    # memory (UNABLE_TO_ACQUIRE_MEMORY) while the box has 128 GiB; on a
+    # real cluster this is executor memory ÷ executor cores, sized to
+    # the same ~0.5 GB/task-slot floor
+    "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
 }
 

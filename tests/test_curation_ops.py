@@ -57,6 +57,7 @@ def test_winnowing_known_answer(spark):
     fingerprints; w+k-1-char shared substrings guarantee a shared
     fingerprint; short docs emit exactly one; sub-k docs none."""
     from classification_pyspark_spark.operators.text import (
+        char_codes_expr,
         winnow_keys_expr,
         winnow_select_expr,
     )
@@ -72,7 +73,11 @@ def test_winnowing_known_answer(spark):
     df = spark.createDataFrame(docs, "doc_id int, text string")
     out = {
         r.doc_id: set(r.fps)
-        for r in df.withColumn("__k", winnow_keys_expr("text", k=5))
+        for r in df.withColumn(
+            "__s", F.regexp_replace(F.lower(F.col("text")), "[^0-9a-z]", "")
+        )
+        .withColumn("__c", char_codes_expr(F.col("__s")))
+        .withColumn("__k", winnow_keys_expr(F.col("__c"), k=5))
         .select("doc_id", winnow_select_expr(F.col("__k"), w=4).alias("fps"))
         .collect()
     }
