@@ -102,6 +102,13 @@ HEADLINE = [
     # round-5 addition: the triangle-split + persisted-base GEMM pair
     # plan, so the degenerate-bucket guard keeps regression coverage
     "embedding_dup_pairs",
+    # round-6 additions: the curation-stage plan shapes this round
+    # tuned (cluster-bucketed GEMM prune, vocab-bounded LM broadcast,
+    # zero-shuffle polynomial winnowing, packed-long char-gram eval)
+    "semdedup_prune",
+    "dsir_importance_weights",
+    "winnowing_fingerprints",
+    "chrf_halves_overlap",
 ]
 
 
