@@ -629,6 +629,41 @@ def ngram_jaccard_pairs(
     NOTE: with a cap, |A| / |B| still count all grams while the
     intersection misses capped grams, so jaccard is a lower bound.
     """
+    counts = _gram_pair_counts(
+        df, text_col, id_col, block_col, n, max_posting_size, hash_grams
+    )
+    return (
+        counts.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def _gram_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int,
+    max_posting_size: int | None,
+    hash_grams: bool,
+) -> DataFrame:
+    """Shared posting-list core of the n-gram pair family:
+    ``(id_a < id_b, n_common, na, nb)`` for every in-block pair with
+    at least one shared distinct gram. Pair intersection counts come
+    from ONE grouped posting list + double explode (codegen Generate)
+    instead of a (blk, gram)-keyed self-join: the join shuffled the
+    posting frame twice and needed a separate posting-length agg+join
+    for the cap; here the cap is a free size(list) filter and the k²
+    occurrence pairs are generated in-task and partially aggregated
+    before the (id_a, id_b) exchange. A hot gram's k² work lands in
+    one task either way (the join keyed on the same gram); the cap
+    bounds it at cap²."""
     if hash_grams:
         grams = F.expr(rolling_gram_hash_sql(ws_tok_sql(text_col), n, pad_short=True))
     else:
@@ -642,17 +677,6 @@ def ngram_jaccard_pairs(
         )
     )
     sizes = posting.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    # pair intersection counts via ONE grouped posting list + double
-    # explode (codegen Generate) instead of a (blk, gram)-keyed
-    # self-join: the join shuffled the posting frame twice and needed
-    # a separate posting-length agg+join for the cap; here the cap is
-    # a free size(list) filter and the k^2 occurrence pairs are
-    # generated in-task and partially aggregated before the (id_a,
-    # id_b) exchange. collect_list keeps duplicate ids (a doc
-    # repeating a gram), so multiset intersection counts are
-    # join-identical. A hot gram's k^2 work lands in one task either
-    # way (the join keyed on the same gram); the cap bounds it at
-    # cap^2.
     posts = posting.groupBy("blk", "gram").agg(F.collect_list("id").alias("ids"))
     posts = posts.filter(F.size("ids") >= 2)
     if max_posting_size is not None:
@@ -666,17 +690,49 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    min_containment: float = 0.6,
+    max_posting_size: int | None = DEFAULT_MAX_POSTING_SIZE,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Token-n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) — the
+    asymmetric near-dup signal Jaccard misses. An excerpt, quotation,
+    or boilerplate-wrapped copy of a document has LOW Jaccard against
+    its source (the union is dominated by the longer side) but
+    containment ≈ 1 for the shorter side — exactly the
+    quote/subset-dup class a training-corpus dedup pass wants to
+    catch (Broder's containment coefficient, the companion measure to
+    resemblance in "On the resemblance and containment of documents",
+    1997).
+
+    Output: (id_a < id_b, containment_a = common/|A|, containment_b =
+    common/|B|, both rounded 4) for pairs whose MAX containment >=
+    ``min_containment``. Same posting-list plan, cap, and collision
+    class as ``ngram_jaccard_pairs`` (shared core)."""
+    counts = _gram_pair_counts(
+        df, text_col, id_col, block_col, n, max_posting_size, hash_grams
+    )
+    ca = F.round(F.col("n_common") / F.col("na"), 4)
+    cb = F.round(F.col("n_common") / F.col("nb"), 4)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        counts.select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
-            ).alias("jaccard"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= min_containment
+        )
     )
 
 

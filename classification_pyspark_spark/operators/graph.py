@@ -113,3 +113,86 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient over
+    an undirected simple edge list ``(u, v)`` with ``u < v`` (distinct)
+    — Suri & Vassilvitskii's degree-oriented MapReduce algorithm
+    (WWW 2011): orient each edge toward the higher (degree, id)
+    endpoint, enumerate wedges only at each edge's designated apex
+    (out-degrees are O(sqrt E)-bounded under this orientation, so no
+    hub explodes the wedge join), and close wedges against the
+    undirected edge set — every triangle counted exactly once at its
+    minimum-order vertex.
+
+    Output: (x, n_triangles, degree, clustering_coeff rounded 6), one
+    row per vertex in >= 1 triangle. The edge, degree, and oriented
+    frames are tracked persists (each feeds >= 2 consumers).
+
+    WARNING: triangle counting is Theta(k^3) on a k-clique no matter
+    the algorithm, and near-dup graphs CONTAIN cliques by construction
+    (every pair in an LSH bucket collides — a template family of 2000
+    docs is 1.3e9 triangles that each say the same thing:
+    clustering = 1). ``max_degree`` is the standard skew valve
+    (high-degree vertex removal): edges touching a vertex with degree
+    above the cap are dropped BEFORE wedge enumeration, bounding work
+    at |E|·max_degree while keeping the interesting (sparse-
+    neighborhood) vertices exact — a mega-cluster's cohesion is
+    already known without counting its triangles. None = exact; the
+    per-vertex degree column always reports the FULL degree so capped
+    runs remain interpretable."""
+    from .caching import track
+
+    e = track(edges.select("u", "v"))
+    deg = track(
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    if max_degree is not None:
+        keep = deg.filter(F.col("d") <= int(max_degree)).select("x")
+        e = track(
+            e.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    o = track(
+        e.join(da, "u").join(db, "v").select(
+            F.when(F.col("du") <= F.col("dv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("du") <= F.col("dv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o2 = o.select(F.col("src"), F.col("dst").alias("dst2"))
+    tri = (
+        o.join(o2, on="src")
+        .filter(F.col("dst") < F.col("dst2"))
+        .join(
+            e,
+            (F.col("u") == F.col("dst")) & (F.col("v") == F.col("dst2")),
+            "left_semi",
+        )
+        .select(
+            F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dst2").alias("c")
+        )
+    )
+    per_v = (
+        tri.select(F.col("a").alias("x"))
+        .unionByName(tri.select(F.col("b").alias("x")))
+        .unionByName(tri.select(F.col("c").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_v.join(deg, "x").select(
+        "x",
+        "n_triangles",
+        F.col("d").alias("degree"),
+        F.round(
+            F.col("n_triangles") * 2.0 / (F.col("d") * (F.col("d") - 1)), 6
+        ).alias("clustering_coeff"),
+    )

@@ -91,6 +91,11 @@ DRIVER_WINDOW: list[str] = [
     "chrf_halves_overlap",
     "mmr_diverse_rerank",
     "source_token_js_divergence",
+    "ngram_containment_pairs",
+    "tokenizer_fertility",
+    "triangle_count_neardup",
+    "sql_recursive_hierarchy_chain",
+    "sql_lateral_topk_per_segment",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -130,12 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "text_stats",
     "tfidf_top_terms",
     "top_bigrams",
-    "window_topk_per_group",
-    "zero_density",
-    # last green in r03 (oldest alphabetical prefix to fill 50)
-    "asof_join_last_view_before_purchase",
-    "auc_roc",
-    "cdc_merge_upsert",
 ]
 
 

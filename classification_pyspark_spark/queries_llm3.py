@@ -819,3 +819,106 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ns").cast("long").alias("n_tokens"),
         F.round(F.sum("__t"), 6).alias("js_divergence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment pairs (Broder 1997) — excerpt / subset-dup signal
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_containment_pairs",
+    sql=r"""
+    WITH posting AS (
+      SELECT doc_id AS id, lang AS blk, unnest(list_distinct(g)) AS gram
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 2), ' ')) AS g
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_grams FROM posting GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM posting a JOIN posting b ON a.blk = b.blk AND a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / sa.n_grams, 4) AS containment_a,
+           ROUND(n_common * 1.0 / sb.n_grams, 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE GREATEST(ROUND(n_common * 1.0 / sa.n_grams, 4),
+                   ROUND(n_common * 1.0 / sb.n_grams, 4)) >= 0.4
+    """,
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram containment pairs (|A∩B|/min side, Broder 1997),
+    blocked by lang: the ASYMMETRIC near-dup signal — an excerpt or
+    quotation has low Jaccard against its source (the union is
+    dominated by the longer doc) but containment ≈ 1 on the shorter
+    side. Shares `_gram_pair_counts` with the Jaccard query (one
+    posting explode, in-task k² pair generation, stop-gram cap off
+    for oracle exactness)."""
+    from .operators.dedup_fuzzy import ngram_containment_pairs
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(
+        d, "text", "doc_id", "lang", n=3, min_containment=0.4,
+        max_posting_size=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — per-language subword economics
+# ---------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility",
+    sql=r"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             CAST(list_sum(list_transform(
+               string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+               p -> CASE WHEN len(p) > 0 THEN CAST(ceil(len(p) / 4.0) AS BIGINT)
+                         ELSE 0 END)) AS BIGINT) AS subwords,
+             len(text) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(subwords) AS BIGINT) AS n_subwords,
+           ROUND(CAST(SUM(subwords) AS DOUBLE) / SUM(ws_tokens), 6) AS fertility,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(subwords), 6) AS chars_per_subword
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (subwords per whitespace word)
+    and compression (chars per subword) — the table a tokenizer/vocab
+    design reads before committing a merge budget to a language mix
+    (high fertility = the language pays more sequence length per
+    word). Uses the deterministic BPE-ish subword proxy
+    (``bpeish_token_count_expr``); one aggregate, no shuffle beyond
+    the |langs|-row exchange."""
+    from .operators.text import bpeish_token_count_expr, token_count_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        token_count_expr("text").alias("ws_tokens"),
+        bpeish_token_count_expr("text").alias("subwords"),
+        F.length("text").alias("chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.sum("subwords").cast("long").alias("n_subwords"),
+        F.round(
+            F.sum("subwords").cast("double") / F.sum("ws_tokens"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("subwords"), 6
+        ).alias("chars_per_subword"),
+    )

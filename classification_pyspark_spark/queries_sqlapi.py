@@ -113,3 +113,71 @@ def sql_pipe_syntax_ship_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan) and the LONG-cents exact money discipline hold unchanged."""
     register_views(spark, sf_dir)
     return spark.sql(_PIPE_SHIP_STATUS_SQL_SPARK)
+
+
+# Spark 4 recursive CTE (WITH RECURSIVE, UNION ALL form): hierarchy
+# climb + rollup along the ancestor chain. The supplier "reports-to"
+# tree is synthesized arithmetically (parent = floor(key / 2), root =
+# keys 0/1) — the recursion PATTERN (climb an id-linked hierarchy,
+# accumulate along the path, group at fixpoint) is the engine surface
+# under test; real deployments point it at their own parent-key
+# column. Dialect-common: Spark 4.1 and DuckDB run the same string
+# (UNION ALL recursion only — Spark rejects UNION-dedup recursion,
+# so the climb must be acyclic, which an integer-halving chain is).
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE up(suppkey, anc, depth, chain_cents) AS (
+  SELECT s_suppkey, s_suppkey, 0, CAST(ROUND(s_acctbal * 100) AS BIGINT)
+  FROM supplier
+  UNION ALL
+  SELECT u.suppkey, CAST(FLOOR(u.anc / 2) AS BIGINT), u.depth + 1,
+         u.chain_cents + CAST(ROUND(s.s_acctbal * 100) AS BIGINT)
+  FROM up u JOIN supplier s ON s.s_suppkey = CAST(FLOOR(u.anc / 2) AS BIGINT)
+  WHERE u.anc > 1
+)
+SELECT suppkey AS s_suppkey,
+       CAST(MAX(depth) AS INT) AS depth_to_root,
+       CAST(MAX_BY(chain_cents, depth) AS BIGINT) / CAST(100.0 AS DOUBLE)
+         AS chain_acctbal
+FROM up GROUP BY suppkey
+"""
+
+
+@query("sql_recursive_hierarchy_chain", sql=_RECURSIVE_CHAIN_SQL)
+def sql_recursive_hierarchy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy rollup through Spark 4's WITH
+    RECURSIVE: every supplier's depth-to-root and the account-balance
+    sum along its ancestor chain (LONG-cents money discipline inside
+    the recursion). Depth is logarithmic in the key domain, so the
+    working set is |suppliers|·log rows — each iteration one
+    broadcast-able join against the static dimension. The iterative
+    DataFrame loops (connected components, pagerank) remain the scale
+    path for DATA-sized graphs; this is the declarative surface for
+    catalog-sized hierarchies."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+# LATERAL correlated subquery (Spark 4 / DuckDB dialect-common):
+# per-group top-k without a window function — the optimizer turns the
+# correlated LIMIT into a per-key TakeOrdered instead of ranking the
+# whole fact table.
+_LATERAL_TOPK_SQL = """
+SELECT c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer cc ON o.o_custkey = cc.c_custkey
+  WHERE cc.c_mktsegment = c.c_mktsegment
+  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_topk_per_segment", sql=_LATERAL_TOPK_SQL)
+def sql_lateral_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per market segment via a LATERAL correlated
+    subquery — the SQL-surface twin of the window-function top-k
+    (`window_topk_per_group`), same ANSI string on both engines;
+    fully deterministic (price desc, orderkey tie-break)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -254,3 +254,68 @@ def test_js_divergence_properties(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
         assert r.n_tokens > 0
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge: the two vertices on the missing edge sit in
+    1 triangle each (degree 2 -> clustering 1.0), the other two in 2
+    each (degree 3 -> clustering 2/3). Plus: max_degree capping drops
+    high-degree vertices' triangles while the survivors stay exact."""
+    from classification_pyspark_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "u int, v int"
+    )
+    out = {r.x: r for r in triangle_counts(edges).collect()}
+    assert out[1].n_triangles == 2 and out[2].n_triangles == 2
+    assert out[3].n_triangles == 1 and out[4].n_triangles == 1
+    assert out[1].degree == 3 and out[3].degree == 2
+    # deg 3 -> 2 triangles of 3 possible pairs: coeff 2/3; deg 2 -> 1/1
+    assert abs(out[1].clustering_coeff - round(2 / 3, 6)) < 1e-9
+    assert out[3].clustering_coeff == 1.0
+
+    # cap at degree 2: vertices 1 and 2 (degree 3) drop out entirely,
+    # and with them every triangle
+    capped = triangle_counts(edges, max_degree=2).collect()
+    assert capped == []
+
+    # a 5-clique plus a pendant triangle; cap 4 removes only the
+    # clique's interior... all clique vertices have degree >= 4, so
+    # only the outside triangle survives
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    extra = [(6, 7), (6, 8), (7, 8)]
+    g = spark.createDataFrame(k5 + extra, "u int, v int")
+    full = {r.x: r.n_triangles for r in triangle_counts(g).collect()}
+    assert full[1] == 6 and full[6] == 1  # C(4,2)=6 per K5 vertex
+    capped = {r.x: r.n_triangles for r in triangle_counts(g, max_degree=3).collect()}
+    assert capped == {6: 1, 7: 1, 8: 1}
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """An excerpt inside a longer doc: low Jaccard, high containment
+    on the short side — the signal the containment operator exists
+    for."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, core, "en"), (2, core + " " + filler, "en")],
+        "doc_id int, text string, lang string",
+    )
+    cont = ngram_containment_pairs(
+        df, "text", "doc_id", "lang", n=3, min_containment=0.5,
+        max_posting_size=None,
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert r.containment_a == 1.0  # every 3-gram of the excerpt is in the doc
+    assert r.containment_b < 0.5
+    jac = ngram_jaccard_pairs(
+        df, "text", "doc_id", "lang", n=3, min_jaccard=0.5, max_posting_size=None
+    ).collect()
+    assert jac == []  # Jaccard misses the pair at the same bar

@@ -131,12 +131,42 @@ def _minhash_incremental_production(spark, sf_dir):
     )
 
 
+def _triangle_neardup_production(spark, sf_dir):
+    """triangle_count_neardup over production-banded minhash pairs
+    (universal engine, H=16 / r=8, bucket cap on): the registered
+    H=4 / r=2 form is for DuckDB-oracle parity and inherits the j^2
+    random-collision edge blowup at sf1+ (see
+    _minhash_pairs_production) — triangles then count noise cliques.
+    The production edge set is sparse by construction."""
+    from pyspark.sql import functions as F
+
+    from classification_pyspark_spark.catalog import load_table, spread_for_compute
+    from classification_pyspark_spark.operators.dedup_fuzzy import minhash_candidate_pairs
+    from classification_pyspark_spark.operators.graph import triangle_counts
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_candidate_pairs(
+        d, "text", "doc_id", rows_per_band=8, n_hashes=16, engine="universal"
+    )
+    # max_degree=50: template-family LSH buckets are cliques — a
+    # 2000-doc family alone is 1.3e9 triangles (and spilled 70 GB of
+    # wedge shuffle before this cap); clique cohesion is known without
+    # enumeration, so production counts triangles only where the
+    # neighborhood is sparse enough for the answer to be informative
+    out = triangle_counts(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+        max_degree=50,
+    )
+    return out.withColumnRenamed("x", "doc_id")
+
+
 PRODUCTION_MODE = {
     "tfidf_cosine_pairs": _tfidf_capped,
     "describe_numeric_approx": _describe_numeric_approx_production,
     "minhash_dup_pairs": _minhash_pairs_production,
     "split_leakage_audit": _split_leakage_production,
     "minhash_incremental_dedup": _minhash_incremental_production,
+    "triangle_count_neardup": _triangle_neardup_production,
 }
 
 
