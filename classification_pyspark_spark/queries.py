@@ -96,6 +96,10 @@ DRIVER_WINDOW: list[str] = [
     "triangle_count_neardup",
     "sql_recursive_hierarchy_chain",
     "sql_lateral_topk_per_segment",
+    "seasonal_decomposition_daily",
+    "cusum_changepoint_daily",
+    "theil_sen_trend",
+    "benford_first_digit_audit",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -131,10 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "simhash_fingerprints",
     "split_leakage_audit",
     "text_langid",
-    "text_redact_pii",
-    "text_stats",
-    "tfidf_top_terms",
-    "top_bigrams",
 ]
 
 

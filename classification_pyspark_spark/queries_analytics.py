@@ -269,3 +269,300 @@ def gaps_islands_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("long").alias("active_days"),
         F.date_format(F.max("end_d"), "yyyy-MM-dd").alias("last_active"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 time-series / data-audit additions. All four run on the
+# calendar-bounded daily rollup (the 100 TB fact table collapses to
+# ~|days| rows in one map-side-combined aggregate; everything after is
+# bounded-frame math), and all keep sums in LONG cents until one final
+# double division so both engines see exact integers until the last op.
+# ---------------------------------------------------------------------------
+_DAILY_CENTS_SQL = f"""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dn,
+           CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rc
+    FROM orders GROUP BY 1, 2
+"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")).alias("dn"),
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("rc"))
+
+
+@query(
+    "seasonal_decomposition_daily",
+    sql=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    tr AS (
+      SELECT d, dn, rc,
+             SUM(rc) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+             COUNT(*) OVER (ORDER BY dn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    det AS (
+      SELECT d, dn, rc,
+             CASE WHEN c7 = 7 THEN 7 * rc - t7 ELSE NULL END AS detr,
+             CASE WHEN c7 = 7 THEN t7 ELSE NULL END AS t7
+      FROM tr
+    ),
+    season AS (
+      SELECT dn % 7 AS dow,
+             CAST(SUM(detr) AS DOUBLE) / COUNT(detr) AS savg
+      FROM det WHERE detr IS NOT NULL GROUP BY 1
+    )
+    SELECT strftime(det.d, '%Y-%m-%d') AS day,
+           CAST(rc AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(t7 AS DOUBLE) / 700, 6) AS trend,
+           ROUND(savg / 700, 6) AS seasonal,
+           ROUND((CAST(detr AS DOUBLE) - savg) / 700, 6) AS residual
+    FROM det JOIN season ON season.dow = det.dn % 7
+    """,
+)
+def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily revenue (STL-lite):
+    trend = centered 7-day moving average (full windows only — edges
+    report NULL), seasonal = per-day-of-week mean of the detrended
+    series, residual = the rest. All intermediate sums stay in LONG
+    cents (detrended = 7·rc − Σ₇rc is EXACT integer math) so the two
+    engines agree bit-for-bit until the final rounding; day-of-week is
+    ``day_number % 7`` — pure arithmetic, immune to the engines'
+    different DOW conventions. The window is a RANGE over the day
+    number (calendar gaps excluded from the average rather than
+    silently shifting it)."""
+    daily = _daily_cents(spark, sf_dir)
+    w7 = Window.orderBy("dn").rangeBetween(-3, 3)
+    tr = daily.select(
+        "d", "dn", "rc",
+        F.sum("rc").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    det = tr.select(
+        "d", "dn", "rc",
+        F.when(F.col("c7") == 7, 7 * F.col("rc") - F.col("t7")).alias("detr"),
+        F.when(F.col("c7") == 7, F.col("t7")).alias("t7"),
+    )
+    season = (
+        det.filter(F.col("detr").isNotNull())
+        .groupBy((F.col("dn") % 7).alias("dow"))
+        .agg((F.sum("detr").cast("double") / F.count("detr")).alias("savg"))
+    )
+    return (
+        det.join(F.broadcast(season), det["dn"] % 7 == season["dow"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (F.col("rc").cast("double") / 100).alias("revenue"),
+            F.round(F.col("t7").cast("double") / 700, 6).alias("trend"),
+            F.round(F.col("savg") / 700, 6).alias("seasonal"),
+            F.round((F.col("detr").cast("double") - F.col("savg")) / 700, 6).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+@query(
+    "cusum_changepoint_daily",
+    sql=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    pre AS (
+      SELECT d, dn,
+             CAST(SUM(rc) OVER (ORDER BY dn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+             CAST(row_number() OVER (ORDER BY dn) AS BIGINT) AS k
+      FROM daily
+    ),
+    dev AS (
+      SELECT d, dn, s, k, n * s - k * t AS dv FROM pre CROSS JOIN tot
+    ),
+    pick AS (
+      SELECT * FROM dev ORDER BY ABS(dv) DESC, dn ASC LIMIT 1
+    )
+    SELECT strftime(pick.d, '%Y-%m-%d') AS changepoint_day,
+           CAST(pick.k AS INT) AS n_days_before,
+           ROUND(CAST(pick.dv AS DOUBLE) / tot.n / 100, 6) AS cusum_peak,
+           ROUND(CAST(pick.s AS DOUBLE) / pick.k / 100, 6) AS mean_before,
+           ROUND((CAST(tot.t AS DOUBLE) - pick.s) / (tot.n - pick.k) / 100, 6)
+             AS mean_after
+    FROM pick CROSS JOIN tot
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint over daily revenue: the day where the
+    cumulative deviation from the global mean peaks — the standard
+    single-changepoint locator for level shifts in a monitored
+    series. The deviation is computed SCALED (n·prefix − k·total, pure
+    BIGINT) so the argmax is exact integer arithmetic with a
+    deterministic earliest-day tie-break; only the reported summary
+    divides. Bounded frame end to end (|days| rows after the rollup)."""
+    daily = _daily_cents(spark, sf_dir)
+    tot = daily.agg(
+        F.sum("rc").cast("long").alias("t"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "d", "dn",
+        F.sum("rc").over(wp).cast("long").alias("s"),
+        F.row_number().over(Window.orderBy("dn")).cast("long").alias("k"),
+    )
+    dev = pre.crossJoin(F.broadcast(tot)).select(
+        "d", "dn", "s", "k", "t", "n", (F.col("n") * F.col("s") - F.col("k") * F.col("t")).alias("dv")
+    )
+    pick = dev.orderBy(F.abs(F.col("dv")).desc(), F.col("dn").asc()).limit(1)
+    return pick.select(
+        F.date_format("d", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("k").cast("int").alias("n_days_before"),
+        F.round(F.col("dv").cast("double") / F.col("n") / 100, 6).alias("cusum_peak"),
+        F.round(F.col("s").cast("double") / F.col("k") / 100, 6).alias("mean_before"),
+        F.round(
+            (F.col("t").cast("double") - F.col("s")) / (F.col("n") - F.col("k")) / 100,
+            6,
+        ).alias("mean_after"),
+    )
+
+
+@query(
+    "theil_sen_trend",
+    sql=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    mx AS (SELECT MAX(dn) AS m FROM daily),
+    win AS (SELECT d, dn, rc FROM daily CROSS JOIN mx WHERE dn >= m - 89),
+    slopes AS (
+      SELECT (CAST(b.rc AS DOUBLE) - a.rc) / ((b.dn - a.dn) * CAST(100 AS DOUBLE)) AS sl
+      FROM win a JOIN win b ON a.dn < b.dn
+    ),
+    ranked AS (
+      SELECT sl, row_number() OVER (ORDER BY sl) AS r, COUNT(*) OVER () AS n
+      FROM slopes
+    ),
+    med AS (
+      SELECT AVG(sl) AS slope FROM ranked
+      WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    resid AS (
+      SELECT (CAST(rc AS DOUBLE) / 100) - med.slope * dn AS ic
+      FROM win CROSS JOIN med
+    ),
+    rankedi AS (
+      SELECT ic, row_number() OVER (ORDER BY ic) AS r, COUNT(*) OVER () AS n
+      FROM resid
+    )
+    SELECT CAST((SELECT COUNT(*) FROM win) AS INT) AS n_days,
+           ROUND((SELECT slope FROM med), 6) AS slope_per_day,
+           ROUND(AVG(ic), 6) AS intercept
+    FROM rankedi WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over the last 90 observed days of daily
+    revenue: slope = median of all pairwise slopes (up to ~4k pairs —
+    bounded by the window, never the fact table), intercept = median
+    of (value − slope·day). Medians are selected by ROW NUMBER (avg of
+    the two middle ranks), not an interpolating percentile function —
+    the one construct both engines replay identically with no
+    tie-handling divergence. Outlier days (holiday spikes) move OLS
+    fits; they leave the pairwise-median untouched."""
+    daily = _daily_cents(spark, sf_dir)
+    mx = daily.agg(F.max("dn").alias("m"))
+    win = daily.crossJoin(F.broadcast(mx)).filter(F.col("dn") >= F.col("m") - 89)
+    a = win.select(F.col("dn").alias("dna"), F.col("rc").alias("rca"))
+    b = win.select(F.col("dn").alias("dnb"), F.col("rc").alias("rcb"))
+    slopes = (
+        a.join(b, a["dna"] < b["dnb"])
+        .select(
+            (
+                (F.col("rcb").cast("double") - F.col("rca"))
+                / ((F.col("dnb") - F.col("dna")) * F.lit(100).cast("double"))
+            ).alias("sl")
+        )
+    )
+    wr = Window.orderBy("sl")
+    ranked = slopes.select(
+        "sl",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("r") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("r") == F.floor((F.col("n") + 2) / 2))
+    ).agg(F.avg("sl").alias("slope"))
+    resid = win.crossJoin(F.broadcast(med)).select(
+        ((F.col("rc").cast("double") / 100) - F.col("slope") * F.col("dn")).alias("ic"),
+        "slope",
+    )
+    wi = Window.orderBy("ic")
+    rankedi = resid.select(
+        "ic", "slope",
+        F.row_number().over(wi).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    n_days = win.agg(F.count(F.lit(1)).cast("int").alias("n_days"))
+    return (
+        rankedi.filter(
+            (F.col("r") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("r") == F.floor((F.col("n") + 2) / 2))
+        )
+        .agg(
+            F.round(F.first("slope"), 6).alias("slope_per_day"),
+            F.round(F.avg("ic"), 6).alias("intercept"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "slope_per_day", "intercept")
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    sql=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST({cents_sql('o_totalprice')} AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM c GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT obs.digit, obs.n_obs,
+           ROUND(CAST(obs.n_obs AS DOUBLE) / tot.n, 6) AS obs_share,
+           ROUND(log10(1 + CAST(1 AS DOUBLE) / obs.digit), 6) AS benford_p,
+           ROUND(pow(obs.n_obs - tot.n * log10(1 + CAST(1 AS DOUBLE) / obs.digit), 2)
+                 / (tot.n * log10(1 + CAST(1 AS DOUBLE) / obs.digit)), 6)
+             AS chi2_contribution
+    FROM obs CROSS JOIN tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed digit
+    shares vs log10(1 + 1/d) with per-digit chi-square contributions —
+    the classic synthetic/fabricated-data smell test a data-quality
+    gate runs on monetary columns (synthetic uniform amounts FAIL it
+    loudly, which is itself the point of auditing). First digit comes
+    from the cents integer's decimal string (×100 shifts the point
+    without touching the leading significant digit) — no float log
+    tricks on the extraction path."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    c = o.select(
+        F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = c.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    p = F.log10(1 + F.lit(1).cast("double") / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("obs_share"),
+        F.round(p, 6).alias("benford_p"),
+        F.round(
+            F.pow(F.col("n_obs") - F.col("n") * p, 2) / (F.col("n") * p), 6
+        ).alias("chi2_contribution"),
+    )

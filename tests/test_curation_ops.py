@@ -319,3 +319,32 @@ def test_containment_vs_jaccard_asymmetry(spark):
         df, "text", "doc_id", "lang", n=3, min_jaccard=0.5, max_posting_size=None
     ).collect()
     assert jac == []  # Jaccard misses the pair at the same bar
+
+
+def test_seasonal_decomposition_identity_and_benford_shares(spark, sf_dir):
+    """Decomposition identity: trend + seasonal + residual == revenue
+    on every full-window day; Benford shares sum to 1 and digits are
+    1..9; CUSUM means are consistent with the global mean; Theil-Sen
+    returns one finite row."""
+    import math
+
+    from classification_pyspark_spark.queries import QUERIES
+
+    rows = QUERIES["seasonal_decomposition_daily"](spark, sf_dir).collect()
+    full = [r for r in rows if r.trend is not None]
+    assert full and len(full) < len(rows)  # edges exist and are NULL
+    for r in full[:200]:
+        assert abs((r.trend + r.seasonal + r.residual) - r.revenue) < 2e-5
+
+    ben = QUERIES["benford_first_digit_audit"](spark, sf_dir).collect()
+    assert {r.digit for r in ben} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in ben) - 1.0) < 1e-3
+    assert abs(sum(r.benford_p for r in ben) - 1.0) < 1e-3
+
+    cu = QUERIES["cusum_changepoint_daily"](spark, sf_dir).collect()
+    assert len(cu) == 1 and cu[0].n_days_before >= 1
+    assert math.isfinite(cu[0].cusum_peak)
+
+    ts = QUERIES["theil_sen_trend"](spark, sf_dir).collect()
+    assert len(ts) == 1 and ts[0].n_days <= 90
+    assert math.isfinite(ts[0].slope_per_day) and math.isfinite(ts[0].intercept)

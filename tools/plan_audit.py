@@ -52,6 +52,25 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "lag over the weeks frame",
         "global_window": "week-over-week lag — frame bounded by the calendar",
     },
+    "seasonal_decomposition_daily": {
+        "global_window": "7-day centered MA over the calendar-bounded "
+        "daily rollup (~|days| rows) — the fact table collapsed first",
+        "single_partition": "same bounded daily frame",
+    },
+    "cusum_changepoint_daily": {
+        "global_window": "prefix sums over the calendar-bounded daily "
+        "rollup; the argmax pick is a 1-row TakeOrdered",
+        "single_partition": "same bounded daily frame",
+    },
+    "theil_sen_trend": {
+        "global_window": "rank selection over the <=90-day window's "
+        "<=4k pairwise slopes — bounded by the trend window, never data",
+        "single_partition": "same bounded slope frame",
+    },
+    "benford_first_digit_audit": {
+        "single_partition": "1-row total fold over the 9-digit "
+        "aggregate frame",
+    },
     "mmr_diverse_rerank": {
         "global_window": "top-20 candidate-pool cut for ONE query's "
         "rerank; a multi-query deployment partitions the row_number by "
