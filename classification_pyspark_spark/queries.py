@@ -100,6 +100,7 @@ DRIVER_WINDOW: list[str] = [
     "cusum_changepoint_daily",
     "theil_sen_trend",
     "benford_first_digit_audit",
+    "weighted_sample_tokens",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -134,7 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "set_analysis",
     "simhash_fingerprints",
     "split_leakage_audit",
-    "text_langid",
 ]
 
 

@@ -922,3 +922,67 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars").cast("double") / F.sum("subwords"), 6
         ).alias("chars_per_subword"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis 2006)
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_sample_tokens",
+    sql=r"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+               / CAST(4294967297 AS DOUBLE) AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, weight, ln(u) / weight AS k FROM w WHERE weight > 0
+    ),
+    ranked AS (
+      SELECT doc_id, weight, k,
+             row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rank
+      FROM keyed
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, weight,
+           ROUND(k, 6) AS es_key
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sample of 20 documents WITHOUT replacement —
+    Efraimidis & Spirakis (IPL 2006): each item draws u ~ U(0,1) and
+    the k largest u^(1/w) (equivalently ln(u)/w) ARE a weighted sample
+    without replacement. The uniform is md5-derived from the doc id,
+    so the "random" sample is deterministic, reproducible across runs
+    and engines, and exactly replayable by the oracle — the
+    reproducible-sampling discipline every training-data pipeline
+    wants (a token-budget-proportional subsample here: longer docs
+    proportionally likelier). Distributed shape: one projection + a
+    global top-k (TakeOrdered — no full sort); at 100 TB the per-item
+    key is codegen arithmetic and only k rows leave the map side."""
+    d = load_table(spark, sf_dir, "documents")
+    from .operators.text import token_count_expr
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(4294967297).cast("double")
+    keyed = d.select(
+        "doc_id",
+        token_count_expr("text").cast("long").alias("weight"),
+        (F.log(u) / F.col("weight")).alias("k"),
+    ).filter(F.col("weight") > 0)
+    w = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "weight",
+            F.round("k", 6).alias("es_key"),
+        )
+    )

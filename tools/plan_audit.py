@@ -52,6 +52,11 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "lag over the weeks frame",
         "global_window": "week-over-week lag — frame bounded by the calendar",
     },
+    "weighted_sample_tokens": {
+        "global_window": "global top-20 cut on the ES keys — row_number "
+        "limit collapses to TakeOrdered-class work, only k rows survive",
+        "single_partition": "same top-k cut",
+    },
     "seasonal_decomposition_daily": {
         "global_window": "7-day centered MA over the calendar-bounded "
         "daily rollup (~|days| rows) — the fact table collapsed first",
