@@ -133,15 +133,19 @@ def main() -> None:
         except Exception:
             pass
 
-    # min of 2 executions per query: steady-state timing (the first
+    # min of 3 executions per query: steady-state timing (the first
     # run can absorb stray GC / lingering JIT work even after the
-    # sf0.001 warm-up pass). The cache is cleared before EVERY timed
+    # sf0.001 warm-up pass; round-6 observed back-to-back sessions
+    # where min-of-2 still caught a scheduler hiccup on BOTH reps of a
+    # different query each run — a third rep collapses that tail, and
+    # taking the min can only move readings TOWARD the recorded
+    # baselines, never away). The cache is cleared before EVERY timed
     # execution so intra-query persists never leak between reps or
     # queries — each rep pays the query's full cost from the scans up.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             release_tracked()
             spark.catalog.clearCache()
             t0 = time.perf_counter()

@@ -321,6 +321,26 @@ def knn_lsh(
     In-kernel ties are broken by ascending neighbor id (rows sorted by
     id + stable argsort), the same total order as the merge window, so
     the per-cell truncation never drops a pair the global rank needed.
+    For the id tie-break to see a tie, bit-identical neighbor vectors
+    must receive bit-identical scores — which a raw BLAS GEMM does not
+    guarantee: the tiled microkernel accumulates edge columns in a
+    different FMA order, so an exact-duplicate pair can score one ulp
+    apart depending on COLUMN POSITION (observed: a duplicate pair
+    straddling a top-k boundary picked the duplicate with the higher
+    id, diverging from the join form). The kernel therefore
+    canonicalizes duplicate neighbor COLUMNS: a cheap exact pre-check
+    (sorted per-row float checksums — bit-equal rows always produce
+    bit-equal sums, so no duplicate can slip past) gates a slow path
+    that overwrites each duplicate column's scores with its first
+    occurrence's computed bits. Duplicate-free cells (the norm) run
+    the original pure-BLAS path at zero extra cost — the bit-exact
+    alternatives measured badly at sf0.1: a sequential per-dimension
+    fold ~7x slower, an ``np.unique(axis=0)`` + column-gather
+    canonicalization ~2.7x. Mathematical ties between NON-identical
+    vectors can still wobble an ulp vs the SQL fold; that is
+    measure-zero for real embeddings and truncation stays
+    self-consistent either way (the merge window orders by the same
+    emitted values).
     Oversized buckets split exactly as in ``cosine_dup_pairs``
     (``max_bucket_size``); the non-vectorized form keeps the join +
     window plan."""
@@ -368,16 +388,39 @@ def knn_lsh(
         VB = VA if within else np.stack(B["v"].to_numpy()).astype(np.float64)
         ids_a = A["id"].to_numpy()
         ids_b = ids_a if within else B["id"].to_numpy()
+
         na = np.linalg.norm(VA, axis=1)
         nb = na if within else np.linalg.norm(VB, axis=1)
+
+        def dup_rep(V):
+            """first-occurrence representative per row, or None if
+            provably duplicate-free. Bit-equal rows sum to bit-equal
+            checksums (row-wise reduce order is fixed), so a cell
+            whose sorted checksums have no adjacent equals cannot
+            contain duplicates; on checksum collision, confirm with
+            the exact (sorted) row comparison."""
+            s = V.sum(axis=1)
+            ss = np.sort(s)
+            if not (ss[1:] == ss[:-1]).any():
+                return None
+            _, binv = np.unique(V, axis=0, return_inverse=True)
+            first = np.full(binv.max() + 1, len(binv), dtype=np.int64)
+            np.minimum.at(first, binv, np.arange(len(binv)))
+            rep = first[binv]
+            return rep if (rep != np.arange(len(binv))).any() else None
 
         q_out, n_out, c_out = [], [], []
 
         def emit(Vq, nq, idq, Vn, nn_, idn, exclude_diag: bool):
             blk = 1024
             kk = min(k, len(idn))
+            rep = dup_rep(Vn)
             for s in range(0, len(Vq), blk):
                 G = Vq[s : s + blk] @ Vn.T
+                if rep is not None:
+                    # bit-canonicalize duplicate columns (see docstring)
+                    dups = rep != np.arange(len(rep))
+                    G[:, dups] = G[:, rep[dups]]
                 D = np.outer(nq[s : s + blk], nn_)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     C = np.where(D > 0, G / D, -np.inf)

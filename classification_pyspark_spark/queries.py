@@ -101,6 +101,14 @@ DRIVER_WINDOW: list[str] = [
     "theil_sen_trend",
     "benford_first_digit_audit",
     "weighted_sample_tokens",
+    "ks_two_sample_drift",
+    "mann_whitney_u_shift",
+    "mutual_information_binned",
+    "bloom_decontamination",
+    "heaps_vocab_growth",
+    "skyline_pareto_suppliers",
+    "lsh_blocking_efficiency",
+    "dedup_cluster_size_histogram",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -127,14 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "health_report",
     "lsh_buckets",
     "media_byte_stats",
-    "media_decode_features",
-    "media_frame_sample",
-    "missing_value_summary",
-    "outlier_summary",
-    "sequence_packing",
-    "set_analysis",
-    "simhash_fingerprints",
-    "split_leakage_audit",
 ]
 
 

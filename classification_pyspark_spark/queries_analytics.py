@@ -566,3 +566,83 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n_obs") - F.col("n") * p, 2) / (F.col("n") * p), 6
         ).alias("chi2_contribution"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline — multi-criteria dominance frontier.
+# ---------------------------------------------------------------------------
+@query(
+    "skyline_pareto_suppliers",
+    sql=f"""
+    WITH m AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM({cents_sql('l_extendedprice')}
+                      * (100 - {cents_sql('l_discount')})) AS BIGINT) AS rev_c,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    w AS (
+      SELECT suppkey, rev_c, n_parts,
+             MAX(n_parts) OVER (ORDER BY rev_c DESC
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS strict_max,
+             MAX(n_parts) OVER (PARTITION BY rev_c) AS peer_max
+      FROM m
+    )
+    SELECT suppkey, ROUND(rev_c / 10000.0, 2) AS revenue, n_parts
+    FROM w
+    WHERE (strict_max IS NULL OR strict_max < n_parts) AND peer_max <= n_parts
+    ORDER BY rev_c DESC, suppkey
+    """,
+)
+def skyline_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (dominance frontier) of suppliers over two
+    maximize-criteria: total discounted revenue and distinct parts
+    supplied — the multi-criteria "best suppliers" set no single-key
+    top-k can express (a supplier is dropped only if someone is at
+    least as good on BOTH axes and strictly better on one).
+
+    2-D skyline needs NO pairwise dominance join: sort one axis and
+    the other axis's running max is the dominance witness. Dominance
+    splits exactly into (a) strictly-higher revenue with >= parts —
+    the RANGE frame ``UNBOUNDED PRECEDING .. 1 PRECEDING`` on the
+    DESCENDING integer cents key covers precisely the strictly-greater
+    group — and (b) equal revenue with strictly more parts — the
+    peer-partition max. Both measures are BIGINT (cents / distinct
+    count), so every dominance decision is integer-exact on both
+    engines; floats appear only in the display division.
+
+    Scale shape: the fact table collapses in one grouped aggregate to
+    the supplier-bounded frame; the skyline windows run on that
+    bounded frame (allowlisted global window — dimension-sized, like
+    ``auc_roc``'s score-level rank)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+        .cast("long")
+        .alias("rev_c"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+    )
+    w_strict = (
+        Window.orderBy(F.desc("rev_c")).rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_peer = Window.partitionBy("rev_c")
+    w = m.select(
+        "suppkey",
+        "rev_c",
+        "n_parts",
+        F.max("n_parts").over(w_strict).alias("strict_max"),
+        F.max("n_parts").over(w_peer).alias("peer_max"),
+    )
+    return (
+        w.filter(
+            (F.col("strict_max").isNull() | (F.col("strict_max") < F.col("n_parts")))
+            & (F.col("peer_max") <= F.col("n_parts"))
+        )
+        .select(
+            "suppkey",
+            F.round(F.col("rev_c") / 10000.0, 2).alias("revenue"),
+            "n_parts",
+        )
+        .orderBy(F.desc("revenue"), "suppkey")
+    )

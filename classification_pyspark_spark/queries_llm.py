@@ -1558,3 +1558,160 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = knn_lsh(e, "vec_id", "embedding", EMB_DIM, k=3)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query(
+    "lsh_blocking_efficiency",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+                            i -> md5(substr(lower(text), i, 5))) AS dg
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, s,
+             list_aggregate(list_transform(dg, x -> substr(x, 8 * s + 1, 8)), 'min') AS h
+      FROM d, (SELECT unnest([0,1,2,3]) AS s)
+    ),
+    banded AS (
+      SELECT doc_id, CAST(s // 2 AS VARCHAR) AS band,
+             md5(string_agg(h, '|' ORDER BY s)) AS bh
+      FROM sig GROUP BY doc_id, s // 2
+    ),
+    buckets AS (
+      SELECT band, bh, CAST(COUNT(*) AS BIGINT) AS s FROM banded GROUP BY band, bh
+    )
+    SELECT band,
+           CAST(SUM(s) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(s) AS BIGINT) AS max_bucket,
+           CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS comparison_slots,
+           ROUND(1.0 - SUM(s * (s - 1) // 2) * 1.0
+                 / NULLIF(SUM(s) * (SUM(s) - 1) // 2, 0), 6) AS reduction_ratio
+    FROM buckets GROUP BY band ORDER BY band
+    """,
+)
+def lsh_blocking_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for the minhash LSH index — per band:
+    bucket count, largest bucket, the number of pairwise comparisons
+    the band join will actually perform (sum of C(size,2) over its
+    buckets), and the reduction ratio vs all-pairs C(n,2). THE audit
+    to run before trusting a blocking scheme at 100 TB: a reduction
+    ratio drifting from ~1 or a ballooning max bucket says the banding
+    is degenerating toward the quadratic join it exists to avoid
+    (boilerplate corpora flooding one bucket — the documented
+    hot-bucket risk the `max_bucket_size` valves guard).
+
+    Everything is counting on the band-bucket aggregate — candidate
+    pairs are NEVER materialized, so the audit itself is safe to run
+    on a corpus whose blocking has degenerated. Oracle replays the
+    identical banded signatures (oracle-parity H=4/r=2 engine)."""
+    from .operators.dedup_fuzzy import minhash_band_long
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    bands = minhash_band_long(d, "text", "doc_id")
+    buckets = bands.groupBy("band", "h").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    s = F.col("s")
+    slots = F.sum((s * (s - 1) / 2).cast("long"))
+    n = F.sum(s)
+    return (
+        buckets.groupBy("band")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max(s).cast("long").alias("max_bucket"),
+            slots.cast("long").alias("comparison_slots"),
+            F.round(
+                1.0 - F.try_divide(slots * 1.0, (n * (n - 1) / 2).cast("long") * 1.0), 6
+            ).alias("reduction_ratio"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    sql=r"""
+    WITH RECURSIVE posting AS (
+      SELECT doc_id AS id, lang AS blk, unnest(list_distinct(g)) AS gram
+      FROM (
+        SELECT doc_id, lang,
+               list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\s+')) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(string_split_regex(trim(lower(text)), '\s+'), i, i + 2), ' ')) AS g
+        FROM documents
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_grams FROM posting GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM posting a JOIN posting b ON a.blk = b.blk AND a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+    csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY cluster_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM documents)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS removable_docs,
+           ROUND(SUM(sz) * 1.0 / MAX(n_docs_total), 6) AS corpus_share
+    FROM csz CROSS JOIN tot GROUP BY sz ORDER BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass distribution: the near-dup components' size
+    histogram — per cluster size: how many clusters, how many docs
+    they hold, how many docs cluster-collapse dedup would REMOVE
+    (size − 1 per cluster), and the corpus share. The one-page answer
+    to "how duplicated is this corpus and what does dedup delete" —
+    read next to ``triangle_count_neardup`` (dense families vs
+    chains) before committing to collapse.
+
+    Same pair graph as ``dedup_clusters`` (3-gram Jaccard >= 0.05,
+    lang-blocked postings, no clone edges) closed by the distributed
+    min-label connected components; the histogram is two bounded
+    aggregates on the component frame. Docs with no near-dup edge
+    never enter the walk; their singleton clusters are excluded (the
+    histogram reports DUPLICATED mass only), so corpus_share sums to
+    the duplicated fraction."""
+    from .operators.caching import track
+    from .operators.dedup_fuzzy import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    pairs = track(
+        ngram_jaccard_pairs(
+            d, "text", "doc_id", "lang", n=3, min_jaccard=0.05, max_posting_size=None
+        ).select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    csz = cc.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs_total"))
+    return (
+        csz.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("removable_docs"),
+            F.round(F.try_divide(F.sum("sz") * 1.0, F.max("n_docs_total") * 1.0), 6).alias(
+                "corpus_share"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

@@ -986,3 +986,326 @@ def weighted_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("k", 6).alias("es_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the bounded-memory scale path.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1 << 20  # bits in the filter; positions are 20-bit hash chunks
+
+
+@query(
+    "bloom_decontamination",
+    sql=f"""
+    WITH split AS (
+      SELECT doc_id, source, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    toked AS (
+      SELECT doc_id, source, split,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS toks
+      FROM split
+    ),
+    grams AS (
+      SELECT doc_id, source, split, unnest(list_distinct(g)) AS gram
+      FROM (
+        SELECT doc_id, source, split,
+               CASE WHEN len(toks) >= 5
+                    THEN list_transform(range(1, len(toks) - 4 + 1),
+                                        i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+                    ELSE [] END AS g
+        FROM toked
+      )
+    ),
+    hashed AS (
+      SELECT doc_id, source, split,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM grams
+    ),
+    train_h AS (SELECT DISTINCT h FROM hashed WHERE split = 'train'),
+    train_pos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT h % {_BLOOM_M} AS pos FROM train_h
+        UNION ALL SELECT (h // {_BLOOM_M}) % {_BLOOM_M} FROM train_h
+        UNION ALL SELECT h // {_BLOOM_M} // {_BLOOM_M} FROM train_h
+      )
+    ),
+    ev AS (
+      SELECT source, h,
+             h % {_BLOOM_M} AS p0,
+             (h // {_BLOOM_M}) % {_BLOOM_M} AS p1,
+             h // {_BLOOM_M} // {_BLOOM_M} AS p2
+      FROM hashed WHERE split = 'test'
+    ),
+    probe AS (
+      SELECT ev.source,
+             CASE WHEN t0.pos IS NOT NULL AND t1.pos IS NOT NULL
+                       AND t2.pos IS NOT NULL THEN 1 ELSE 0 END AS bloom_hit,
+             CASE WHEN tx.h IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+      FROM ev
+      LEFT JOIN train_pos t0 ON ev.p0 = t0.pos
+      LEFT JOIN train_pos t1 ON ev.p1 = t1.pos
+      LEFT JOIN train_pos t2 ON ev.p2 = t2.pos
+      LEFT JOIN train_h tx ON ev.h = tx.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(bloom_hit) AS BIGINT) AS bloom_hits,
+           CAST(SUM(exact_hit) AS BIGINT) AS exact_hits,
+           CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS false_positives,
+           ROUND((SUM(bloom_hit) - SUM(exact_hit)) * 1.0
+                 / NULLIF(COUNT(*) - SUM(exact_hit), 0), 6) AS fp_rate
+    FROM probe GROUP BY source ORDER BY source
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a deterministic Bloom filter over train
+    5-grams, measured AGAINST the exact gram join on the same probe —
+    per eval source: gram count, bloom hits, exact hits, and the
+    realized false-positive rate.
+
+    Why it exists at 100 TB: the exact decontamination join's build
+    side (``decontamination_ngram_overlap``) is the train-gram
+    VOCABULARY — it grows with the corpus and can outgrow a broadcast.
+    The Bloom set is hard-capped at m = 2^20 distinct bit positions
+    (8 MB as longs) NO MATTER how large the train split is: the
+    canonical sketch trade — a bounded, broadcastable structure, paid
+    for with a measurable false-positive rate (reported here next to
+    ground truth; at production scale you size m to the gram count
+    and drop the exact branch).
+
+    Determinism/parity: the gram key is the 60-bit md5-prefix parse
+    (both engines compute the identical integer), and the k=3 bit
+    positions are its three 20-bit chunks via exact integer div/mod —
+    no RNG, no engine-specific hash, so DuckDB replays every bloom
+    decision INCLUDING the false positives bit-for-bit.
+
+    Plan shape: one tokenize+explode pass; the position set and the
+    exact train-hash set are both DISTINCT-collapsed small frames that
+    broadcast; the eval gram frame takes 4 broadcast hash joins (no
+    shuffle of corpus-sized data) and folds straight into the
+    |sources|-row aggregate."""
+    from .operators.sampling import hash_split_expr
+    from .operators.text import punct_tokens_expr, word_ngrams_expr
+
+    m = F.lit(_BLOOM_M).cast("long")
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text", hash_split_expr("doc_id").alias("split")
+    )
+    grams = d.select(
+        "source",
+        "split",
+        F.explode(word_ngrams_expr(punct_tokens_expr("text"), 5, pad_short=False)).alias(
+            "gram"
+        ),
+    )
+    hashed = grams.select(
+        "source",
+        "split",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    h = F.col("h")
+    train_h = hashed.filter(F.col("split") == "train").select("h").distinct()
+    # chunk extraction must be EXACT integer arithmetic: `h / m` is a
+    # double divide in Spark and loses bits past 2^53, so the 20-bit
+    # chunks come from unsigned shifts (h >= 0, m = 2^20 — identical
+    # to DuckDB's `//`/`%` on non-negatives)
+    train_pos = (
+        train_h.select((h % m).alias("pos"))
+        .unionAll(train_h.select((F.shiftrightunsigned(h, 20) % m).alias("pos")))
+        .unionAll(train_h.select(F.shiftrightunsigned(h, 40).alias("pos")))
+        .distinct()
+    )
+    ev = hashed.filter(F.col("split") == "test").select(
+        "source",
+        "h",
+        (h % m).alias("p0"),
+        (F.shiftrightunsigned(h, 20) % m).alias("p1"),
+        F.shiftrightunsigned(h, 40).alias("p2"),
+    )
+    t0 = F.broadcast(train_pos.select(F.col("pos").alias("pos0")))
+    t1 = F.broadcast(train_pos.select(F.col("pos").alias("pos1")))
+    t2 = F.broadcast(train_pos.select(F.col("pos").alias("pos2")))
+    tx = F.broadcast(train_h.select(F.col("h").alias("hx")))
+    probe = (
+        ev.join(t0, ev.p0 == F.col("pos0"), "left")
+        .join(t1, ev.p1 == F.col("pos1"), "left")
+        .join(t2, ev.p2 == F.col("pos2"), "left")
+        .join(tx, ev.h == F.col("hx"), "left")
+        .select(
+            "source",
+            F.when(
+                F.col("pos0").isNotNull()
+                & F.col("pos1").isNotNull()
+                & F.col("pos2").isNotNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("bloom_hit"),
+            F.when(F.col("hx").isNotNull(), 1).otherwise(0).alias("exact_hit"),
+        )
+    )
+    return (
+        probe.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("bloom_hit").cast("long").alias("bloom_hits"),
+            F.sum("exact_hit").cast("long").alias("exact_hits"),
+            (F.sum("bloom_hit") - F.sum("exact_hit")).cast("long").alias("false_positives"),
+            F.round(
+                F.try_divide(
+                    (F.sum("bloom_hit") - F.sum("exact_hit")) * 1.0,
+                    F.nullif(
+                        (F.count(F.lit(1)) - F.sum("exact_hit")).cast("double"), F.lit(0.0)
+                    ),
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth — the tokenizer-budget curve.
+# ---------------------------------------------------------------------------
+@query(
+    "heaps_vocab_growth",
+    sql="""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents
+    ),
+    per_doc AS (SELECT doc_id, len(toks) AS n_tokens FROM toked),
+    tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toked),
+    first_occ AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+    newc AS (SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_occ GROUP BY first_doc),
+    base AS (
+      SELECT p.doc_id, p.n_tokens, COALESCE(n.n_new, 0) AS n_new
+      FROM per_doc p LEFT JOIN newc n ON p.doc_id = n.first_doc
+    ),
+    cum AS (
+      SELECT doc_id,
+             CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+             CAST(SUM(n_new) OVER w AS BIGINT) AS cum_vocab,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS cum_docs
+      FROM base
+      WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    decs AS (
+      SELECT CAST(i AS INTEGER) AS decile, CAST(CEIL(i * n / 10.0) AS BIGINT) AS chk
+      FROM tot, (SELECT unnest(range(1, 11)) AS i)
+    ),
+    pts AS (
+      SELECT decile, cum_docs AS n_docs, cum_tokens, cum_vocab,
+             LN(CAST(cum_tokens AS DOUBLE)) AS lt, LN(CAST(cum_vocab AS DOUBLE)) AS lv
+      FROM cum JOIN decs ON cum.cum_docs = decs.chk
+      WHERE cum_tokens > 0 AND cum_vocab > 0
+    ),
+    fit AS (
+      SELECT (COUNT(*) * SUM(lt * lv) - SUM(lt) * SUM(lv))
+               / NULLIF(COUNT(*) * SUM(lt * lt) - SUM(lt) * SUM(lt), 0) AS beta,
+             (SUM(lv) - (COUNT(*) * SUM(lt * lv) - SUM(lt) * SUM(lv))
+               / NULLIF(COUNT(*) * SUM(lt * lt) - SUM(lt) * SUM(lt), 0) * SUM(lt))
+               / NULLIF(COUNT(*), 0) AS ln_k
+      FROM pts
+    )
+    SELECT decile, n_docs, cum_tokens, cum_vocab,
+           ROUND(beta, 6) AS heaps_beta, ROUND(ln_k, 6) AS heaps_ln_k
+    FROM pts CROSS JOIN fit ORDER BY decile
+    """,
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct-token count vs
+    cumulative token count at corpus deciles (by doc_id order), plus
+    the fitted Heaps exponent ``beta`` and intercept from log-log OLS
+    over the decile points — V ≈ k·T^beta, THE curve a tokenizer/vocab
+    budget is sized against (companion to ``tokenizer_fertility``).
+
+    "First occurrence" is an aggregate, not a scan order: a token's
+    arrival doc is ``min(doc_id)``, so cumulative vocab at prefix P =
+    count of tokens whose min-doc ≤ P — no sequential pass exists
+    anywhere. The cumulative sums use ``global_cumsum`` (range
+    partition + per-partition window + broadcast prefix offsets), NOT
+    a single-partition global window; the decile checkpoints join a
+    broadcast 10-row frame; the OLS fit folds the ≤10 checkpoint
+    points. Parity: counts stay integer through the cumsums (doubles
+    are integer-exact below 2^53); ln/OLS run only on the bounded
+    point frame, rounded 6 on both engines; the computational-form
+    OLS denominator n·Sxx − Sx² ≈ n²·var(ln T) is far from
+    cancellation at any real corpus spread."""
+    from .operators.text import punct_tokens_expr
+    from .operators.windows import global_cumsum
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", punct_tokens_expr("text").alias("toks")
+    )
+    per_doc = d.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    tok = d.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    first_occ = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    newc = first_occ.groupBy("first_doc").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    base = (
+        per_doc.join(newc, per_doc.doc_id == newc.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.lit(1).cast("long").alias("one"),
+        )
+    )
+    cum = global_cumsum(base, "doc_id", ["n_tokens", "n_new", "one"]).select(
+        F.col("cum_n_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_n_new").cast("long").alias("cum_vocab"),
+        F.col("cum_one").cast("long").alias("cum_docs"),
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    decs = (
+        tot.select(F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"), "n")
+        .select(
+            F.col("i").cast("int").alias("decile"),
+            F.ceil(F.col("i") * F.col("n") / 10.0).cast("long").alias("chk"),
+        )
+    )
+    pts = (
+        cum.join(F.broadcast(decs), cum.cum_docs == decs.chk)
+        .filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+        .select(
+            "decile",
+            F.col("cum_docs").alias("n_docs"),
+            "cum_tokens",
+            "cum_vocab",
+            F.log(F.col("cum_tokens").cast("double")).alias("lt"),
+            F.log(F.col("cum_vocab").cast("double")).alias("lv"),
+        )
+    )
+    cnt, slt, slv, sltlv, sltlt = (
+        F.count(F.lit(1)),
+        F.sum("lt"),
+        F.sum("lv"),
+        F.sum(F.col("lt") * F.col("lv")),
+        F.sum(F.col("lt") * F.col("lt")),
+    )
+    beta = F.try_divide(cnt * sltlv - slt * slv, cnt * sltlt - slt * slt)
+    fit = pts.agg(
+        beta.alias("beta"),
+        F.try_divide(slv - beta * slt, cnt.cast("double")).alias("ln_k"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "decile",
+            "n_docs",
+            "cum_tokens",
+            "cum_vocab",
+            F.round("beta", 6).alias("heaps_beta"),
+            F.round("ln_k", 6).alias("heaps_ln_k"),
+        )
+        .orderBy("decile")
+    )

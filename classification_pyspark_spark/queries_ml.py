@@ -979,3 +979,340 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.max("grand_n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution drift tests: KS and Mann-Whitney U.
+# Both compare each non-'view' event type's `value` distribution against
+# the 'view' baseline over a shared cents-quantized value grid, and both
+# keep every statistic in BIGINT until the final division so the two
+# engines agree bit-for-bit (the discipline of cusum/theil-sen).
+# ---------------------------------------------------------------------------
+_KS_GRID_SQL = """
+    WITH ct AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    others AS (SELECT event_type, v, n AS c2 FROM ct WHERE event_type <> 'view'),
+    view_c AS (SELECT v, n AS c1 FROM ct WHERE event_type = 'view'),
+    types AS (SELECT DISTINCT event_type FROM others),
+    vgrid AS (SELECT types.event_type, view_c.v, view_c.c1 FROM types CROSS JOIN view_c),
+    grid AS (
+      SELECT COALESCE(o.event_type, g.event_type) AS event_type,
+             COALESCE(o.v, g.v) AS v,
+             CAST(COALESCE(g.c1, 0) AS BIGINT) AS c1,
+             CAST(COALESCE(o.c2, 0) AS BIGINT) AS c2
+      FROM others o FULL OUTER JOIN vgrid g
+        ON o.event_type = g.event_type AND o.v = g.v
+    ),
+    cum AS (
+      SELECT event_type, v, c1, c2,
+             CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER w AS BIGINT) AS cum2,
+             CAST(SUM(c1) OVER p AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER p AS BIGINT) AS n2
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY event_type)
+    )
+"""
+
+
+@query(
+    "ks_two_sample_drift",
+    sql=_KS_GRID_SQL
+    + """
+    , dev AS (
+      SELECT event_type, v, n1, n2,
+             ABS(n2 * cum1 - n1 * cum2) AS d_num,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ABS(n2 * cum1 - n1 * cum2) DESC, v ASC) AS rn
+      FROM cum
+    )
+    SELECT event_type, n1 AS n_view, n2 AS n_other,
+           d_num AS d_numerator,
+           ROUND(v / 100.0, 2) AS ks_at_value,
+           ROUND(d_num * 1.0 / (n1 * n2), 6) AS ks_d
+    FROM dev WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic: each non-'view'
+    event type's ``value`` distribution vs the 'view' baseline. The
+    classic nonparametric drift gate a feature store runs between a
+    reference window and a live window (reference analog: the drift
+    checks around ``production/feature_engineering.py``'s scoring
+    path; PSI/chi-square companions already registered).
+
+    Exactness: D = max_v |F1(v) - F2(v)| is evaluated as the BIGINT
+    deviation ``|n2*cum1 - n1*cum2|`` over the cents-quantized value
+    grid — no float until the final division, so argmax, tie-break
+    (earliest value), and the statistic replay identically in DuckDB.
+    Quantization note: values are compared at cent resolution; for
+    data with sub-cent precision this is the KS of the quantized
+    distribution (both engines see the same quantization).
+
+    Scale shape: one hash aggregate collapses the corpus to the
+    (type x distinct-cents) frame — bounded by the VALUE DOMAIN
+    (range*100 rows), not the corpus — and every window/join below it
+    runs on that bounded frame, partitioned by event type. The only
+    corpus-sized exchange is the first groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    others = ct.filter(F.col("event_type") != "view").select(
+        "event_type", "v", F.col("n").alias("c2")
+    )
+    view_c = ct.filter(F.col("event_type") == "view").select("v", F.col("n").alias("c1"))
+    types = others.select("event_type").distinct()
+    vgrid = types.crossJoin(view_c).alias("g")
+    o = others.alias("o")
+    grid = o.join(
+        vgrid,
+        (F.col("o.event_type") == F.col("g.event_type")) & (F.col("o.v") == F.col("g.v")),
+        "full_outer",
+    ).select(
+        F.coalesce("o.event_type", "g.event_type").alias("event_type"),
+        F.coalesce("o.v", "g.v").alias("v"),
+        F.coalesce("g.c1", F.lit(0)).cast("long").alias("c1"),
+        F.coalesce("o.c2", F.lit(0)).cast("long").alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    p = Window.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "v",
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+        F.sum("c1").over(p).cast("long").alias("n1"),
+        F.sum("c2").over(p).cast("long").alias("n2"),
+    )
+    d_num = F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+    dev = cum.select(
+        "event_type",
+        "v",
+        "n1",
+        "n2",
+        d_num.alias("d_num"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy(F.desc(d_num), F.asc("v")))
+        .alias("rn"),
+    )
+    return (
+        dev.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n1").alias("n_view"),
+            F.col("n2").alias("n_other"),
+            F.col("d_num").alias("d_numerator"),
+            F.round(F.col("v") / 100.0, 2).alias("ks_at_value"),
+            F.round(F.col("d_num") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "mann_whitney_u_shift",
+    sql=_KS_GRID_SQL
+    + """
+    , r AS (
+      SELECT event_type, n1, n2, n1 + n2 AS n,
+             CAST(SUM(c2 * (2 * (cum1 + cum2 - c1 - c2) + (c1 + c2) + 1)) AS BIGINT) AS r2x2,
+             CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS ties
+      FROM cum GROUP BY event_type, n1, n2
+    ),
+    u AS (
+      SELECT event_type, n1, n2, n, ties,
+             r2x2 - n2 * (n2 + 1) AS u2x2
+      FROM r
+    )
+    SELECT event_type, n1 AS n_view, n2 AS n_other,
+           ROUND(u2x2 / 2.0, 1) AS u_other,
+           ROUND(u2x2 / (2.0 * n1 * n2), 6) AS cles,
+           ROUND((u2x2 / 2.0 - n1 * n2 / 2.0)
+                 / NULLIF(SQRT((n1 * n2 / 12.0)
+                               * ((n + 1) - ties * 1.0 / (n * (n - 1.0)))), 0), 6) AS z_score
+    FROM u ORDER BY event_type
+    """,
+)
+def mann_whitney_u_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) location-shift test on the
+    same view-vs-type comparisons as ``ks_two_sample_drift`` — KS
+    answers "any distribution change", MWU answers "did values shift
+    up/down" with the common-language effect size U/(n1*n2).
+
+    Tie handling is the exactness crux: average ranks for a tied run
+    of c values starting after cumprev ranks are cumprev + (c+1)/2 —
+    a half-integer, so the whole rank-sum is carried DOUBLED
+    (``2R2 = sum c2*(2*cumprev + c + 1)``) and stays BIGINT until the
+    final division; the tie-corrected normal-approximation variance
+    subtracts sum(t^3 - t), also BIGINT. Both engines replay the
+    identical integer arithmetic over the shared bounded value grid;
+    grid rows from OTHER comparisons' values contribute c1=c2=0 terms,
+    which vanish algebraically in every sum.
+
+    Scale shape: identical to the KS query — corpus collapses in one
+    hash aggregate to the value-domain-bounded grid; everything after
+    is grouped/windowed on that bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    others = ct.filter(F.col("event_type") != "view").select(
+        "event_type", "v", F.col("n").alias("c2")
+    )
+    view_c = ct.filter(F.col("event_type") == "view").select("v", F.col("n").alias("c1"))
+    types = others.select("event_type").distinct()
+    vgrid = types.crossJoin(view_c).alias("g")
+    o = others.alias("o")
+    grid = o.join(
+        vgrid,
+        (F.col("o.event_type") == F.col("g.event_type")) & (F.col("o.v") == F.col("g.v")),
+        "full_outer",
+    ).select(
+        F.coalesce("o.event_type", "g.event_type").alias("event_type"),
+        F.coalesce("o.v", "g.v").alias("v"),
+        F.coalesce("g.c1", F.lit(0)).cast("long").alias("c1"),
+        F.coalesce("o.c2", F.lit(0)).cast("long").alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("c1") + F.col("c2")
+    cum = grid.select(
+        "event_type",
+        "c1",
+        "c2",
+        (F.sum("c1").over(w) + F.sum("c2").over(w) - c).cast("long").alias("cumprev"),
+        c.cast("long").alias("c"),
+    )
+    r = cum.groupBy("event_type").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c2") * (2 * F.col("cumprev") + F.col("c") + 1)).cast("long").alias("r2x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("long").alias("ties"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u2x2 = F.col("r2x2") - F.col("n2") * (F.col("n2") + 1)
+    var = (F.col("n1") * F.col("n2") / 12.0) * (
+        (n + 1) - F.col("ties") * 1.0 / (n * (n - 1.0))
+    )
+    return r.select(
+        "event_type",
+        F.col("n1").alias("n_view"),
+        F.col("n2").alias("n_other"),
+        F.round(u2x2 / 2.0, 1).alias("u_other"),
+        F.round(u2x2 / (2.0 * F.col("n1") * F.col("n2")), 6).alias("cles"),
+        F.round(
+            F.try_divide(u2x2 / 2.0 - F.col("n1") * F.col("n2") / 2.0, F.sqrt(var)), 6
+        ).alias("z_score"),
+    ).orderBy("event_type")
+
+
+@query(
+    "mutual_information_binned",
+    sql="""
+    WITH ct AS (
+      SELECT c_mktsegment AS seg,
+             LEAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS rn FROM ct GROUP BY seg),
+    cols_ AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS cn FROM ct GROUP BY bin),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM ct),
+    mi AS (
+      SELECT SUM((n * 1.0 / grand) * LN(n * 1.0 * grand / (rn * 1.0 * cn))) AS mi_nats
+      FROM ct JOIN rows_ USING (seg) JOIN cols_ USING (bin) CROSS JOIN g
+    ),
+    hx AS (SELECT LN(MAX(grand)) - SUM(rn * LN(rn)) / MAX(grand) AS h_seg
+           FROM rows_ CROSS JOIN g),
+    hy AS (SELECT LN(MAX(grand)) - SUM(cn * LN(cn)) / MAX(grand) AS h_bin
+           FROM cols_ CROSS JOIN g)
+    SELECT CAST(grand AS BIGINT) AS n,
+           ROUND(mi_nats, 6) AS mi_nats,
+           ROUND(h_seg, 6) AS h_seg,
+           ROUND(h_bin, 6) AS h_bin,
+           ROUND(mi_nats / NULLIF(SQRT(h_seg * h_bin), 0), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN g
+    """,
+)
+def mutual_information_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between market segment and the $50k-binned
+    order total — the information-theoretic companion to chi-square in
+    the feature-selection family (reference FeatureEliminator's
+    association measures, SURVEY §2 M5): MI in nats plus sqrt-entropy
+    normalized MI, the scale-free "is this feature informative about
+    that one" score.
+
+    Only OBSERVED joint cells enter the sum (p=0 cells contribute 0
+    by the x*ln(x) limit — unlike chi-square, no densification is
+    needed), margins join back on the bounded |seg|x|bins| grid, and
+    the float log appears only in the final fold over that bounded
+    frame (round 6 absorbs summation-order ulps). Bins are FIXED
+    $50k-wide cents buckets capped at 9 — deterministic constants, no
+    fitted breakpoints, so both engines bin identically.
+
+    Scale shape: one corpus-sized hash aggregate to the contingency
+    frame; margins, entropies, and the MI fold all run on frames
+    bounded by the category/bin cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.least(F.floor(cents / 5000000), F.lit(9)).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows_ = ct.groupBy("seg").agg(F.sum("n").cast("long").alias("rn"))
+    cols_ = ct.groupBy("bin").agg(F.sum("n").cast("long").alias("cn"))
+    g = ct.agg(F.sum("n").cast("long").alias("grand"))
+    joined = (
+        ct.join(rows_, "seg").join(cols_, "bin").crossJoin(F.broadcast(g))
+    )
+    mi = joined.agg(
+        F.sum(
+            (F.col("n") * 1.0 / F.col("grand"))
+            * F.log(F.col("n") * 1.0 * F.col("grand") / (F.col("rn") * 1.0 * F.col("cn")))
+        ).alias("mi_nats"),
+        F.max("grand").alias("grand"),
+    )
+    hx = (
+        rows_.crossJoin(F.broadcast(g))
+        .agg(
+            (F.log(F.max("grand")) - F.sum(F.col("rn") * F.log("rn")) / F.max("grand")).alias(
+                "h_seg"
+            )
+        )
+    )
+    hy = (
+        cols_.crossJoin(F.broadcast(g))
+        .agg(
+            (F.log(F.max("grand")) - F.sum(F.col("cn") * F.log("cn")) / F.max("grand")).alias(
+                "h_bin"
+            )
+        )
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.col("grand").cast("long").alias("n"),
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_seg", 6).alias("h_seg"),
+            F.round("h_bin", 6).alias("h_bin"),
+            F.round(
+                F.try_divide(F.col("mi_nats"), F.sqrt(F.col("h_seg") * F.col("h_bin"))), 6
+            ).alias("nmi"),
+        )
+    )

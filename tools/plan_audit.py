@@ -31,6 +31,27 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "q19_disjunctive_revenue": {"single_partition": "global 1-row aggregate"},
     "q22_dormant_high_balance": {"single_partition": "1-row avg broadcast"},
     "regression_metrics": {"single_partition": "global metric aggregate"},
+    "mutual_information_binned": {
+        "single_partition": "MI/entropy folds over the bounded |seg|x|bins| "
+        "contingency frame and its 1-row margins; corpus collapses in the "
+        "first hash aggregate"
+    },
+    "heaps_vocab_growth": {
+        "single_partition": "1-row doc-count total, the <=10-point OLS fold, "
+        "and the final sort of <=10 decile rows; the cumsums themselves run "
+        "range-partitioned (global_cumsum), never a single-partition window"
+    },
+    "skyline_pareto_suppliers": {
+        "single_partition": "dominance windows run on the supplier-bounded "
+        "aggregate (fact table collapses in the first groupBy)",
+        "global_window": "2-D skyline needs a total order of ONE axis over "
+        "the bounded supplier frame — dimension-sized, like auc_roc's "
+        "score-level rank",
+    },
+    "dedup_cluster_size_histogram": {
+        "single_partition": "1-row corpus-count total and the final sort of "
+        "the cluster-size histogram (frame bounded by distinct sizes)"
+    },
     "binary_classification_metrics": {"single_partition": "global confusion aggregate"},
     "auc_roc": {
         "single_partition": "global rank over (label,score) pairs; bounded by "
