@@ -109,6 +109,10 @@ DRIVER_WINDOW: list[str] = [
     "skyline_pareto_suppliers",
     "lsh_blocking_efficiency",
     "dedup_cluster_size_histogram",
+    "pyds_detgen_scan",
+    "pmi_collocations",
+    "conformal_threshold_by_segment",
+    "good_turing_unseen_mass",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -131,10 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "duplicate_stats",
     "edit_distance_pairs",
     "embedding_centroids",
-    "embedding_int8_quantization",
-    "health_report",
-    "lsh_buckets",
-    "media_byte_stats",
 ]
 
 

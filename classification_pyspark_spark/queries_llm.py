@@ -1715,3 +1715,101 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "pmi_collocations",
+    sql="""
+    WITH toked AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents
+    ),
+    big AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM toked, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM big GROUP BY w1, w2),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(toks) AS tok FROM toked) GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n1,
+             (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bc) AS n2
+      FROM uni
+    ),
+    scored AS (
+      SELECT w1, w2, c_xy,
+             ROUND(LN(CAST(c_xy AS DOUBLE) * n1 * n1
+                      / (CAST(n2 AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+      FROM bc JOIN uni u1 ON bc.w1 = u1.tok JOIN uni u2 ON bc.w2 = u2.tok
+      CROSS JOIN tot
+      WHERE c_xy >= 10
+    )
+    SELECT w1, w2, c_xy, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 25
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the classic
+    corpus-linguistics signal for multiword expressions ("new york"
+    scores high because its joint count dwarfs the unigram-independence
+    expectation). PMI = ln(P(xy) / (P(x)P(y))) with P(xy) over bigram
+    positions and P(x) over token positions; a min-count floor keeps
+    the measure's known low-frequency blowup out of the top list.
+
+    One tokenize pass feeds both count frames; unigram margins join
+    back on the vocabulary-bounded bigram frame (AQE broadcasts the
+    margins); ranking happens on the ROUNDED statistic with a (w1,w2)
+    tie-break, so both engines pick the identical top 25 even when
+    full-precision lns differ by an ulp. The only corpus-sized work is
+    the explode + two hash aggregates; the top-k is a TakeOrdered, not
+    a single-partition window."""
+    from .operators.text import punct_tokens_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        punct_tokens_expr("text").alias("toks")
+    )
+    a = F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0)))
+    b = F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0)))
+    big = d.select(F.explode(F.arrays_zip(a.alias("w1"), b.alias("w2"))).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    from .operators.caching import track
+
+    # both count frames are vocabulary-bounded and each is consumed
+    # three times (margins x2 / totals / scoring) — persist them or
+    # every consumer re-runs the corpus tokenize+explode
+    bc = track(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c_xy")))
+    uni = track(
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n1")).crossJoin(
+        bc.agg(F.sum("c_xy").cast("long").alias("n2"))
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bc.filter(F.col("c_xy") >= 10)
+        .join(u1, F.col("w1") == F.col("t1"))
+        .join(u2, F.col("w2") == F.col("t2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n1")
+                    * F.col("n1")
+                    / (F.col("n2").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(25)

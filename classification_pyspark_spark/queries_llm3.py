@@ -1309,3 +1309,68 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "good_turing_unseen_mass",
+    sql="""
+    WITH toked AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                                t -> len(t) > 0)) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS r FROM toked GROUP BY source, tok)
+    SELECT source,
+           CAST(SUM(r) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           ROUND(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(r), 0), 6) AS p_unseen,
+           ROUND(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(COUNT(*), 0), 6) AS hapax_ratio
+    FROM tc GROUP BY source ORDER BY source
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability mass per source: P(the NEXT
+    token is a type never seen before) = hapax-legomena count / total
+    tokens (Good 1953) — the closed-form answer to "how much of this
+    source's vocabulary have we NOT seen yet", read next to
+    ``heaps_vocab_growth`` when sizing tokenizer vocabularies or
+    judging whether a source is exhausted. The hapax RATIO doubles as
+    a boilerplate gauge: template-heavy sources re-use their tokens
+    and sit near 0, organic text sits high.
+
+    Plan shape: one tokenize+explode pass into a (source, token)
+    count frame (vocabulary-bounded), then a single per-source fold
+    over it — the count-of-counts never materializes per-frequency
+    rows. Integer counts all the way; the two ratios divide once at
+    the end (try_divide / NULLIF on both engines)."""
+    from .operators.text import punct_tokens_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "source", F.explode(punct_tokens_expr("text")).alias("tok")
+    )
+    tc = d.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("r").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            one_if(F.col("r") == 1).alias("hapax"),
+            one_if(F.col("r") == 2).alias("dis"),
+            F.round(
+                F.try_divide(one_if(F.col("r") == 1) * 1.0, F.sum("r").cast("double")), 6
+            ).alias("p_unseen"),
+            F.round(
+                F.try_divide(
+                    one_if(F.col("r") == 1) * 1.0, F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )

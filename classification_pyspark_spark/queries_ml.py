@@ -1316,3 +1316,101 @@ def mutual_information_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "conformal_threshold_by_segment",
+    sql="""
+    WITH scores AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_discount * 100) AS BIGINT) AS score_c
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ),
+    sc AS (
+      SELECT segment, score_c, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM scores GROUP BY segment, score_c
+    ),
+    cum AS (
+      SELECT segment, score_c,
+             CAST(SUM(cnt) OVER (PARTITION BY segment ORDER BY score_c
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n,
+             CAST(SUM(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n
+      FROM sc
+    ),
+    k AS (
+      SELECT segment, score_c, cum_n, n,
+             (9 * (n + 1) + 9) // 10 AS k
+      FROM cum
+    )
+    SELECT segment, n, CAST(k AS BIGINT) AS k,
+           ROUND(MIN(score_c) / 10000.0, 4) AS threshold
+    FROM k WHERE cum_n >= k GROUP BY segment, n, k
+    ORDER BY segment
+    """,
+)
+def conformal_threshold_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration threshold per market segment: the
+    k-th smallest nonconformity score with k = ceil((n+1)(1-alpha)) at
+    alpha = 0.1 — the distribution-free 90% prediction-interval radius
+    (Vovk et al.; the calibration step of conformal prediction). The
+    nonconformity score is the established pseudo-prediction residual
+    |y - yhat| = price x discount, carried as the exact integer
+    price_cents x discount_cents.
+
+    Exactness discipline: k avoids float ceil entirely —
+    ceil(0.9(n+1)) = (9(n+1) + 9) div 10 in pure integers (0.9 is not
+    representable in binary; ceil(0.9 * 10.0) is 10, not 9, in BOTH
+    engines — consistent but silently wrong, so neither engine gets
+    to compute it that way). The k-th order statistic comes from the
+    per-(segment, score) count frame + cumulative counts — the
+    value-domain-bounded formulation (same as KS/threshold_sweep), no
+    per-row ranking window; the k-th SMALLEST of a multiset is
+    tie-order-free by construction.
+
+    Scale shape: facts collapse in one (segment x distinct-score)
+    hash aggregate; windows and the argmin run on that bounded
+    frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+    scores = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (cents("l_extendedprice") * cents("l_discount")).alias("score_c"),
+        )
+    )
+    sc = scores.groupBy("segment", "score_c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("score_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = Window.partitionBy("segment")
+    cum = sc.select(
+        "segment",
+        "score_c",
+        F.sum("cnt").over(w).cast("long").alias("cum_n"),
+        F.sum("cnt").over(p).cast("long").alias("n"),
+    )
+    # integer ceil(0.9(n+1)): truncating the double (9(n+1)+9)/10 is an
+    # exact floor here — the numerator is an exact double and x/10 can
+    # never round up across an integer boundary (error << 0.1)
+    kk = ((9 * (F.col("n") + 1) + 9) / 10).cast("long")
+    cum = cum.withColumn("k", kk)
+    return (
+        cum.filter(F.col("cum_n") >= F.col("k"))
+        .groupBy("segment", "n", "k")
+        .agg(F.round(F.min("score_c") / 10000.0, 4).alias("threshold"))
+        .orderBy("segment")
+    )

@@ -181,3 +181,62 @@ def sql_lateral_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully deterministic (price desc, orderkey tie-break)."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@query(
+    "pyds_detgen_scan",
+    sql="""
+    WITH g AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::BIGINT % 32
+                  AS INTEGER) AS bucket,
+             ('0x' || substr(md5(CAST(id AS VARCHAR)), 5, 8))::BIGINT
+                  / 4294967296.0 AS value
+      FROM range(2000) t(id)
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM g GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pyds_detgen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API (SPARK-44076), end to end: a
+    USER-DEFINED batch format written in pure Python
+    (``sources/pyds.py:DetGenDataSource``) is registered on the
+    session and consumed through the standard
+    ``spark.read.format("detgen")`` surface — partition planning
+    (``partitions()``), per-partition Python iterators, Arrow-batched
+    transfer to the JVM, then ordinary Catalyst aggregation on top.
+
+    The source generates rows as a pure function of the row id
+    (md5-derived bucket/value), so the DuckDB oracle REPLAYS the
+    entire "scan" from ``range(n)`` and the correctness gate checks
+    value-hash parity of a data source that never touched disk — the
+    strongest check a custom connector can get. The value field is a
+    32-bit md5 chunk / 2^32 (an exact double), and the only floats
+    the output rounds are sums of ~60 such values per bucket, far
+    inside round-6 tolerance."""
+    from pyspark.sql import functions as F
+
+    from .sources.pyds import register_detgen
+
+    register_detgen(spark)
+    df = (
+        spark.read.format("detgen")
+        .option("n", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -36,9 +36,25 @@ def _n_cached(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def test_sweep_releases_all_persisted_frames(spark, sf_dir):
+def _hard_reset(spark) -> None:
+    """Zero the persisted-block accounting deterministically.
+
+    ``release_tracked`` + ``clearCache`` cover tracked persists and the
+    SQL cache, but ``localCheckpoint`` blocks from EARLIER tests'
+    iterative operators (connected components, pagerank) are RDD-level
+    persists whose cleanup rides the async ContextCleaner — whether
+    they are gone when this file runs depends on pytest file order and
+    GC timing (observed: 6 leftover blocks once a CC-using test file
+    sorted ahead of this one). Those frames are dead; unpersist them
+    directly so the assertions below measure THIS file's behavior."""
     release_tracked(blocking=True)
     spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(True)
+
+
+def test_sweep_releases_all_persisted_frames(spark, sf_dir):
+    _hard_reset(spark)
     assert _n_cached(spark) == 0
     for name in PERSISTING:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -52,8 +68,7 @@ def test_track_scope_releases_only_inner_frames(spark):
     """ADVICE r5: the streaming ingest's per-trigger release must not
     drop persists belonging to OTHER queries in the same session.
     track_scope releases exactly the suffix tracked inside the scope."""
-    release_tracked(blocking=True)
-    spark.catalog.clearCache()
+    _hard_reset(spark)
     outer = track(spark.range(50).selectExpr("id", "id * 2 AS v"))
     outer.count()
     assert _n_cached(spark) == 1
@@ -69,6 +84,7 @@ def test_track_scope_releases_only_inner_frames(spark):
 
 
 def test_persisted_context_manager(spark):
+    _hard_reset(spark)
     df = spark.range(100)
     with persisted(df) as d:
         assert d.count() == 100

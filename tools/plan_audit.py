@@ -52,6 +52,10 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "1-row corpus-count total and the final sort of "
         "the cluster-size histogram (frame bounded by distinct sizes)"
     },
+    "pmi_collocations": {
+        "single_partition": "the two 1-row token/bigram totals (broadcast "
+        "back); counting and scoring stay on the vocab-bounded frames"
+    },
     "binary_classification_metrics": {"single_partition": "global confusion aggregate"},
     "auc_roc": {
         "single_partition": "global rank over (label,score) pairs; bounded by "
