@@ -73,10 +73,11 @@ def _register_extensions() -> None:
 # stands, and the full registry is still swept locally by
 # tools/check_oracle.py).  Round 6 window: CORRECTNESS_r05 went 50/50
 # green and closed cumulative driver coverage at 187/187 oracle
-# queries, so the only never-driver-checked candidates are the queries
-# REGISTERED this round (they lead the window); the remaining slots are
-# re-verification, filled with the queries whose LAST driver-green row
-# is oldest (the r01/r02-vintage rows, refreshed four rounds later).
+# queries, so the only never-driver-checked candidates are the 31
+# queries REGISTERED this round across waves 1-7 (they fill the first
+# 31 slots); the remaining 19 are re-verification, filled with the
+# queries whose LAST driver-green row is oldest (the r01/r02-vintage
+# rows, refreshed four rounds later).
 # Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).

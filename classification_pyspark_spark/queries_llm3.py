@@ -1108,13 +1108,21 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
     )
+    from .operators.caching import track
+
     h = F.col("h")
-    train_h = hashed.filter(F.col("split") == "train").select("h").distinct()
+    # persist both train-side sets: train_h feeds the position union's
+    # THREE branches plus the exact-hit join, and train_pos feeds three
+    # broadcast probes — left lazy, the logical plan embeds ~10 copies
+    # of the tokenize+explode subtree, which at sf1 wedged Catalyst's
+    # stats/distinct-key visitors for minutes PER AQE STAGE before a
+    # single task ran (and recomputed the gram pipeline per branch)
+    train_h = track(hashed.filter(F.col("split") == "train").select("h").distinct())
     # chunk extraction must be EXACT integer arithmetic: `h / m` is a
     # double divide in Spark and loses bits past 2^53, so the 20-bit
     # chunks come from unsigned shifts (h >= 0, m = 2^20 — identical
     # to DuckDB's `//`/`%` on non-negatives)
-    train_pos = (
+    train_pos = track(
         train_h.select((h % m).alias("pos"))
         .unionAll(train_h.select((F.shiftrightunsigned(h, 20) % m).alias("pos")))
         .unionAll(train_h.select(F.shiftrightunsigned(h, 40).alias("pos")))
