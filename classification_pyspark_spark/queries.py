@@ -73,9 +73,9 @@ def _register_extensions() -> None:
 # stands, and the full registry is still swept locally by
 # tools/check_oracle.py).  Round 6 window: CORRECTNESS_r05 went 50/50
 # green and closed cumulative driver coverage at 187/187 oracle
-# queries, so the only never-driver-checked candidates are the 31
+# queries, so the only never-driver-checked candidates are the 32
 # queries REGISTERED this round across waves 1-7 (they fill the first
-# 31 slots); the remaining 19 are re-verification, filled with the
+# 32 slots); the remaining 18 are re-verification, filled with the
 # queries whose LAST driver-green row is oldest (the r01/r02-vintage
 # rows, refreshed four rounds later).
 # Do not hand-edit this list: regenerate via
@@ -114,6 +114,7 @@ DRIVER_WINDOW: list[str] = [
     "pmi_collocations",
     "conformal_threshold_by_segment",
     "good_turing_unseen_mass",
+    "twap_user_value",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "doc_fingerprint",
     "duplicate_stats",
     "edit_distance_pairs",
-    "embedding_centroids",
 ]
 
 

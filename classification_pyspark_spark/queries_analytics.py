@@ -646,3 +646,80 @@ def skyline_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average — the irregular-sampling aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "twap_user_value",
+    sql="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, v_c,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, v_c) - ms AS dur
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS span_ms,
+           ROUND(SUM(v_c * dur) * 1.0 / (SUM(dur) * 100.0), 4) AS twap
+    FROM seg WHERE dur IS NOT NULL
+    GROUP BY user_id HAVING SUM(dur) > 0
+    ORDER BY user_id
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the aggregate that is
+    CORRECT for irregularly-sampled series where the plain mean is
+    not: each observation is held until the next one arrives (a step
+    function), so its weight is its holding DURATION in seconds, and a
+    burst of rapid-fire events no longer drowns the long-held quiet
+    value (the same operator prices TWAP in trading systems and
+    average-state metrics in monitoring).
+
+    Exactness: cents x whole seconds — the weighted sum is pure
+    BIGINT until one final division; the window's tie-break orders
+    equal millisecond stamps by value so both engines segment identically
+    (duplicate (sec, v_c) rows get dur = 0 and drop out of both sums
+    regardless of order). The last event per user has no successor
+    and carries no duration — excluded on both engines; zero-span
+    users are excluded by the HAVING.
+
+    Scale shape: one user-partitioned window (the same exchange the
+    aggregate needs anyway), then a hash aggregate; no driver work,
+    no global window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # exact integer MILLISECONDS on both engines (unix_millis /
+        # epoch_ms both floor the microsecond value): whole-second
+        # truncation vs rounding of the sub-second part produced
+        # off-by-one spans in the first oracle run, and milliseconds
+        # keep the weighted sum's overflow envelope ample
+        # (cents x ms: ~1.3e14 per user-month vs the 9.2e18 BIGINT cap)
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        cents("value").alias("v_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "v_c")
+    seg = ev.select(
+        "user_id", "v_c", (F.lead("ms").over(w) - F.col("ms")).alias("dur")
+    ).filter(F.col("dur").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("dur").cast("long").alias("span_ms"),
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("v_c") * F.col("dur")) * 1.0, F.sum("dur") * 100.0
+                ),
+                4,
+            ).alias("twap"),
+        )
+        .filter(F.col("span_ms") > 0)
+        .orderBy("user_id")
+    )
