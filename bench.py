@@ -109,6 +109,14 @@ HEADLINE = [
     "dsir_importance_weights",
     "winnowing_fingerprints",
     "chrf_halves_overlap",
+    # round-6 wave 5-7 additions: the plan shapes those waves tuned
+    # (bounded-broadcast bloom probe with persisted train sets,
+    # first-occurrence-aggregate + range-partitioned cumsum Heaps
+    # curve, persisted-margin PMI posting shape, value-domain-grid KS)
+    "bloom_decontamination",
+    "heaps_vocab_growth",
+    "pmi_collocations",
+    "ks_two_sample_drift",
 ]
 
 
