@@ -824,3 +824,44 @@ def duplicated_ngram_spans(
             F.round(n_dup / F.col("n_grams").cast("double"), 6),
         ).alias("dup_fraction"),
     )
+
+
+def band_blocking_efficiency(
+    df,
+    text_col: str,
+    id_col: str,
+    rows_per_band: int = 2,
+    n_hashes: int = N_MINHASH,
+    engine: str = "md5_windows",
+):
+    """Blocking-quality audit over the minhash band index — per band:
+    doc count, bucket count, largest bucket, the comparison slots the
+    band join would perform (sum of C(size, 2) over its buckets), and
+    the reduction ratio vs all-pairs C(n, 2). Counting happens on the
+    band-bucket aggregate; candidate pairs are NEVER materialized, so
+    the audit itself cannot blow up on a degenerated blocking. The
+    default knobs are the oracle-parity configuration; production
+    audits pass ``rows_per_band=8, n_hashes=16, engine='universal'``
+    (the same knobs as ``minhash_candidate_pairs``' production mode)."""
+    from pyspark.sql import functions as F
+
+    bands = minhash_band_long(
+        df, text_col, id_col, rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine
+    )
+    buckets = bands.groupBy("band", "h").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    s = F.col("s")
+    slots = F.sum((s * (s - 1) / 2).cast("long"))
+    n = F.sum(s)
+    return (
+        buckets.groupBy("band")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max(s).cast("long").alias("max_bucket"),
+            slots.cast("long").alias("comparison_slots"),
+            F.round(
+                1.0 - F.try_divide(slots * 1.0, (n * (n - 1) / 2).cast("long") * 1.0), 6
+            ).alias("reduction_ratio"),
+        )
+        .orderBy("band")
+    )

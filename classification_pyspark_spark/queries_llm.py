@@ -1607,27 +1607,12 @@ def lsh_blocking_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are NEVER materialized, so the audit itself is safe to run
     on a corpus whose blocking has degenerated. Oracle replays the
     identical banded signatures (oracle-parity H=4/r=2 engine)."""
-    from .operators.dedup_fuzzy import minhash_band_long
+    from .operators.dedup_fuzzy import band_blocking_efficiency
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    bands = minhash_band_long(d, "text", "doc_id")
-    buckets = bands.groupBy("band", "h").agg(F.count(F.lit(1)).cast("long").alias("s"))
-    s = F.col("s")
-    slots = F.sum((s * (s - 1) / 2).cast("long"))
-    n = F.sum(s)
-    return (
-        buckets.groupBy("band")
-        .agg(
-            n.cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_buckets"),
-            F.max(s).cast("long").alias("max_bucket"),
-            slots.cast("long").alias("comparison_slots"),
-            F.round(
-                1.0 - F.try_divide(slots * 1.0, (n * (n - 1) / 2).cast("long") * 1.0), 6
-            ).alias("reduction_ratio"),
-        )
-        .orderBy("band")
-    )
+    # oracle-parity banding here; the sf1+ sweep audits the PRODUCTION
+    # banding via the same operator (tools/scale_sweep.py)
+    return band_blocking_efficiency(d, "text", "doc_id")
 
 
 @query(

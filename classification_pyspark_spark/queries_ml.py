@@ -1391,25 +1391,50 @@ def conformal_threshold_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy("segment")
-        .orderBy("score_c")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Two-pass bucketed rank selection. A direct per-segment cumsum
+    # over the distinct-score frame sorts MILLIONS of rows in as many
+    # partitions as there are segments (5 here — 99s at the sf10
+    # probe, with parallelism capped by |segments| no matter the
+    # cluster). Pass 1 locates the bucket containing rank k on the
+    # ~|segments| x 110-row bucket frame; pass 2 cumsums ONLY inside
+    # that bucket (<= bucket-width distinct scores). The k-th smallest
+    # of a multiset is plan-independent, so the oracle's simple cumsum
+    # form still applies verbatim. Bucket width 1e6 over the
+    # price_cents x disc_cents product domain (<= ~1.1e8) -> <= ~110
+    # buckets per segment.
+    bw = F.lit(1_000_000).cast("long")
+    b = sc.withColumn("bkt", (F.col("score_c") - F.col("score_c") % bw) / bw)
+    bc = b.groupBy("segment", "bkt").agg(F.sum("cnt").cast("long").alias("bn"))
+    wb = Window.partitionBy("segment").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    p = Window.partitionBy("segment")
-    cum = sc.select(
-        "segment",
-        "score_c",
-        F.sum("cnt").over(w).cast("long").alias("cum_n"),
-        F.sum("cnt").over(p).cast("long").alias("n"),
-    )
+    pb = Window.partitionBy("segment")
     # integer ceil(0.9(n+1)): truncating the double (9(n+1)+9)/10 is an
     # exact floor here — the numerator is an exact double and x/10 can
     # never round up across an integer boundary (error << 0.1)
-    kk = ((9 * (F.col("n") + 1) + 9) / 10).cast("long")
-    cum = cum.withColumn("k", kk)
+    cumb = bc.select(
+        "segment",
+        "bkt",
+        "bn",
+        F.sum("bn").over(wb).cast("long").alias("cum_n"),
+        F.sum("bn").over(pb).cast("long").alias("n"),
+    ).withColumn("k", ((9 * (F.col("n") + 1) + 9) / 10).cast("long"))
+    tgt = cumb.filter(
+        (F.col("cum_n") >= F.col("k")) & (F.col("cum_n") - F.col("bn") < F.col("k"))
+    ).select("segment", F.col("bkt").alias("tbkt"), (F.col("cum_n") - F.col("bn")).alias("prev"), "k", "n")
+    inb = b.join(F.broadcast(tgt), "segment").filter(F.col("bkt") == F.col("tbkt"))
+    w2 = Window.partitionBy("segment").orderBy("score_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum2 = inb.select(
+        "segment",
+        "score_c",
+        "k",
+        "n",
+        (F.sum("cnt").over(w2) + F.col("prev")).cast("long").alias("cum_k"),
+    )
     return (
-        cum.filter(F.col("cum_n") >= F.col("k"))
+        cum2.filter(F.col("cum_k") >= F.col("k"))
         .groupBy("segment", "n", "k")
         .agg(F.round(F.min("score_c") / 10000.0, 4).alias("threshold"))
         .orderBy("segment")

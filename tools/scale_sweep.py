@@ -160,6 +160,23 @@ def _triangle_neardup_production(spark, sf_dir):
     return out.withColumnRenamed("x", "doc_id")
 
 
+def _blocking_efficiency_production(spark, sf_dir):
+    """lsh_blocking_efficiency over the PRODUCTION banding (universal
+    engine, H=16 / r=8 — the index real dedup runs on). The registered
+    md5_windows form exists for DuckDB-oracle parity, but its signature
+    engine md5-hashes every 5-char shingle (~120 digests/doc), which
+    dominates wall time at 500k docs (194s at the sf10 probe vs the
+    audit aggregates' seconds); the universal engine is the documented
+    scale path and the audit's aggregates are engine-agnostic."""
+    from classification_pyspark_spark.catalog import load_table, spread_for_compute
+    from classification_pyspark_spark.operators.dedup_fuzzy import band_blocking_efficiency
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return band_blocking_efficiency(
+        d, "text", "doc_id", rows_per_band=8, n_hashes=16, engine="universal"
+    )
+
+
 PRODUCTION_MODE = {
     "tfidf_cosine_pairs": _tfidf_capped,
     "describe_numeric_approx": _describe_numeric_approx_production,
@@ -167,6 +184,7 @@ PRODUCTION_MODE = {
     "split_leakage_audit": _split_leakage_production,
     "minhash_incremental_dedup": _minhash_incremental_production,
     "triangle_count_neardup": _triangle_neardup_production,
+    "lsh_blocking_efficiency": _blocking_efficiency_production,
 }
 
 
