@@ -466,3 +466,39 @@ def merge_stats_batch(
         hdfs.rename_or_raise(spark, view_path, old)
     hdfs.rename_or_raise(spark, staged, view_path)
     hdfs.delete(spark, old)
+
+
+def read_state_store(
+    spark: SparkSession,
+    checkpoint_path: str,
+    *,
+    operator_id: int = 0,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Read a Structured Streaming CHECKPOINT's state store as a batch
+    DataFrame (Spark 4 ``statestore`` reader, SPARK-45511) — the ops /
+    debugging surface for stateful streams: inspect exactly what a
+    running aggregation is holding (keys, partial aggregates,
+    watermark survivors) without touching the live query. Returns the
+    store's (key, value, partition_id) rows; pass ``batch_id`` to read
+    a specific committed micro-batch's snapshot instead of the latest.
+
+    At scale this reads only the state files for the requested
+    operator — cost is proportional to live state, not stream history.
+    """
+    r = (
+        spark.read.format("statestore")
+        .option("path", checkpoint_path)
+        .option("operatorId", operator_id)
+    )
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load()
+
+
+def read_state_metadata(spark: SparkSession, checkpoint_path: str) -> DataFrame:
+    """The checkpoint's operator/state metadata (Spark 4
+    ``state-metadata`` reader): which stateful operators exist, their
+    state-store names, and the min/max batch ids readable — the
+    discovery call you make before ``read_state_store``."""
+    return spark.read.format("state-metadata").load(checkpoint_path)
