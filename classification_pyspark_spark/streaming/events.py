@@ -502,3 +502,63 @@ def read_state_metadata(spark: SparkSession, checkpoint_path: str) -> DataFrame:
     state-store names, and the min/max batch ids readable — the
     discovery call you make before ``read_state_store``."""
     return spark.read.format("state-metadata").load(checkpoint_path)
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) via **transformWithState**
+    (Spark 4's arbitrary-state API, SPARK-49564) — the successor to
+    ``applyInPandasWithState`` used by :func:`running_user_stats`:
+    state is typed and NAMED (`getValueState` with a schema, plus
+    ListState/MapState/timers/TTL on the handle), the processor is a
+    class with an explicit lifecycle (init/handleInputRows/close), and
+    state layout is evolvable — the API new stateful operators should
+    target; the old form stays for coverage of the legacy surface.
+
+    Scale posture: identical to any keyed stateful op — state is
+    per-user, partitioned by the grouping key, updated per batch from
+    Arrow-batched input; emission is one row per (user, batch with
+    input), output mode Update.
+
+    Environment requirements: the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` Python package (TWS's Python runner imports
+    ``google.protobuf``; absent it, the runner exits -2 with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The test suite
+    auto-skips where protobuf is unavailable — same posture as the
+    MLflow tracking backend."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0.0, float("-inf")
+            if self._agg.exists():
+                n, total, mx = self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((n, total, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total], "mx": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType="user_id BIGINT, n BIGINT, total DOUBLE, mx DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
