@@ -73,9 +73,9 @@ def _register_extensions() -> None:
 # stands, and the full registry is still swept locally by
 # tools/check_oracle.py).  Round 6 window: CORRECTNESS_r05 went 50/50
 # green and closed cumulative driver coverage at 187/187 oracle
-# queries, so the only never-driver-checked candidates are the 32
-# queries REGISTERED this round across waves 1-7 (they fill the first
-# 32 slots); the remaining 18 are re-verification, filled with the
+# queries, so the only never-driver-checked candidates are the 34
+# queries REGISTERED this round across waves 1-8 (they fill the first
+# 34 slots); the remaining 16 are re-verification, filled with the
 # queries whose LAST driver-green row is oldest (the r01/r02-vintage
 # rows, refreshed four rounds later).
 # Do not hand-edit this list: regenerate via
@@ -115,6 +115,8 @@ DRIVER_WINDOW: list[str] = [
     "conformal_threshold_by_segment",
     "good_turing_unseen_mass",
     "twap_user_value",
+    "welch_t_shift",
+    "mase_seasonal_backtest",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -134,8 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "distinct_counts",
     "doc_chunks",
     "doc_fingerprint",
-    "duplicate_stats",
-    "edit_distance_pairs",
 ]
 
 

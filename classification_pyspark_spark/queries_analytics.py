@@ -723,3 +723,75 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_ms") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "mase_seasonal_backtest",
+    sql=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dn,
+             CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT d.dn, d.rev_c,
+             ABS(d.rev_c - n.rev_c) AS e_naive,
+             ABS(d.rev_c - s.rev_c) AS e_seasonal
+      FROM daily d
+      JOIN daily n ON n.dn = d.dn - 1
+      JOIN daily s ON s.dn = d.dn - 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(SUM(e_naive) * 1.0 / NULLIF(COUNT(*), 0) / 100.0, 2) AS mae_naive,
+           ROUND(SUM(e_seasonal) * 1.0 / NULLIF(COUNT(*), 0) / 100.0, 2) AS mae_seasonal,
+           ROUND(SUM(e_seasonal) * 1.0 / NULLIF(SUM(e_naive), 0), 6) AS mase_vs_naive
+    FROM j
+    """,
+)
+def mase_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest on daily revenue: mean absolute
+    error of the NAIVE forecast (yesterday's value) vs the
+    SEASONAL-NAIVE forecast (same weekday last week), and their ratio
+    — the MASE-style scale-free score (Hyndman & Koehler 2006) that
+    answers "does weekly seasonality beat pure persistence" before
+    anyone reaches for a model. Ratio < 1 means the seasonal lag is
+    the better baseline and a real model must beat IT.
+
+    Exactness: errors are |BIGINT − BIGINT| cents over CALENDAR lags
+    (self-joins on day-number −1/−7, so missing days exclude a row
+    identically on both engines — no row-offset lag ambiguity);
+    integer sums divide once at the end.
+
+    Scale shape: the fact table collapses in one map-side-combined
+    aggregate to the calendar-bounded daily frame; both lag joins and
+    the final fold run on that bounded frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01")).alias("dn")
+    ).agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_c"))
+    d = daily.alias("d")
+    n = daily.select(F.col("dn").alias("ndn"), F.col("rev_c").alias("nrev"))
+    s = daily.select(F.col("dn").alias("sdn"), F.col("rev_c").alias("srev"))
+    j = (
+        d.join(n, F.col("d.dn") - 1 == F.col("ndn"))
+        .join(s, F.col("d.dn") - 7 == F.col("sdn"))
+        .select(
+            F.abs(F.col("d.rev_c") - F.col("nrev")).alias("e_naive"),
+            F.abs(F.col("d.rev_c") - F.col("srev")).alias("e_seasonal"),
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        # try_divide: an empty backtest window (short series) is a
+        # normal condition -> NULL MAEs, not ANSI DIVIDE_BY_ZERO
+        F.round(
+            F.try_divide(F.sum("e_naive") * 1.0, F.count(F.lit(1)).cast("double")) / 100.0, 2
+        ).alias("mae_naive"),
+        F.round(
+            F.try_divide(F.sum("e_seasonal") * 1.0, F.count(F.lit(1)).cast("double")) / 100.0,
+            2,
+        ).alias("mae_seasonal"),
+        F.round(
+            F.try_divide(F.sum("e_seasonal") * 1.0, F.sum("e_naive").cast("double")), 6
+        ).alias("mase_vs_naive"),
+    )

@@ -1439,3 +1439,124 @@ def conformal_threshold_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.round(F.min("score_c") / 10000.0, 4).alias("threshold"))
         .orderBy("segment")
     )
+
+
+@query(
+    "welch_t_shift",
+    sql="""
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type <> 'view'
+    ),
+    v AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS q1
+      FROM events WHERE event_type = 'view'
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(SUM(v) AS BIGINT) AS s2,
+             CAST(SUM(v * v) AS BIGINT) AS q2
+      FROM e GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, n1, n2,
+             s1 * 1.0 / NULLIF(n1, 0) / 100.0 AS m1,
+             s2 * 1.0 / NULLIF(n2, 0) / 100.0 AS m2,
+             (q1 - s1 * 1.0 * s1 / NULLIF(n1, 0)) / NULLIF(n1 - 1.0, 0) / 10000.0 AS var1,
+             (q2 - s2 * 1.0 * s2 / NULLIF(n2, 0)) / NULLIF(n2 - 1.0, 0) / 10000.0 AS var2
+      FROM g CROSS JOIN v
+    )
+    SELECT event_type, n1 AS n_view, n2 AS n_other,
+           ROUND(m1, 4) AS mean_view, ROUND(m2, 4) AS mean_other,
+           ROUND((m2 - m1) / NULLIF(SQRT(var1 / n1 + var2 / n2), 0), 6) AS t_stat,
+           ROUND(POWER(var1 / n1 + var2 / n2, 2)
+                 / NULLIF(POWER(var1 / n1, 2) / (n1 - 1.0)
+                          + POWER(var2 / n2, 2) / (n2 - 1.0), 0), 2) AS welch_df,
+           ROUND((m2 - m1) / NULLIF(SQRT(((n1 - 1.0) * var1 + (n2 - 1.0) * var2)
+                                         / (n1 + n2 - 2.0)), 0), 6) AS cohens_d
+    FROM t ORDER BY event_type
+    """,
+)
+def welch_t_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (+ Welch–Satterthwaite df and
+    pooled Cohen's d effect size) for each event type's value
+    distribution vs the 'view' baseline — the PARAMETRIC member of the
+    two-sample family (KS: any change; MWU: rank shift; Welch: mean
+    shift with an effect-size magnitude).
+
+    Exactness: each group collapses to three BIGINT moments (n, Σv,
+    Σv² in integer cents — Σv² headroom ~5e15 at sf10 vs the 9.2e18
+    cap) in ONE map-side-combined aggregate; every float expression
+    after runs on the bounded |types|-row frame with the literal
+    expression shape shared by both engines, rounded at the end.
+    try_divide/NULLIF guards degenerate zero-variance groups.
+
+    Scale shape: one corpus pass, no windows, no joins beyond the
+    1-row baseline broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    v_c = F.round(F.col("value") * 100).cast("long")
+    base = ev.filter(F.col("event_type") == "view").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum(v_c).cast("long").alias("s1"),
+        F.sum(v_c * v_c).cast("long").alias("q1"),
+    )
+    g = (
+        ev.filter(F.col("event_type") != "view")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n2"),
+            F.sum(v_c).cast("long").alias("s2"),
+            F.sum(v_c * v_c).cast("long").alias("q2"),
+        )
+    )
+    t = g.crossJoin(F.broadcast(base)).select(
+        "event_type",
+        "n1",
+        "n2",
+        # try_divide throughout: a single-row group (n-1 = 0) or an
+        # absent baseline (n = 0) is an ordinary condition -> NULL
+        # statistics, never an ANSI DIVIDE_BY_ZERO (found by the
+        # 1-row-group known-answer test)
+        (F.try_divide(F.col("s1") * 1.0, F.col("n1").cast("double")) / 100.0).alias("m1"),
+        (F.try_divide(F.col("s2") * 1.0, F.col("n2").cast("double")) / 100.0).alias("m2"),
+        (
+            F.try_divide(
+                F.col("q1") - F.try_divide(F.col("s1") * 1.0 * F.col("s1"), F.col("n1").cast("double")),
+                F.col("n1") - 1.0,
+            )
+            / 10000.0
+        ).alias("var1"),
+        (
+            F.try_divide(
+                F.col("q2") - F.try_divide(F.col("s2") * 1.0 * F.col("s2"), F.col("n2").cast("double")),
+                F.col("n2") - 1.0,
+            )
+            / 10000.0
+        ).alias("var2"),
+    )
+    se2 = F.col("var1") / F.col("n1") + F.col("var2") / F.col("n2")
+    pooled = F.sqrt(
+        ((F.col("n1") - 1.0) * F.col("var1") + (F.col("n2") - 1.0) * F.col("var2"))
+        / (F.col("n1") + F.col("n2") - 2.0)
+    )
+    return t.select(
+        "event_type",
+        F.col("n1").alias("n_view"),
+        F.col("n2").alias("n_other"),
+        F.round("m1", 4).alias("mean_view"),
+        F.round("m2", 4).alias("mean_other"),
+        F.round(F.try_divide(F.col("m2") - F.col("m1"), F.sqrt(se2)), 6).alias("t_stat"),
+        F.round(
+            F.try_divide(
+                F.pow(se2, 2),
+                F.pow(F.col("var1") / F.col("n1"), 2) / (F.col("n1") - 1.0)
+                + F.pow(F.col("var2") / F.col("n2"), 2) / (F.col("n2") - 1.0),
+            ),
+            2,
+        ).alias("welch_df"),
+        F.round(F.try_divide(F.col("m2") - F.col("m1"), pooled), 6).alias("cohens_d"),
+    ).orderBy("event_type")

@@ -113,3 +113,35 @@ def test_bloom_decontamination_invariants(spark, sf_dir):
         assert 0 <= r["bloom_hits"] <= r["n_grams"], r
         if r["fp_rate"] is not None:
             assert 0.0 <= r["fp_rate"] <= 1.0, r
+
+
+def test_welch_identical_groups(spark, tmp_path):
+    # identical distributions -> t = 0, cohens_d = 0; all-equal values
+    # -> zero variance -> NULL t (try_divide), never a crash
+    rows = (
+        [("view", v) for v in (1, 2, 3)]
+        + [("click", v) for v in (1, 2, 3)]
+        + [("error", 5), ("error", 5), ("view2", 0)]  # view2 ignored (not view)
+    )
+    d = _stage_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in QUERIES["welch_t_shift"](spark, d).collect()}
+    assert got["click"]["t_stat"] == 0.0 and got["click"]["cohens_d"] == 0.0
+    assert got["click"]["mean_view"] == got["click"]["mean_other"] == 2.0
+
+
+def test_mase_constant_series_is_zero_error(spark, tmp_path):
+    import datetime
+
+    # 20 consecutive days of identical revenue: both baselines perfect,
+    # MAEs 0, ratio NULL (0/0 via try_divide)
+    rows = [(i, i, datetime.date(2000, 1, 1) + datetime.timedelta(days=i), 100.0)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = str(tmp_path / "sf_mase")
+    df.write.mode("overwrite").parquet(out + "/orders.parquet")
+    r = QUERIES["mase_seasonal_backtest"](spark, out).collect()[0]
+    assert r["n_days"] == 13  # days 7..19 have both lags
+    assert r["mae_naive"] == 0.0 and r["mae_seasonal"] == 0.0
+    assert r["mase_vs_naive"] is None

@@ -56,6 +56,14 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "the two 1-row token/bigram totals (broadcast "
         "back); counting and scoring stay on the vocab-bounded frames"
     },
+    "welch_t_shift": {
+        "single_partition": "the 1-row baseline moment aggregate (broadcast "
+        "onto the |types|-row frame); the corpus collapses in one pass"
+    },
+    "mase_seasonal_backtest": {
+        "single_partition": "final 1-row fold over the calendar-bounded "
+        "daily frame; the fact table collapses in the first aggregate"
+    },
     "binary_classification_metrics": {"single_partition": "global confusion aggregate"},
     "auc_roc": {
         "single_partition": "global rank over (label,score) pairs; bounded by "
