@@ -73,9 +73,9 @@ def _register_extensions() -> None:
 # stands, and the full registry is still swept locally by
 # tools/check_oracle.py).  Round 6 window: CORRECTNESS_r05 went 50/50
 # green and closed cumulative driver coverage at 187/187 oracle
-# queries, so the only never-driver-checked candidates are the 34
-# queries REGISTERED this round across waves 1-8 (they fill the first
-# 34 slots); the remaining 16 are re-verification, filled with the
+# queries, so the only never-driver-checked candidates are the 36
+# queries REGISTERED this round across waves 1-9 (they fill the first
+# 36 slots); the remaining 14 are re-verification, filled with the
 # queries whose LAST driver-green row is oldest (the r01/r02-vintage
 # rows, refreshed four rounds later).
 # Do not hand-edit this list: regenerate via
@@ -117,6 +117,8 @@ DRIVER_WINDOW: list[str] = [
     "twap_user_value",
     "welch_t_shift",
     "mase_seasonal_backtest",
+    "functional_dependency_audit",
+    "qq_decile_table",
     # --- re-verification: stalest driver-green rows first ---
     # last green in r01
     "topn_frequency",
@@ -134,8 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "describe_categorical",
     "describe_numeric",
     "distinct_counts",
-    "doc_chunks",
-    "doc_fingerprint",
 ]
 
 

@@ -1560,3 +1560,104 @@ def welch_t_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("welch_df"),
         F.round(F.try_divide(F.col("m2") - F.col("m1"), pooled), 6).alias("cohens_d"),
     ).orderBy("event_type")
+
+
+@query(
+    "qq_decile_table",
+    sql=_KS_GRID_SQL
+    + """
+    , decs AS (SELECT unnest(range(1, 10)) AS d),
+    qv AS (
+      SELECT c.event_type, decs.d,
+             MIN(c.v) AS q_view
+      FROM cum c CROSS JOIN decs
+      WHERE c.cum1 >= (decs.d * c.n1 + 9) // 10 AND c.n1 > 0
+      GROUP BY 1, 2
+    ),
+    qo AS (
+      SELECT c.event_type, decs.d,
+             MIN(c.v) AS q_other
+      FROM cum c CROSS JOIN decs
+      WHERE c.cum2 >= (decs.d * c.n2 + 9) // 10 AND c.n2 > 0
+      GROUP BY 1, 2
+    )
+    SELECT qv.event_type, CAST(qv.d AS INTEGER) AS decile,
+           ROUND(q_view / 100.0, 2) AS q_view,
+           ROUND(q_other / 100.0, 2) AS q_other,
+           ROUND((q_other - q_view) / 100.0, 2) AS qq_gap
+    FROM qv JOIN qo ON qv.event_type = qo.event_type AND qv.d = qo.d
+    ORDER BY qv.event_type, decile
+    """,
+)
+def qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Q-Q table: the 1st..9th deciles of each event type's
+    value distribution against the 'view' baseline's, with the per-
+    decile gap — the table practitioners actually read AFTER
+    ``ks_two_sample_drift`` flags a shift, because it says WHERE in
+    the distribution the drift lives (tail-only vs uniform shift).
+
+    Deciles are exact DISCRETE order statistics — the k-th smallest
+    with k = ceil(d·n/10) evaluated as the pure-integer
+    ``(d·n + 9) div 10`` — selected by the first grid value whose
+    cumulative count reaches k, on the same value-domain-bounded
+    cents grid as KS/MWU (one corpus-sized aggregate; everything
+    after is bounded). No interpolating percentile function is
+    involved, so there is no cross-engine tie-handling to diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    others = ct.filter(F.col("event_type") != "view").select(
+        "event_type", "v", F.col("n").alias("c2")
+    )
+    view_c = ct.filter(F.col("event_type") == "view").select("v", F.col("n").alias("c1"))
+    types = others.select("event_type").distinct()
+    vgrid = types.crossJoin(view_c).alias("g")
+    o = others.alias("o")
+    grid = o.join(
+        vgrid,
+        (F.col("o.event_type") == F.col("g.event_type")) & (F.col("o.v") == F.col("g.v")),
+        "full_outer",
+    ).select(
+        F.coalesce("o.event_type", "g.event_type").alias("event_type"),
+        F.coalesce("o.v", "g.v").alias("v"),
+        F.coalesce("g.c1", F.lit(0)).cast("long").alias("c1"),
+        F.coalesce("o.c2", F.lit(0)).cast("long").alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    p = Window.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "v",
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+        F.sum("c1").over(p).cast("long").alias("n1"),
+        F.sum("c2").over(p).cast("long").alias("n2"),
+    )
+    decs = spark.range(1, 10).select(F.col("id").cast("long").alias("d"))
+    c = cum.crossJoin(F.broadcast(decs))
+    k1 = ((F.col("d") * F.col("n1") + 9) / 10).cast("long")
+    k2 = ((F.col("d") * F.col("n2") + 9) / 10).cast("long")
+    qv = (
+        c.filter((F.col("cum1") >= k1) & (F.col("n1") > 0))
+        .groupBy("event_type", "d")
+        .agg(F.min("v").alias("q_view"))
+    )
+    qo = (
+        c.filter((F.col("cum2") >= k2) & (F.col("n2") > 0))
+        .groupBy("event_type", "d")
+        .agg(F.min("v").alias("q_other"))
+    )
+    return (
+        qv.join(qo, ["event_type", "d"])
+        .select(
+            "event_type",
+            F.col("d").cast("int").alias("decile"),
+            F.round(F.col("q_view") / 100.0, 2).alias("q_view"),
+            F.round(F.col("q_other") / 100.0, 2).alias("q_other"),
+            F.round((F.col("q_other") - F.col("q_view")) / 100.0, 2).alias("qq_gap"),
+        )
+        .orderBy("event_type", "decile")
+    )

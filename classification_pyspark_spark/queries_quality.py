@@ -1569,3 +1569,88 @@ def triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_candidate_pairs(d, "text", "doc_id", max_bucket_size=None)
     out = triangle_counts(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")))
     return out.withColumnRenamed("x", "doc_id")
+
+
+@query(
+    "functional_dependency_audit",
+    sql="""
+    WITH checks AS (
+      SELECT 'orders' AS tbl, 'o_orderkey -> o_custkey' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n_vals FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'customer', 'c_custkey -> c_mktsegment',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS n_vals FROM customer GROUP BY 1)
+      UNION ALL
+      SELECT 'lineitem', '(l_orderkey, l_linenumber) -> l_partkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, l_linenumber, COUNT(DISTINCT l_partkey) AS n_vals
+            FROM lineitem GROUP BY 1, 2)
+      UNION ALL
+      SELECT 'documents', 'doc_id -> lang',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT doc_id, COUNT(DISTINCT lang) AS n_vals FROM documents GROUP BY 1)
+    )
+    SELECT tbl, fd, n_keys, n_violating_keys,
+           ROUND(n_violating_keys * 1.0 / NULLIF(n_keys, 0), 6) AS violation_rate
+    FROM checks ORDER BY tbl, fd
+    """,
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared FD "determinant
+    → dependent", count determinant keys bound to MORE THAN ONE
+    dependent value — the data-quality check that catches silently
+    denormalized or merge-corrupted tables before a join fans out on
+    them (the companion to ``data_quality_checks``' referential and
+    range rules; the reference's dp/eda has no FD tooling).
+
+    Each FD is one hash aggregate (count distinct per determinant,
+    map-side combined) folded to a single row; the audit frame is as
+    many rows as DECLARED dependencies. No joins, no windows."""
+    from .catalog import load_table as _lt
+
+    def fd(tbl: str, name: str, keys: list, dep: str) -> DataFrame:
+        g = (
+            _lt(spark, sf_dir, tbl)
+            .groupBy(*keys)
+            .agg(F.count_distinct(F.col(dep)).alias("n_vals"))
+        )
+        return g.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("n_vals") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+        )
+
+    checks = (
+        fd("orders", "o_orderkey -> o_custkey", ["o_orderkey"], "o_custkey")
+        .unionByName(
+            fd("customer", "c_custkey -> c_mktsegment", ["c_custkey"], "c_mktsegment")
+        )
+        .unionByName(
+            fd(
+                "lineitem",
+                "(l_orderkey, l_linenumber) -> l_partkey",
+                ["l_orderkey", "l_linenumber"],
+                "l_partkey",
+            )
+        )
+        .unionByName(fd("documents", "doc_id -> lang", ["doc_id"], "lang"))
+    )
+    return checks.select(
+        "tbl",
+        "fd",
+        "n_keys",
+        "n_violating_keys",
+        F.round(
+            F.try_divide(F.col("n_violating_keys") * 1.0, F.col("n_keys").cast("double")),
+            6,
+        ).alias("violation_rate"),
+    ).orderBy("tbl", "fd")

@@ -64,6 +64,11 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "final 1-row fold over the calendar-bounded "
         "daily frame; the fact table collapses in the first aggregate"
     },
+    "functional_dependency_audit": {
+        "single_partition": "each declared FD folds its per-key distinct "
+        "counts to ONE row (the audit frame is |declared FDs| rows); the "
+        "per-key aggregates are ordinary map-side-combined hash aggs"
+    },
     "binary_classification_metrics": {"single_partition": "global confusion aggregate"},
     "auc_roc": {
         "single_partition": "global rank over (label,score) pairs; bounded by "
