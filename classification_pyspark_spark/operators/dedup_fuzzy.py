@@ -850,18 +850,29 @@ def band_blocking_efficiency(
     )
     buckets = bands.groupBy("band", "h").agg(F.count(F.lit(1)).cast("long").alias("s"))
     s = F.col("s")
-    slots = F.sum((s * (s - 1) / 2).cast("long"))
-    n = F.sum(s)
-    return (
-        buckets.groupBy("band")
-        .agg(
-            n.cast("long").alias("n_docs"),
-            F.count(F.lit(1)).cast("long").alias("n_buckets"),
-            F.max(s).cast("long").alias("max_bucket"),
-            slots.cast("long").alias("comparison_slots"),
-            F.round(
-                1.0 - F.try_divide(slots * 1.0, (n * (n - 1) / 2).cast("long") * 1.0), 6
-            ).alias("reduction_ratio"),
-        )
-        .orderBy("band")
+    # EXACT integer slot counts: s*(s-1) is even, and `div` keeps the
+    # arithmetic in BIGINT — the double-divide form loses bits past
+    # 2^53, i.e. precisely on the degenerate hot bucket the audit
+    # exists to detect (review finding)
+    slots = F.sum(F.expr("(s * (s - 1)) div 2"))
+    per_band = buckets.groupBy("band").agg(
+        F.sum(s).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max(s).cast("long").alias("max_bucket"),
+        slots.cast("long").alias("comparison_slots"),
     )
+    return per_band.select(
+        "band",
+        "n_docs",
+        "n_buckets",
+        "max_bucket",
+        "comparison_slots",
+        F.round(
+            1.0
+            - F.try_divide(
+                F.col("comparison_slots") * 1.0,
+                F.expr("(n_docs * (n_docs - 1)) div 2") * 1.0,
+            ),
+            6,
+        ).alias("reduction_ratio"),
+    ).orderBy("band")

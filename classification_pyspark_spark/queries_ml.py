@@ -1020,6 +1020,52 @@ _KS_GRID_SQL = """
 """
 
 
+
+def _ks_grid_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared two-sample value grid (PySpark twin of _KS_GRID_SQL):
+    events collapse in ONE hash aggregate to the (type x distinct-cents)
+    frame — bounded by the VALUE DOMAIN, not the corpus — densified per
+    comparison against the 'view' baseline, with per-type cumulative and
+    total counts. Consumed by ks_two_sample_drift, mann_whitney_u_shift,
+    and qq_decile_table (review finding: the three queries previously
+    duplicated this 45-line pipeline verbatim)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ct = ev.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    others = ct.filter(F.col("event_type") != "view").select(
+        "event_type", "v", F.col("n").alias("c2")
+    )
+    view_c = ct.filter(F.col("event_type") == "view").select("v", F.col("n").alias("c1"))
+    types = others.select("event_type").distinct()
+    vgrid = types.crossJoin(view_c).alias("g")
+    o = others.alias("o")
+    grid = o.join(
+        vgrid,
+        (F.col("o.event_type") == F.col("g.event_type")) & (F.col("o.v") == F.col("g.v")),
+        "full_outer",
+    ).select(
+        F.coalesce("o.event_type", "g.event_type").alias("event_type"),
+        F.coalesce("o.v", "g.v").alias("v"),
+        F.coalesce("g.c1", F.lit(0)).cast("long").alias("c1"),
+        F.coalesce("o.c2", F.lit(0)).cast("long").alias("c2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pw = Window.partitionBy("event_type")
+    return grid.select(
+        "event_type",
+        "v",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+        F.sum("c1").over(pw).cast("long").alias("n1"),
+        F.sum("c2").over(pw).cast("long").alias("n2"),
+    )
+
+
 @query(
     "ks_two_sample_drift",
     sql=_KS_GRID_SQL
@@ -1034,7 +1080,7 @@ _KS_GRID_SQL = """
     SELECT event_type, n1 AS n_view, n2 AS n_other,
            d_num AS d_numerator,
            ROUND(v / 100.0, 2) AS ks_at_value,
-           ROUND(d_num * 1.0 / (n1 * n2), 6) AS ks_d
+           ROUND(d_num * 1.0 / NULLIF(n1 * n2, 0), 6) AS ks_d
     FROM dev WHERE rn = 1 ORDER BY event_type
     """,
 )
@@ -1059,39 +1105,9 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range*100 rows), not the corpus — and every window/join below it
     runs on that bounded frame, partitioned by event type. The only
     corpus-sized exchange is the first groupBy."""
-    ev = load_table(spark, sf_dir, "events")
-    ct = ev.groupBy(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    others = ct.filter(F.col("event_type") != "view").select(
-        "event_type", "v", F.col("n").alias("c2")
-    )
-    view_c = ct.filter(F.col("event_type") == "view").select("v", F.col("n").alias("c1"))
-    types = others.select("event_type").distinct()
-    vgrid = types.crossJoin(view_c).alias("g")
-    o = others.alias("o")
-    grid = o.join(
-        vgrid,
-        (F.col("o.event_type") == F.col("g.event_type")) & (F.col("o.v") == F.col("g.v")),
-        "full_outer",
-    ).select(
-        F.coalesce("o.event_type", "g.event_type").alias("event_type"),
-        F.coalesce("o.v", "g.v").alias("v"),
-        F.coalesce("g.c1", F.lit(0)).cast("long").alias("c1"),
-        F.coalesce("o.c2", F.lit(0)).cast("long").alias("c2"),
-    )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    p = Window.partitionBy("event_type")
-    cum = grid.select(
-        "event_type",
-        "v",
-        F.sum("c1").over(w).cast("long").alias("cum1"),
-        F.sum("c2").over(w).cast("long").alias("cum2"),
-        F.sum("c1").over(p).cast("long").alias("n1"),
-        F.sum("c2").over(p).cast("long").alias("n2"),
-    )
+    cum = _ks_grid_cum(spark, sf_dir)
     d_num = F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
     dev = cum.select(
         "event_type",
@@ -1111,7 +1127,13 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2").alias("n_other"),
             F.col("d_num").alias("d_numerator"),
             F.round(F.col("v") / 100.0, 2).alias("ks_at_value"),
-            F.round(F.col("d_num") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias("ks_d"),
+            # try_divide: a corpus with NO 'view' baseline rows makes
+            # n1 = 0 — NULL statistic, not ANSI DIVIDE_BY_ZERO
+            # (review finding, execution-confirmed)
+            F.round(
+                F.try_divide(F.col("d_num") * 1.0, (F.col("n1") * F.col("n2")).cast("double")),
+                6,
+            ).alias("ks_d"),
         )
         .orderBy("event_type")
     )
@@ -1134,10 +1156,10 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n1 AS n_view, n2 AS n_other,
            ROUND(u2x2 / 2.0, 1) AS u_other,
-           ROUND(u2x2 / (2.0 * n1 * n2), 6) AS cles,
+           ROUND(u2x2 * 1.0 / NULLIF(2.0 * n1 * n2, 0), 6) AS cles,
            ROUND((u2x2 / 2.0 - n1 * n2 / 2.0)
                  / NULLIF(SQRT((n1 * n2 / 12.0)
-                               * ((n + 1) - ties * 1.0 / (n * (n - 1.0)))), 0), 6) AS z_score
+                               * ((n + 1) - ties * 1.0 / NULLIF(n * (n - 1.0), 0))), 0), 6) AS z_score
     FROM u ORDER BY event_type
     """,
 )
@@ -1159,37 +1181,22 @@ def mann_whitney_u_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to the KS query — corpus collapses in one
     hash aggregate to the value-domain-bounded grid; everything after
-    is grouped/windowed on that bounded frame."""
-    ev = load_table(spark, sf_dir, "events")
-    ct = ev.groupBy(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    others = ct.filter(F.col("event_type") != "view").select(
-        "event_type", "v", F.col("n").alias("c2")
-    )
-    view_c = ct.filter(F.col("event_type") == "view").select("v", F.col("n").alias("c1"))
-    types = others.select("event_type").distinct()
-    vgrid = types.crossJoin(view_c).alias("g")
-    o = others.alias("o")
-    grid = o.join(
-        vgrid,
-        (F.col("o.event_type") == F.col("g.event_type")) & (F.col("o.v") == F.col("g.v")),
-        "full_outer",
-    ).select(
-        F.coalesce("o.event_type", "g.event_type").alias("event_type"),
-        F.coalesce("o.v", "g.v").alias("v"),
-        F.coalesce("g.c1", F.lit(0)).cast("long").alias("c1"),
-        F.coalesce("o.c2", F.lit(0)).cast("long").alias("c2"),
-    )
-    from pyspark.sql import Window
+    is grouped/windowed on that bounded frame.
 
-    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    Overflow envelope (BIGINT cap 9.2e18, ANSI raises past it): the
+    doubled rank-sum is ~N², and the tie correction sums (c1+c2)³ —
+    ~N³/V² on a V-point grid and c³ for a single mass point — so the
+    comparison is exact up to ~3e9 events per pair on this grid and
+    ~2.1e6 duplicates of ONE value. Past that, pre-aggregate to a
+    coarser value grid (the statistic is then the quantized-MWU, as
+    documented for KS) before widening N."""
+    g = _ks_grid_cum(spark, sf_dir)
     c = F.col("c1") + F.col("c2")
-    cum = grid.select(
+    cum = g.select(
         "event_type",
         "c1",
         "c2",
-        (F.sum("c1").over(w) + F.sum("c2").over(w) - c).cast("long").alias("cumprev"),
+        (F.col("cum1") + F.col("cum2") - c).cast("long").alias("cumprev"),
         c.cast("long").alias("c"),
     )
     r = cum.groupBy("event_type").agg(
@@ -1200,15 +1207,18 @@ def mann_whitney_u_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n1") + F.col("n2")
     u2x2 = F.col("r2x2") - F.col("n2") * (F.col("n2") + 1)
+    # try_divide twice: n1 = 0 (no 'view' baseline) or n <= 1 are
+    # ordinary conditions -> NULL statistics, not DIVIDE_BY_ZERO
+    # (review finding, execution-confirmed)
     var = (F.col("n1") * F.col("n2") / 12.0) * (
-        (n + 1) - F.col("ties") * 1.0 / (n * (n - 1.0))
+        (n + 1) - F.try_divide(F.col("ties") * 1.0, n * (n - 1.0))
     )
     return r.select(
         "event_type",
         F.col("n1").alias("n_view"),
         F.col("n2").alias("n_other"),
         F.round(u2x2 / 2.0, 1).alias("u_other"),
-        F.round(u2x2 / (2.0 * F.col("n1") * F.col("n2")), 6).alias("cles"),
+        F.round(F.try_divide(u2x2 * 1.0, 2.0 * F.col("n1") * F.col("n2")), 6).alias("cles"),
         F.round(
             F.try_divide(u2x2 / 2.0 - F.col("n1") * F.col("n2") / 2.0, F.sqrt(var)), 6
         ).alias("z_score"),
@@ -1603,39 +1613,7 @@ def qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents grid as KS/MWU (one corpus-sized aggregate; everything
     after is bounded). No interpolating percentile function is
     involved, so there is no cross-engine tie-handling to diverge."""
-    ev = load_table(spark, sf_dir, "events")
-    ct = ev.groupBy(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    others = ct.filter(F.col("event_type") != "view").select(
-        "event_type", "v", F.col("n").alias("c2")
-    )
-    view_c = ct.filter(F.col("event_type") == "view").select("v", F.col("n").alias("c1"))
-    types = others.select("event_type").distinct()
-    vgrid = types.crossJoin(view_c).alias("g")
-    o = others.alias("o")
-    grid = o.join(
-        vgrid,
-        (F.col("o.event_type") == F.col("g.event_type")) & (F.col("o.v") == F.col("g.v")),
-        "full_outer",
-    ).select(
-        F.coalesce("o.event_type", "g.event_type").alias("event_type"),
-        F.coalesce("o.v", "g.v").alias("v"),
-        F.coalesce("g.c1", F.lit(0)).cast("long").alias("c1"),
-        F.coalesce("o.c2", F.lit(0)).cast("long").alias("c2"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    p = Window.partitionBy("event_type")
-    cum = grid.select(
-        "event_type",
-        "v",
-        F.sum("c1").over(w).cast("long").alias("cum1"),
-        F.sum("c2").over(w).cast("long").alias("cum2"),
-        F.sum("c1").over(p).cast("long").alias("n1"),
-        F.sum("c2").over(p).cast("long").alias("n2"),
-    )
+    cum = _ks_grid_cum(spark, sf_dir)
     decs = spark.range(1, 10).select(F.col("id").cast("long").alias("d"))
     c = cum.crossJoin(F.broadcast(decs))
     k1 = ((F.col("d") * F.col("n1") + 9) / 10).cast("long")

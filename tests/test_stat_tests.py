@@ -145,3 +145,18 @@ def test_mase_constant_series_is_zero_error(spark, tmp_path):
     assert r["n_days"] == 13  # days 7..19 have both lags
     assert r["mae_naive"] == 0.0 and r["mae_seasonal"] == 0.0
     assert r["mase_vs_naive"] is None
+
+
+def test_two_sample_tests_survive_missing_baseline(spark, tmp_path):
+    # a corpus with NO 'view' rows: n1 = 0 everywhere — statistics must
+    # come back NULL, never ANSI DIVIDE_BY_ZERO (review finding,
+    # execution-confirmed crash before the try_divide guards)
+    d = _stage_events(spark, tmp_path, [("click", 1), ("click", 2), ("error", 3)])
+    ks = QUERIES["ks_two_sample_drift"](spark, d).collect()
+    assert ks and all(r["ks_d"] is None and r["n_view"] == 0 for r in ks)
+    mwu = QUERIES["mann_whitney_u_shift"](spark, d).collect()
+    assert mwu and all(
+        r["cles"] is None and r["z_score"] is None and r["n_view"] == 0 for r in mwu
+    )
+    # qq: the view side has no deciles -> no joined rows, empty result
+    assert QUERIES["qq_decile_table"](spark, d).count() == 0
