@@ -505,3 +505,59 @@ def test_triangle_split_invariant_under_cap_property(spark, vals, cap, k):
         assert knn_cap == knn_unc
     finally:
         release_tracked()
+
+
+@given(
+    scores=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.floats(min_value=0.0, max_value=50.0,
+                                                         allow_nan=False)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_conformal_two_pass_equals_direct_selection(spark, tmp_path_factory, scores):
+    """The two-pass bucketed rank selection inside
+    conformal_threshold_by_segment must equal the DIRECT k-th-smallest
+    of the score multiset for arbitrary (segment, price) inputs —
+    including duplicate scores and segments whose score range straddles
+    bucket boundaries."""
+    import math as _m
+
+    from classification_pyspark_spark.queries import QUERIES
+
+    out = str(tmp_path_factory.mktemp("sf_conf_prop"))
+    odf = spark.createDataFrame(
+        [(i % 3, i % 3) for i in range(3)], "o_orderkey long, o_custkey long"
+    )
+    cdf = spark.createDataFrame(
+        [(i, seg) for i, seg in enumerate(["A", "B", "A"])],
+        "c_custkey long, c_mktsegment string",
+    )
+    # route rows to segments via orderkey = i%3 -> custkey -> segment
+    ldf = spark.createDataFrame(
+        [(i % 3, float(p), 0.05) for i, (_, p) in enumerate(scores)],
+        "l_orderkey long, l_extendedprice double, l_discount double",
+    )
+    ldf.write.mode("overwrite").parquet(out + "/lineitem.parquet")
+    odf.write.mode("overwrite").parquet(out + "/orders.parquet")
+    cdf.write.mode("overwrite").parquet(out + "/customer.parquet")
+    got = {r["segment"]: r for r in QUERIES["conformal_threshold_by_segment"](spark, out).collect()}
+
+    # direct truth per segment
+    seg_of = {0: "A", 1: "B", 2: "A"}
+    by_seg: dict = {}
+    for i, (_, p) in enumerate(scores):
+        sc = round(p * 100) * 5  # price_cents * disc_cents(=5)
+        by_seg.setdefault(seg_of[i % 3], []).append(sc)
+    for seg, vals in by_seg.items():
+        n = len(vals)
+        k = (9 * (n + 1) + 9) // 10
+        if k > n:
+            # rank beyond the sample: no threshold row is emitted
+            assert seg not in got
+            continue
+        want = sorted(vals)[k - 1] / 10000.0
+        r = got[seg]
+        assert (r["n"], r["k"]) == (n, k)
+        assert _m.isclose(r["threshold"], round(want, 4), abs_tol=1e-9), (seg, vals)
