@@ -639,12 +639,12 @@ def skyline_pareto_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("strict_max").isNull() | (F.col("strict_max") < F.col("n_parts")))
             & (F.col("peer_max") <= F.col("n_parts"))
         )
+        .orderBy(F.desc("rev_c"), "suppkey")
         .select(
             "suppkey",
             F.round(F.col("rev_c") / 10000.0, 2).alias("revenue"),
             "n_parts",
         )
-        .orderBy(F.desc("revenue"), "suppkey")
     )
 
 

@@ -1146,7 +1146,7 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     , r AS (
       SELECT event_type, n1, n2, n1 + n2 AS n,
              CAST(SUM(c2 * (2 * (cum1 + cum2 - c1 - c2) + (c1 + c2) + 1)) AS BIGINT) AS r2x2,
-             CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS ties
+             SUM(CAST(c1 + c2 AS DOUBLE) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS ties
       FROM cum GROUP BY event_type, n1, n2
     ),
     u AS (
@@ -1184,12 +1184,15 @@ def mann_whitney_u_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is grouped/windowed on that bounded frame.
 
     Overflow envelope (BIGINT cap 9.2e18, ANSI raises past it): the
-    doubled rank-sum is ~N², and the tie correction sums (c1+c2)³ —
-    ~N³/V² on a V-point grid and c³ for a single mass point — so the
-    comparison is exact up to ~3e9 events per pair on this grid and
-    ~2.1e6 duplicates of ONE value. Past that, pre-aggregate to a
-    coarser value grid (the statistic is then the quantized-MWU, as
-    documented for KS) before widening N."""
+    doubled rank-sum is ~N², so the comparison is exact up to ~3e9
+    events per pair. The tie correction sums (c1+c2)³ — ~N³/V² on a
+    V-point grid and c³ for a single mass point, which a hot value
+    (e.g. value=0 events on a cents grid) hits at only ~2.1e6
+    duplicates — so BOTH engines compute it in DOUBLE: every term and
+    every partial sum is an integer, hence exact while the total stays
+    below 2^53 (~9e15, c up to ~2e5 per value at a billion rows), and
+    past that it degrades gracefully to ~1e-16 relative error inside a
+    variance that is divided and rounded anyway — never an ANSI abort."""
     g = _ks_grid_cum(spark, sf_dir)
     c = F.col("c1") + F.col("c2")
     cum = g.select(
@@ -1203,7 +1206,7 @@ def mann_whitney_u_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),
         F.sum(F.col("c2") * (2 * F.col("cumprev") + F.col("c") + 1)).cast("long").alias("r2x2"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("long").alias("ties"),
+        F.sum(F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
     )
     n = F.col("n1") + F.col("n2")
     u2x2 = F.col("r2x2") - F.col("n2") * (F.col("n2") + 1)
@@ -1419,16 +1422,16 @@ def conformal_threshold_by_segment(spark: SparkSession, sf_dir: str) -> DataFram
         Window.unboundedPreceding, 0
     )
     pb = Window.partitionBy("segment")
-    # integer ceil(0.9(n+1)): truncating the double (9(n+1)+9)/10 is an
-    # exact floor here — the numerator is an exact double and x/10 can
-    # never round up across an integer boundary (error << 0.1)
+    # integer ceil(0.9(n+1)) via pure-integer `div`, matching the SQL
+    # twin's `//` exactly at ANY n (the earlier double-division form
+    # was exact only while 9(n+1)+9 stayed below 2^53)
     cumb = bc.select(
         "segment",
         "bkt",
         "bn",
         F.sum("bn").over(wb).cast("long").alias("cum_n"),
         F.sum("bn").over(pb).cast("long").alias("n"),
-    ).withColumn("k", ((9 * (F.col("n") + 1) + 9) / 10).cast("long"))
+    ).withColumn("k", F.expr("(9 * (n + 1) + 9) div 10").cast("long"))
     tgt = cumb.filter(
         (F.col("cum_n") >= F.col("k")) & (F.col("cum_n") - F.col("bn") < F.col("k"))
     ).select("segment", F.col("bkt").alias("tbkt"), (F.col("cum_n") - F.col("bn")).alias("prev"), "k", "n")
@@ -1616,8 +1619,8 @@ def qq_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = _ks_grid_cum(spark, sf_dir)
     decs = spark.range(1, 10).select(F.col("id").cast("long").alias("d"))
     c = cum.crossJoin(F.broadcast(decs))
-    k1 = ((F.col("d") * F.col("n1") + 9) / 10).cast("long")
-    k2 = ((F.col("d") * F.col("n2") + 9) / 10).cast("long")
+    k1 = F.expr("(d * n1 + 9) div 10").cast("long")
+    k2 = F.expr("(d * n2 + 9) div 10").cast("long")
     qv = (
         c.filter((F.col("cum1") >= k1) & (F.col("n1") > 0))
         .groupBy("event_type", "d")

@@ -168,9 +168,13 @@ def running_user_stats(events: DataFrame, timeout_minutes: int | None = None) ->
             return
         n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
+            if len(pdf) == 0:  # empty Arrow chunk: .max() is NaN — skip
+                continue
             n += len(pdf)
             s += float(pdf["value"].sum())
             m = max(m, float(pdf["value"].max()))
+        if n == 0:  # rows-less invocation: never store/emit the -inf seed
+            return
         state.update((n, s, m))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
@@ -541,9 +545,13 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             if self._agg.exists():
                 n, total, mx = self._agg.get()
             for pdf in rows:
+                if len(pdf) == 0:  # empty Arrow chunk: .max() is NaN — skip
+                    continue
                 n += len(pdf)
                 total += float(pdf["value"].sum())
                 mx = max(mx, float(pdf["value"].max()))
+            if n == 0:  # rows-less invocation: never store/emit the -inf seed
+                return
             self._agg.update((n, total, mx))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n": [n], "total": [total], "mx": [mx]}
