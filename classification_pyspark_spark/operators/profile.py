@@ -174,22 +174,21 @@ def describe_numeric(
     #
     # exact path: quartiles by range-exchange selection; the learned
     # values enter the moment-aggregate row as codegen literals.
-    base_aggs, pct_aggs = [], []
-    for c in cols:
-        base_aggs += [
-            F.count(F.col(c)).cast("double").alias(f"count__{c}"),
-            F.round(F.avg(c), 4).alias(f"mean__{c}"),
-            F.round(F.stddev(c), 4).alias(f"stddev__{c}"),
-            F.round(F.min(c).cast("double"), 4).alias(f"min__{c}"),
-            F.round(F.max(c).cast("double"), 4).alias(f"max__{c}"),
-        ]
-        if approx:
+    if approx:
+        base_aggs, pct_aggs = [], []
+        for c in cols:
+            base_aggs += [
+                F.count(F.col(c)).cast("double").alias(f"count__{c}"),
+                F.round(F.avg(c), 4).alias(f"mean__{c}"),
+                F.round(F.stddev(c), 4).alias(f"stddev__{c}"),
+                F.round(F.min(c).cast("double"), 4).alias(f"min__{c}"),
+                F.round(F.max(c).cast("double"), 4).alias(f"max__{c}"),
+            ]
             pct_aggs.append(
                 F.expr(
                     f"percentile_approx({c}, array(0.25D, 0.5D, 0.75D), {int(accuracy)})"
                 ).alias(f"pcts__{c}")
             )
-    if approx:
         one = df.agg(*base_aggs).crossJoin(df.agg(*pct_aggs))
         one = one.select(
             "*",
@@ -199,35 +198,77 @@ def describe_numeric(
                 for i, name in ((0, "q25"), (1, "median"), (2, "q75"))
             ],
         )
-    else:
-        from .quantiles import exact_quantiles_multi
-
-        q = exact_quantiles_multi(df, cols, [0.25, 0.5, 0.75])
-        one = df.agg(*base_aggs).select(
-            "*",
-            *[
-                F.round(F.lit(q[c][i]).cast("double"), 4).alias(f"{name}__{c}")
-                for c in cols
-                for i, name in ((0, "q25"), (1, "median"), (2, "q75"))
-            ],
+        rows = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            *[
+                                F.col(f"{s}__{c}").alias(s)
+                                for s in ("count", "mean", "stddev", "min", "q25", "median", "q75", "max")
+                            ],
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
         )
-    rows = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        *[
-                            F.col(f"{s}__{c}").alias(s)
-                            for s in ("count", "mean", "stddev", "min", "q25", "median", "q75", "max")
-                        ],
-                    )
-                    for c in cols
-                ]
+        return rows.select("s.*")
+
+    # exact path: ONE corpus pass — the quantile operator's value-grid
+    # persist also yields the moment statistics, so lineitem is
+    # scanned once, not once for quartiles plus once for
+    # count/mean/stddev/min/max (the separate df.agg rescan this
+    # replaced: cold sf1 59s in sweep context -> single-pass). The
+    # <=len(cols)-row result assembles driver-side with HALF_UP
+    # rounding matching F.round exactly.
+    from .quantiles import exact_quantiles_multi_stats
+
+    q, stats = exact_quantiles_multi_stats(df, cols, [0.25, 0.5, 0.75])
+
+    def round_half_up4(v):
+        # match F.round(x, 4) exactly: Spark rounds doubles via
+        # BigDecimal.valueOf (shortest decimal repr, same as Python
+        # repr) with HALF_UP — NOT Python round()'s half-to-even
+        if v is None:
+            return None
+        import decimal
+        import math as _m
+
+        if _m.isnan(v) or _m.isinf(v):
+            return float(v)
+        return float(
+            decimal.Decimal(repr(float(v))).quantize(
+                decimal.Decimal("1e-4"), rounding=decimal.ROUND_HALF_UP
             )
-        ).alias("s")
+        )
+
+    data = []
+    for c in cols:
+        s = stats.get(c, {})
+        quart = q.get(c) or [None, None, None]
+        data.append(
+            (
+                c,
+                float(s.get("count", 0.0)),
+                round_half_up4(s.get("mean")),
+                round_half_up4(s.get("stddev")),
+                round_half_up4(s.get("min")),
+                round_half_up4(quart[0]),
+                round_half_up4(quart[1]),
+                round_half_up4(quart[2]),
+                round_half_up4(s.get("max")),
+            )
+        )
+    schema = T.StructType(
+        [T.StructField("column", T.StringType(), False)]
+        + [
+            T.StructField(s, T.DoubleType(), True)
+            for s in ("count", "mean", "stddev", "min", "q25", "median", "q75", "max")
+        ]
     )
-    return rows.select("s.*")
+    return df.sparkSession.createDataFrame(data, schema)
 
 
 def describe_categorical(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:

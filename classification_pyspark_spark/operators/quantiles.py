@@ -1,4 +1,4 @@
-"""Distributed EXACT quantiles: range exchange + per-partition rank
+"""Distributed EXACT quantiles: value-grid collapse + weighted rank
 selection.
 
 The engine's exact-percentile aggregates (``percentile`` /
@@ -11,19 +11,23 @@ answer, but when the answer must be EXACT (SLA percentiles, billing
 tiers, regulatory reporting) the scalable plan is selection, not
 aggregation:
 
-1. ``repartitionByRange(col)`` — one range exchange; every partition
-   holds a contiguous value range, sized by the shuffle-partition
-   knob, NOT by the dataset.
-2. per-partition counts -> exclusive prefix offsets (a
-   partition-count-sized driver list, same envelope as
-   ``approxQuantile``'s own driver traffic).
-3. each requested ``percentile_cont`` rank maps to (partition, local
-   rank); ONE pure-JVM pass selects the needed order statistics:
-   ``sortWithinPartitions`` (no exchange), row codes via
-   ``monotonically_increasing_id`` (partition id in the upper 31 bits,
-   in-partition row index in the lower 33), and a literal ``isin``
-   filter over the <= 2 x len(probs) x len(cols) needed codes — no
-   Python, no Arrow transfer in the hot path.
+1. collapse the corpus to the value GRID — ``groupBy(tag, v).count``
+   — ONE map-side-combined pass whose shuffle volume is the number of
+   DISTINCT values per map task, not the row count. Real columns are
+   quantized (money in cents, counts, discrete rates), so the grid is
+   typically 10-1000x smaller than the corpus; in the worst case
+   (all-unique doubles) it degrades to exactly the row-shuffle the
+   previous revision of this operator always paid.
+2. ``repartitionByRange(tag, v)`` the grid — every partition holds a
+   contiguous value range with its counts; per-(partition, tag)
+   weights -> exclusive prefix offsets (a partition-count-sized driver
+   list, same envelope as ``approxQuantile``'s own driver traffic).
+3. each requested rank maps to (partition, local weighted rank); a
+   grid-sized windowed running sum per (partition, tag) — hash
+   exchange of the GRID, not the corpus — plus a literal OR-predicate
+   over the <= 2 x len(probs) x len(cols) needed ranks selects the
+   order statistics. No Python, no Arrow transfer touches corpus-sized
+   data.
 4. the (<= 2 x len(probs))-row result interpolates on the driver with
    the exact ``percentile_cont`` formula in DuckDB's WEIGHTED form —
    ``v_lo*(1-f) + v_hi*f`` with ``f = (n-1)p - floor((n-1)p)`` — NOT
@@ -38,10 +42,14 @@ aggregation:
    operator sides with the oracle (and stays within 1 ulp of Spark,
    property-tested).
 
-Peak memory is one partition's column (the same bound every
-sort-within-partition stage already has); total work is one full
-shuffle of the single projected column. NULLs are excluded, matching
-``percentile`` / DuckDB ``quantile_cont`` semantics.
+The selected values are the exact stored doubles at the exact global
+ranks, so the grid form returns bit-identical results to the previous
+row-selection form — ties simply arrive pre-merged.
+
+Peak memory is one partition's slice of the GRID (value-domain-sized);
+total work is one map-side-combined corpus aggregate plus grid-sized
+exchanges. NULLs are excluded, matching ``percentile`` / DuckDB
+``quantile_cont`` semantics.
 """
 
 from __future__ import annotations
@@ -49,7 +57,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,18 +79,59 @@ def exact_quantiles_multi(
     (the [5,1] p=0.75 case disambiguates this rank formula from
     ``floor((n-1)p)``).
 
-    The columns are stacked to a narrow ``(tag, v)`` frame and
-    range-partitioned on ``(tag, v)``, so every column's order
-    statistics come out of the same single exchange; per-(partition,
-    tag) counts give each column its prefix offsets. Returns
-    ``{col: [value per prob]}`` with None for empty/all-NULL columns.
+    Returns ``{col: [value per prob]}`` with None for empty/all-NULL
+    columns.
     """
-    if not probs:
-        return {c: [] for c in cols}
+    out, _ = _exact_quantiles_impl(
+        df, cols, probs, num_partitions, discrete, with_moments=False
+    )
+    return out
+
+
+def exact_quantiles_multi_stats(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float],
+    num_partitions: int | None = None,
+    discrete: bool = False,
+) -> tuple[dict[str, list[float | None]], dict[str, dict]]:
+    """:func:`exact_quantiles_multi` plus per-column moment statistics
+    — count / mean / stddev (sample) / min / max — computed from the
+    SAME persisted value grid, so a full numeric profile costs exactly
+    one corpus pass (``describe_numeric``'s exact path previously
+    re-scanned parquet for the moments).
+
+    The mean is ``sum(v*cnt)/n`` on the grid; the variance is the
+    SHIFTED second moment ``sum(cnt*(v-mean)^2)/(n-1)`` computed in a
+    second grid-sized job with the mean as a literal — numerically
+    stable (no ``E[x^2]-E[x]^2`` cancellation), agreeing with the
+    row-wise central-moment accumulators of Spark/DuckDB to ~1e-15
+    relative, the same envelope those two engines already differ by.
+    A single-value column gets stddev NaN (Spark's ``stddev_samp``
+    convention, which the oracle replays via ``CAST('NaN' AS
+    DOUBLE)``-tolerant compare).
+
+    Returns ``({col: [value per prob]}, {col: {count, mean, stddev,
+    min, max}})``; empty/all-NULL columns are absent from the moments
+    dict and None-filled in the quantiles.
+    """
+    return _exact_quantiles_impl(
+        df, cols, probs, num_partitions, discrete, with_moments=True
+    )
+
+
+def _exact_quantiles_impl(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float],
+    num_partitions: int | None,
+    discrete: bool,
+    with_moments: bool,
+) -> tuple[dict[str, list[float | None]], dict[str, dict]]:
     if any(not 0.0 <= p <= 1.0 for p in probs):
         raise ValueError(f"probs must be in [0,1], got {list(probs)}")
-    if not cols:
-        return {}
+    if not cols or (not probs and not with_moments):
+        return {c: [] for c in cols}, {}
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
@@ -90,100 +139,167 @@ def exact_quantiles_multi(
     vals = df.selectExpr(f"stack({len(cols)}, {stack_args}) as (tag, v)").filter(
         F.col("v").isNotNull()
     )
+    # corpus -> grid: the ONLY corpus-sized stage, map-side combined.
+    # The grid itself is persisted because repartitionByRange runs a
+    # RANGE-SAMPLING job over its input before the real exchange —
+    # unpersisted, that sampling pass would recompute the whole corpus
+    # aggregate a second time.
+    grid = vals.groupBy("tag", "v").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).persist()
     part = (
-        vals.repartitionByRange(n_part, F.col("tag").asc(), F.col("v").asc())
+        grid.repartitionByRange(n_part, F.col("tag").asc(), F.col("v").asc())
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
     try:
-        counts: dict[tuple[int, str], int] = {
-            (r["__pid"], r["tag"]): r["n"]
-            for r in part.groupBy("__pid", "tag").agg(F.count("*").alias("n")).collect()
-        }
-        n_by_tag: dict[str, int] = {}
-        for (_, tag), n in counts.items():
-            n_by_tag[tag] = n_by_tag.get(tag, 0) + n
-
-        # per tag: global 0-based ranks needed
-        pos: dict[str, list[tuple[float, float]]] = {}
-        needed: dict[str, set[int]] = {}
-        for tag, n in n_by_tag.items():
-            if discrete:
-                pos[tag] = [(p, float(max(0, math.ceil(p * n) - 1))) for p in probs]
-                needed[tag] = {int(x) for _, x in pos[tag]}
-            else:
-                pos[tag] = [(p, (n - 1) * p) for p in probs]
-                needed[tag] = {
-                    r for _, x in pos[tag] for r in (math.floor(x), math.ceil(x))
-                }
-
-        # In-partition start offset of each tag's run: within a range
-        # partition sorted by (tag, v), each tag's rows are one
-        # contiguous run, in ascending tag order. Python's sorted()
-        # matches Spark's string sort here because UTF-8 byte order
-        # equals code-point order.
-        pids_sorted = sorted({pid for pid, _ in counts})
-        tags_sorted = sorted(n_by_tag)
-        tag_start: dict[tuple[int, str], int] = {}
-        for pid in pids_sorted:
-            acc_in_pid = 0
-            for t in tags_sorted:
-                tag_start[(pid, t)] = acc_in_pid
-                acc_in_pid += counts.get((pid, t), 0)
-
-        # (tag, global rank) -> the monotonically_increasing_id code of
-        # the row holding that order statistic after an in-partition
-        # sort: mid = (pid << 33) + in-partition row index (Spark packs
-        # the partition id in the upper 31 bits, the record number in
-        # the lower 33).
-        mid_map: dict[int, tuple[str, int]] = {}
-        for tag, ranks in needed.items():
-            offsets, acc = {}, 0
-            for pid in pids_sorted:
-                offsets[pid] = acc
-                acc += counts.get((pid, tag), 0)
-            for r in sorted(ranks):
-                for pid in reversed(pids_sorted):
-                    if counts.get((pid, tag), 0) > 0 and offsets[pid] <= r:
-                        local = r - offsets[pid]
-                        mid = (pid << 33) + tag_start[(pid, tag)] + local
-                        mid_map[mid] = (tag, r)
-                        break
-
-        # Selection stays entirely JVM-side: in-partition sort (no
-        # exchange — the range partitioning already placed the rows),
-        # row-code assignment, and a literal isin filter over the
-        # <= 2*len(probs)*len(cols) needed codes. This replaced a
-        # mapInPandas + numpy.partition pass whose Arrow transfer of
-        # every partition to Python dominated the operator's runtime
-        # (mad_robust_outliers at sf1: 16.8s -> the shuffle-bound
-        # floor).
-        rows = (
-            part.sortWithinPartitions("tag", "v")
-            .withColumn("__mid", F.monotonically_increasing_id())
-            .filter(F.col("__mid").isin([int(m) for m in mid_map]))
-            .select("__mid", "v")
+        # one job carries the per-(partition, tag) rank weights AND the
+        # first-moment partials; per-tag totals combine driver-side in
+        # sorted-pid order (deterministic, ~n_part addends)
+        wrows = (
+            part.groupBy("__pid", "tag")
+            .agg(
+                F.sum("cnt").alias("w"),
+                F.sum(F.col("v") * F.col("cnt")).alias("sv"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
             .collect()
         )
-        got: dict[tuple[str, int], float] = {
-            mid_map[int(r["__mid"])]: r["v"] for r in rows
+        weights: dict[tuple[int, str], int] = {
+            (r["__pid"], r["tag"]): r["w"] for r in wrows
         }
-        # The isin-on-row-code selection silently couples to two
-        # assumptions: monotonically_increasing_id's (pid << 33 | row)
-        # bit layout, and the cached scan reproducing the exact
-        # partition indices recorded via spark_partition_id above. A
-        # missing code would raise KeyError below, but a SHIFTED code
-        # could select a wrong row and return a silently wrong
-        # quantile — so fail loudly if any assumption broke.
-        if len(got) != len(mid_map):
-            raise RuntimeError(
-                "quantile row-code selection returned "
-                f"{len(got)} of {len(mid_map)} expected order statistics; "
-                "monotonically_increasing_id layout or cached partition "
-                "indices no longer match the recorded offsets"
+        n_by_tag: dict[str, int] = {}
+        for (_, tag), w in weights.items():
+            n_by_tag[tag] = n_by_tag.get(tag, 0) + w
+
+        moments: dict[str, dict] = {}
+        if with_moments:
+            m1: dict[str, dict] = {}
+            for r in sorted(wrows, key=lambda r: (r["tag"], r["__pid"])):
+                t = r["tag"]
+                if t not in m1:
+                    m1[t] = {"n": 0, "sv": 0.0, "mn": r["mn"], "mx": r["mx"]}
+                a = m1[t]
+                a["n"] += r["w"]
+                a["sv"] += r["sv"]
+                a["mn"] = min(a["mn"], r["mn"])
+                a["mx"] = max(a["mx"], r["mx"])
+            mean_by_tag = {t: a["sv"] / a["n"] for t, a in m1.items()}
+            if mean_by_tag:
+                # per-tag mean as a literal CASE (<= len(cols) branches)
+                mean_expr = None
+                for t, m in mean_by_tag.items():
+                    mean_expr = (F.when if mean_expr is None else mean_expr.when)(
+                        F.col("tag") == t, F.lit(float(m))
+                    )
+                m2 = {
+                    r["tag"]: r["m2"]
+                    for r in part.groupBy("tag")
+                    .agg(
+                        F.sum(
+                            F.col("cnt")
+                            * (F.col("v") - mean_expr) * (F.col("v") - mean_expr)
+                        ).alias("m2")
+                    )
+                    .collect()
+                }
+            else:
+                m2 = {}
+            for t, r in m1.items():
+                n = r["n"]
+                moments[t] = {
+                    "count": float(n),
+                    "mean": mean_by_tag[t],
+                    "stddev": math.sqrt(m2[t] / (n - 1)) if n > 1 else float("nan"),
+                    "min": r["mn"],
+                    "max": r["mx"],
+                }
+
+        got: dict[tuple[str, int], float] = {}
+        pos: dict[str, list[tuple[float, float]]] = {}
+        if probs:
+            # per tag: global 0-based ranks needed
+            needed: dict[str, set[int]] = {}
+            for tag, n in n_by_tag.items():
+                if discrete:
+                    pos[tag] = [(p, float(max(0, math.ceil(p * n) - 1))) for p in probs]
+                    needed[tag] = {int(x) for _, x in pos[tag]}
+                else:
+                    pos[tag] = [(p, (n - 1) * p) for p in probs]
+                    needed[tag] = {
+                        r for _, x in pos[tag] for r in (math.floor(x), math.ceil(x))
+                    }
+
+            # rank -> (partition, local weighted rank): within a range
+            # partition each tag's grid rows are one contiguous run
+            pids_sorted = sorted({pid for pid, _ in weights})
+            targets: list[tuple[int, str, int]] = []  # (pid, tag, local rank)
+            for tag, ranks in needed.items():
+                offsets, acc = {}, 0
+                for pid in pids_sorted:
+                    offsets[pid] = acc
+                    acc += weights.get((pid, tag), 0)
+                for r in sorted(ranks):
+                    for pid in reversed(pids_sorted):
+                        if weights.get((pid, tag), 0) > 0 and offsets[pid] <= r:
+                            targets.append((pid, tag, r - offsets[pid]))
+                            break
+
+            # grid-sized selection: running weight per (partition, tag)
+            # — a hash exchange of the GRID — then a literal
+            # OR-predicate picks the row covering each local rank
+            # (rsum - cnt <= r < rsum). Corpus-sized data never moves.
+            w_run = (
+                Window.partitionBy("__pid", "tag")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0)
             )
+            pred = None
+            for pid, tag, local in targets:
+                one = (
+                    (F.col("__pid") == pid)
+                    & (F.col("tag") == tag)
+                    & (F.col("rsum") - F.col("cnt") <= local)
+                    & (F.col("rsum") > local)
+                )
+                pred = one if pred is None else (pred | one)
+            rows = (
+                part.withColumn("rsum", F.sum("cnt").over(w_run))
+                .filter(pred)
+                .select("__pid", "tag", "v", "cnt", "rsum")
+                .collect()
+                if pred is not None
+                else []
+            )
+            # map each selected grid row back to every local rank it
+            # covers (one tie run can satisfy several requested ranks)
+            by_pid_tag: dict[tuple[int, str], list] = {}
+            for r in rows:
+                by_pid_tag.setdefault((r["__pid"], r["tag"]), []).append(r)
+            offsets_by_tag: dict[str, dict[int, int]] = {}
+            for tag in needed:
+                offs, acc = {}, 0
+                for pid in pids_sorted:
+                    offs[pid] = acc
+                    acc += weights.get((pid, tag), 0)
+                offsets_by_tag[tag] = offs
+            for pid, tag, local in targets:
+                hit = None
+                for r in by_pid_tag.get((pid, tag), []):
+                    if r["rsum"] - r["cnt"] <= local < r["rsum"]:
+                        hit = r
+                        break
+                if hit is None:
+                    raise RuntimeError(
+                        "weighted rank selection missed rank "
+                        f"{local} of tag {tag!r} in partition {pid}; "
+                        "recorded offsets no longer match the cached grid"
+                    )
+                got[(tag, offsets_by_tag[tag][pid] + local)] = hit["v"]
     finally:
         part.unpersist()
+        grid.unpersist()
 
     out: dict[str, list[float | None]] = {}
     for c in cols:
@@ -191,7 +307,7 @@ def exact_quantiles_multi(
             out[c] = [None] * len(probs)
             continue
         vals_out = []
-        for _, x in pos[c]:
+        for _, x in pos.get(c, []):
             if discrete:
                 vals_out.append(got[(c, int(x))])
             else:
@@ -202,7 +318,7 @@ def exact_quantiles_multi(
                 # quantile_cont, the oracle engine (see module doc)
                 vals_out.append(v_lo * (1 - f) + v_hi * f)
         out[c] = vals_out
-    return out
+    return out, moments
 
 
 def exact_quantiles_distributed(
@@ -214,8 +330,8 @@ def exact_quantiles_distributed(
     """Exact ``percentile_cont`` values of ``df[col]`` at ``probs``.
 
     Returns one float per prob (None for an empty / all-NULL column),
-    computed by range-exchange selection (see module doc) — never by a
-    single-buffer aggregate. Single-column convenience wrapper over
-    :func:`exact_quantiles_multi`.
+    computed by grid-collapse weighted selection (see module doc) —
+    never by a single-buffer aggregate. Single-column convenience
+    wrapper over :func:`exact_quantiles_multi`.
     """
     return exact_quantiles_multi(df, [col], probs, num_partitions=num_partitions)[col]
