@@ -47,21 +47,50 @@ EMB_DIM = 64
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count + stopword count + punctuation ratio + composite
-    quality score per document (LLM-corpus quality filtering)."""
-    from .operators.text import (
-        punct_ratio_expr,
-        quality_score_expr,
-        stopword_count_expr,
-        token_count_expr,
-    )
+    quality score per document (LLM-corpus quality filtering).
 
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    One split+fold and ONE punct regex per row: the per-expression
+    form re-ran the whitespace split three times and the regex twice
+    (HOF lambdas get no codegen CSE, and CollapseProject re-inlines a
+    shared alias into every use), so the intermediates are evaluated
+    once behind an explode(array(struct)) Generate barrier —
+    CollapseProject cannot cross a Generate, making single evaluation
+    structural, not an optimizer courtesy. The scan is spread to full
+    core count first (single-file documents table otherwise runs the
+    whole codegen stage on one task)."""
+    from .catalog import spread_for_compute
+    from .operators.text import ws_token_stats_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    c = F.col("text")
+    mid = d.select(
         "doc_id",
-        token_count_expr("text").cast("int").alias("n_tokens"),
-        stopword_count_expr("text").cast("int").alias("n_stopwords"),
-        F.round(punct_ratio_expr("text"), 8).alias("punct_ratio"),
-        quality_score_expr("text").alias("quality_score"),
+        F.explode(
+            F.array(
+                F.struct(
+                    ws_token_stats_expr("text").alias("ws"),
+                    F.length(
+                        F.regexp_replace(F.lower(c), r"[0-9a-z\s]", "")
+                    ).alias("plen"),
+                    F.length(c).alias("tlen"),
+                )
+            )
+        ).alias("m"),
+    )
+    n = F.col("m.ws.n").cast("double")
+    stop = F.col("m.ws.stop").cast("double")
+    punct = F.col("m.plen") / F.greatest(F.col("m.tlen"), F.lit(1))
+    return mid.select(
+        "doc_id",
+        F.col("m.ws.n").cast("int").alias("n_tokens"),
+        F.col("m.ws.stop").cast("int").alias("n_stopwords"),
+        F.round(punct, 8).alias("punct_ratio"),
+        F.round(
+            0.4 * F.least(n / 100.0, F.lit(1.0))
+            + 0.3 * (1.0 - punct)
+            + 0.3 * F.least(stop / F.greatest(n, F.lit(1.0)) / 0.10, F.lit(1.0)),
+            8,
+        ).alias("quality_score"),
     )
 
 
