@@ -826,6 +826,115 @@ def duplicated_ngram_spans(
     )
 
 
+def duplicated_span_extents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+    min_span: int = 50,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """MAXIMAL duplicated token spans per document — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", which removes repeated >=50-token spans
+    via a suffix array) re-expressed distributively at n-gram
+    granularity: chain CONSECUTIVE duplicated n-gram positions into
+    islands and report each island's token extent. Where
+    ``duplicated_ngram_spans`` answers "how much of this doc is
+    duplicated", this answers "WHICH token ranges do I cut".
+
+    A position's n-gram is duplicated when it occurs >= 2 times in the
+    corpus (cross-document OR within-document — same-doc boilerplate
+    repeats count, as in Lee et al.). A maximal run of duplicated
+    positions s..e covers tokens s..e+n-1, reported as (doc_id,
+    span_start, span_len = e-s+n) for span_len >= ``min_span``.
+    Positions are 1-based over the ``punct_tokens_expr`` tokenization.
+    This is the standard practical relaxation of suffix-granularity
+    maximal substrings: a chain of individually-duplicated grams need
+    not be duplicated as one contiguous block elsewhere, but every
+    true duplicated span of length >= max(n, min_span) IS recovered
+    in full (each of its gram windows is duplicated), so recall of
+    Lee-style cut targets is exact at n-gram resolution.
+
+    Scale shape — the gram stream is NEVER joined back to itself.
+    Duplicated positions are the COMPLEMENT of corpus-unique
+    positions, and a unique gram pinpoints its single (doc, pos), so
+    one map-side-combined gram-keyed aggregate yields the unique
+    anchors; islands are then the gaps between consecutive anchors
+    (plus a per-doc end sentinel at G+1) — a lag() window partitioned
+    by doc over the ANCHOR frame (unique positions only, <= stream
+    size, typically most of it on de-duplicated corpora; each doc's
+    window frame is doc-length-bounded). Hot boilerplate grams cost
+    O(#map partitions) partial-agg rows, no fan-out. ``hash_grams``
+    uses the 64-bit rolling gram key (8-byte shuffle keys, each token
+    hashed once; P=2**-64 collision class — a collision could only
+    HIDE a unique anchor, merging two islands); ``False`` groups on
+    gram strings.
+
+    Output: (doc_id, span_start long, span_len long), ordered by
+    (doc_id, span_start).
+
+    Reference parity: Lee et al.'s ExactSubstr with threshold 50;
+    the reference repo has no substring-granularity dedup (its
+    preprocessing is row-level distinct — ``preprocessing.py``), so
+    this is engine-extension surface, same family as
+    ``duplicated_ngram_spans``.
+    """
+    if min_span < n:
+        raise ValueError(f"min_span ({min_span}) must be >= n ({n})")
+    from pyspark.sql import Window
+
+    tok_sql = punct_tok_sql(text_col)
+    if hash_grams:
+        grams = F.expr(
+            rolling_gram_hash_sql(tok_sql, n, distinct=False, pad_short=False)
+        )
+    else:
+        # per-POSITION gram strings (word_ngrams_expr dedups — wrong
+        # here: position identity is the signal)
+        per_pos = (
+            f"transform(sequence(1, greatest(size({tok_sql}) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', slice({tok_sql}, i, {n})))"
+        )
+        grams = F.expr(
+            f"case when size({tok_sql}) >= {n} then {per_pos} "
+            f"else cast(array() as array<string>) end"
+        )
+    stream = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("p0", "gk"),
+    ).select("id", (F.col("p0") + 1).cast("long").alias("pos"), "gk")
+    # corpus-unique grams ARE their own (doc, pos) anchor: with c == 1
+    # the min() of each field is the single occurrence's value
+    anchors_uniq = (
+        stream.groupBy("gk")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("id").alias("id"),
+            F.min("pos").alias("pos"),
+        )
+        .filter(F.col("c") == 1)
+        .select("id", "pos")
+    )
+    # end sentinel at G+1 per doc with >= 1 gram: closes the trailing
+    # island (and is the ONLY anchor for an all-duplicated doc)
+    sentinel = df.select(
+        F.col(id_col).alias("id"),
+        (F.expr(f"greatest(size({tok_sql}) - {n - 1}, 0)") + 1).cast("long").alias("pos"),
+    ).filter(F.col("pos") >= 2)
+    w = Window.partitionBy("id").orderBy("pos")
+    gaps = (
+        anchors_uniq.unionByName(sentinel)
+        .select("id", "pos", F.lag("pos", 1, 0).over(w).alias("prev"))
+        .filter(F.col("pos") - 1 - F.col("prev") >= min_span - n + 1)
+    )
+    return gaps.select(
+        F.col("id").alias("doc_id"),
+        (F.col("prev") + 1).cast("long").alias("span_start"),
+        (F.col("pos") - 1 - F.col("prev") + (n - 1)).cast("long").alias("span_len"),
+    ).orderBy("doc_id", "span_start")
+
+
 def band_blocking_efficiency(
     df,
     text_col: str,

@@ -114,6 +114,54 @@ def duplicated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicated_spans_maximal",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 9, 0) + 1),
+                    i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i + 9), ' ')})) AS pg
+      FROM t WHERE len(w) >= 10
+    ),
+    s AS (SELECT doc_id, pg['pos'] AS pos, pg['gram'] AS gram FROM g),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM s GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM s JOIN cnt USING (gram) WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ),
+    sp AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(COUNT(*) + 9 AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id, span_start, span_len FROM sp
+    WHERE span_len >= 50 ORDER BY doc_id, span_start
+    """,
+)
+def duplicated_spans_maximal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated token spans (Lee et al. 2022 exact-substring
+    dedup at n-gram granularity): which (doc_id, span_start, span_len)
+    ranges of >= 50 tokens are built entirely from 10-grams repeated
+    elsewhere in the corpus — the actual cut list a Lee-style dedup
+    pass removes, where ``duplicated_ngram_spans`` only scores
+    coverage. The oracle replays the direct islands form (dup
+    positions -> row_number gaps-and-islands); the Spark plan computes
+    the identical spans as gaps between corpus-UNIQUE anchors with no
+    gram-stream self-join (see operator docstring)."""
+    from .operators.dedup_fuzzy import duplicated_span_extents
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return duplicated_span_extents(d, "text", "doc_id", n=10, min_span=50)
+
+
+@query(
     "tfidf_cosine_pairs",
     sql=r"""
     WITH toks AS (
