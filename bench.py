@@ -117,6 +117,8 @@ HEADLINE = [
     "heaps_vocab_growth",
     "pmi_collocations",
     "ks_two_sample_drift",
+    "duplicated_spans_maximal",
+    "corpus_curation_full",
 ]
 
 

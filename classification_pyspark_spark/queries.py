@@ -82,60 +82,61 @@ def _register_extensions() -> None:
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- round-6 registrations (never driver-checked) ---
-    "semdedup_prune",
-    "dsir_importance_weights",
-    "nb_lang_confusion",
-    "winnowing_fingerprints",
-    "temperature_mix_weights",
-    "scd2_user_history",
-    "chrf_halves_overlap",
-    "mmr_diverse_rerank",
-    "source_token_js_divergence",
-    "ngram_containment_pairs",
-    "tokenizer_fertility",
-    "triangle_count_neardup",
-    "sql_recursive_hierarchy_chain",
-    "sql_lateral_topk_per_segment",
-    "seasonal_decomposition_daily",
-    "cusum_changepoint_daily",
-    "theil_sen_trend",
-    "benford_first_digit_audit",
-    "weighted_sample_tokens",
-    "ks_two_sample_drift",
-    "mann_whitney_u_shift",
-    "mutual_information_binned",
-    "bloom_decontamination",
-    "heaps_vocab_growth",
-    "skyline_pareto_suppliers",
-    "lsh_blocking_efficiency",
-    "dedup_cluster_size_histogram",
-    "pyds_detgen_scan",
-    "pmi_collocations",
-    "conformal_threshold_by_segment",
-    "good_turing_unseen_mass",
-    "twap_user_value",
-    "welch_t_shift",
-    "mase_seasonal_backtest",
-    "functional_dependency_audit",
-    "qq_decile_table",
-    # --- re-verification: stalest driver-green rows first ---
-    # last green in r01
-    "topn_frequency",
-    "window_lag_days_between_orders",
-    # last green in r02
-    "case_consistency",
-    "class_balance",
-    "coefficient_of_variation",
-    "corpus_curation",
-    "correlation_matrix",
-    "crosstab_counts",
-    "date_range_filter",
-    "decontamination_ngram_overlap",
-    "dedup_subset_distinct",
-    "describe_categorical",
-    "describe_numeric",
-    "distinct_counts",
+    # --- round-7 registrations (never driver-checked) ---
+    "duplicated_spans_maximal",
+    "corpus_curation_full",
+    # --- re-verification: stalest driver-green rows (the never-checked
+    # pool is otherwise EMPTY at 223/223 cumulative coverage, so the
+    # window is freshness defense: every row below was last green in
+    # r02 (24 rows) or early r03 (24 rows) ---
+    "duplicate_stats",
+    "set_analysis",
+    "missing_value_summary",
+    "zero_density",
+    "outlier_summary",
+    "health_report",
+    "text_stats",
+    "text_langid",
+    "doc_fingerprint",
+    "simhash_fingerprints",
+    "lsh_buckets",
+    "tfidf_top_terms",
+    "media_byte_stats",
+    "media_decode_features",
+    "text_redact_pii",
+    "top_bigrams",
+    "embedding_centroids",
+    "doc_chunks",
+    "split_leakage_audit",
+    "media_frame_sample",
+    "embedding_int8_quantization",
+    "window_topk_per_group",
+    "sequence_packing",
+    "edit_distance_pairs",
+    "lm_perplexity_filter",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_lines_by_status",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_part_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_high_balance",
+    "sessionize_events",
+    "lift_gain_table",
+    "window_percent_rank_cume",
+    "rolling_spend_30d",
 ]
 
 

@@ -556,3 +556,329 @@ def distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gram").cast("long").alias("distinct_grams"),
         F.round(F.countDistinct("gram") / F.count(F.lit(1)), 6).alias("distinct_ratio"),
     )
+
+
+_CURATION_FULL_SQL = r"""
+    WITH RECURSIVE
+    split AS (
+      SELECT doc_id, text, source, lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, text, source, lang FROM split WHERE split = 'train'
+      UNION ALL
+      SELECT doc_id + 1000000, text, source, lang FROM split WHERE split = 'train' AND doc_id % 40 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text, source, lang FROM split WHERE split = 'test' AND doc_id % 3 = 0
+    ),
+    ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+    lsc AS (
+      SELECT doc_id, [
+        {hits: len(list_filter(t, x -> x IN ('the','and','of','is','to'))), lang: 'en'},
+        {hits: len(list_filter(t, x -> x IN ('le','et','les','une','est'))), lang: 'fr'},
+        {hits: len(list_filter(t, x -> x IN ('der','die','und','das','ist'))), lang: 'de'},
+        {hits: len(list_filter(t, x -> x IN ('el','los','una','es','y'))), lang: 'es'},
+        {hits: len(list_filter(t, x -> x IN ('de','shi','le','bu','zai'))), lang: 'zh'}
+      ] AS s FROM ltoks
+    ),
+    lgx AS (
+      SELECT doc_id, list_aggregate(
+               list_transform(list_filter(s, e -> e['hits'] = list_aggregate(
+                   list_transform(s, e2 -> e2['hits']), 'max')), e -> e['lang']),
+               'min') AS lg
+      FROM lsc
+    ),
+    gop AS (
+      SELECT doc_id,
+             (len(wt) BETWEEN 50 AND 100000)
+             AND ((CASE WHEN len(t) > 0
+                   THEN list_aggregate(list_transform(t, x -> len(x)), 'sum') * 1.0 / len(t)
+                   ELSE 0.0 END) BETWEEN 3.0 AND 10.0)
+             AND (len(list_filter(wt, x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2)
+             AND (len(regexp_replace(lower(text), '[0-9a-z\s]', '', 'g')) * 1.0
+                  / GREATEST(len(text), 1) <= 0.1) AS gopher_ok
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'), t -> len(t) > 0) AS t,
+                   string_split_regex(trim(lower(text)), '\s+') AS wt
+            FROM corpus)
+    ),
+    pt AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS w FROM corpus),
+    pt2 AS (SELECT doc_id, w FROM pt WHERE len(w) >= 2),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM pt2, unnest(range(1, len(w))) AS g(i)),
+    uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (SELECT unnest(w) AS tok FROM pt) GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2),
+    sc AS (SELECT b.doc_id, LN((bgc.cbg + 1.0) / (u.c1 + vv.v)) AS lp
+           FROM bg b JOIN bgc USING (w1, w2) JOIN uni u ON b.w1 = u.w CROSS JOIN vv),
+    pplt AS (SELECT doc_id, ROUND(EXP(-AVG(lp)), 4) AS ppl FROM sc GROUP BY doc_id),
+    flags AS (
+      SELECT c.doc_id, c.source, c.text,
+             (lgx.lg = c.lang) AS lang_ok, gop.gopher_ok,
+             COALESCE(pplt.ppl <= 31.0, FALSE) AS ppl_ok,
+             md5(c.text) AS digest
+      FROM corpus c JOIN lgx USING (doc_id) JOIN gop USING (doc_id) LEFT JOIN pplt USING (doc_id)
+    ),
+    lq AS (
+      SELECT doc_id, source, text, digest,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      FROM flags WHERE lang_ok AND gopher_ok AND ppl_ok
+    ),
+    exact AS (SELECT doc_id, source, text FROM lq WHERE rn = 1),
+    md AS (SELECT doc_id, list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+                         i -> md5(substr(lower(text), i, 5))) AS dg FROM exact),
+    sig AS (SELECT doc_id, s, list_aggregate(list_transform(dg, x -> substr(x, 8*s+1, 8)), 'min') AS h
+            FROM md, (SELECT unnest([0,1,2,3]) AS s)),
+    banded AS (SELECT doc_id, s // 2 AS band, md5(string_agg(h, '|' ORDER BY s)) AS bh
+               FROM sig GROUP BY doc_id, s // 2),
+    prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+    walk(node, label) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    cc AS (SELECT node, MIN(label) AS comp FROM walk GROUP BY node),
+    nd AS (SELECT e.* FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
+           WHERE cc.node IS NULL OR cc.comp = e.doc_id),
+    ew AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM split WHERE split = 'test'),
+    egr AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(range(1, greatest(len(w)-4,0)+1),
+                   i -> array_to_string(list_slice(w, i, i+4), ' ')))
+              ELSE [array_to_string(w, ' ')] END) AS gram FROM ew),
+    ngr AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(range(1, greatest(len(w)-4,0)+1),
+                   i -> array_to_string(list_slice(w, i, i+4), ' ')))
+              ELSE [array_to_string(w, ' ')] END) AS gram
+            FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM nd)),
+    contam AS (SELECT ngr.doc_id, COUNT(*) AS n_g, COUNT(t.gram) AS n_o
+               FROM ngr LEFT JOIN egr t USING (gram) GROUP BY ngr.doc_id),
+    dropc AS (SELECT doc_id FROM contam WHERE n_o * 1.0 / n_g >= 0.5),
+    kept AS (SELECT nd.* FROM nd LEFT JOIN dropc USING (doc_id) WHERE dropc.doc_id IS NULL),
+    kpack AS (
+      SELECT source, doc_id, n_tokens, CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM (SELECT doc_id, source,
+                         CAST(len(list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                                              t -> len(t) > 0)) AS BIGINT) AS n_tokens
+                  FROM kept))
+    ),
+    f0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(COUNT(CASE WHEN NOT lang_ok THEN 1 END) AS BIGINT) AS n_dropped_lang,
+                  CAST(COUNT(CASE WHEN lang_ok AND NOT gopher_ok THEN 1 END) AS BIGINT) AS n_dropped_gopher,
+                  CAST(COUNT(CASE WHEN lang_ok AND gopher_ok AND NOT ppl_ok THEN 1 END) AS BIGINT) AS n_dropped_ppl
+           FROM flags GROUP BY source),
+    f1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dropped_exact FROM lq WHERE rn > 1 GROUP BY source),
+    f2 AS (SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_dropped_neardup
+           FROM exact e JOIN cc ON e.doc_id = cc.node WHERE cc.comp <> e.doc_id GROUP BY 1),
+    f3 AS (SELECT nd.source, CAST(COUNT(*) AS BIGINT) AS n_dropped_contam
+           FROM nd JOIN dropc USING (doc_id) GROUP BY 1),
+    f4 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+                  CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs_spanned
+           FROM kpack GROUP BY source)
+    SELECT f0.source, n_docs, n_dropped_lang, n_dropped_gopher, n_dropped_ppl,
+           COALESCE(n_dropped_exact, 0) AS n_dropped_exact,
+           COALESCE(n_dropped_neardup, 0) AS n_dropped_neardup,
+           COALESCE(n_dropped_contam, 0) AS n_dropped_contam,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(kept_tokens, 0) AS kept_tokens,
+           COALESCE(n_packs_spanned, 0) AS n_packs_spanned
+    FROM f0 LEFT JOIN f1 USING (source) LEFT JOIN f2 ON f0.source = f2.source
+    LEFT JOIN f3 ON f0.source = f3.source LEFT JOIN f4 ON f0.source = f4.source
+    ORDER BY f0.source
+"""
+
+
+@query("corpus_curation_full", sql=_CURATION_FULL_SQL)
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation benchmark: langid -> Gopher rules ->
+    bigram-LM perplexity -> exact dedup -> minhash near-dup (banded
+    LSH + connected components) -> eval-set decontamination ->
+    2048-token sequence packing, composed as ONE dataflow and reported
+    as the per-source funnel (every stage's drop count, kept docs,
+    kept tokens, packs spanned) — the first number a pretraining-
+    pipeline user asks for. The production twin is
+    ``production.curate_documents``; this registry form is fully
+    DuckDB-replayable, including the recursive-CTE connected
+    components and the md5 minhash bands.
+
+    Determinism scaffolding (test-scale honesty, same pattern as
+    ``corpus_curation``): the corpus is the md5-hash TRAIN split plus
+    injected exact duplicates (every 40th train doc under +1e6 ids —
+    the exact-dedup stage provably fires) plus injected eval clones
+    (every 3rd test doc under +2e6 ids — the decontamination stage
+    provably fires: their 5-gram overlap with the eval set is 1.0).
+
+    Scale shape: the corpus-heavy work is ONE flags projection
+    (fused token-stat folds, persisted — consumed by the funnel
+    aggregate and the survivor pipeline), the LM count tables
+    (vocabulary-bounded unigrams, AQE-skew-safe bigram counting), the
+    banded minhash join on exact survivors (pairs meet only inside
+    band buckets), the gram-keyed decontamination join (train grams
+    never pair with docs, only with the DISTINCT eval gram set), and
+    a range-partitioned global cumsum for packing. Every join key is
+    bounded (band buckets / gram vocabulary / dimension-sized source
+    rollups); nothing is pairwise on the corpus.
+    """
+    from pyspark.sql import Window
+
+    from .operators.caching import track
+    from .operators.dedup_fuzzy import minhash_candidate_pairs
+    from .operators.graph import connected_components
+    from .operators.sampling import hash_split_expr
+    from .operators.text import (
+        alnum_token_stats_expr,
+        bigram_lm_perplexity,
+        langid_expr,
+        punct_ratio_expr,
+        punct_tokens_expr,
+        rolling_gram_hash_sql,
+        ws_tok_sql,
+        ws_token_stats_expr,
+    )
+    from .operators.windows import global_cumsum
+
+    d = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
+    )
+    s = d.select("*", hash_split_expr("doc_id").alias("__split"))
+    train = s.filter(F.col("__split") == "train").drop("__split")
+    corpus = track(
+        train.unionByName(
+            train.filter(F.col("doc_id") % 40 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        ).unionByName(
+            s.filter((F.col("__split") == "test") & (F.col("doc_id") % 3 == 0))
+            .drop("__split")
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+        )
+    )
+    ppl = bigram_lm_perplexity(corpus, "text", "doc_id", keep_threshold=31.0).select(
+        "doc_id", "keep"
+    )
+    base = corpus.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        ws_token_stats_expr("text").alias("__ws"),
+        alnum_token_stats_expr("text").alias("__al"),
+        punct_ratio_expr("text").alias("__punct"),
+        langid_expr("text").alias("__lg"),
+        F.md5("text").alias("__digest"),
+    )
+    mwl = F.when(
+        F.col("__al.n") > 0, F.col("__al.len") / F.col("__al.n").cast("double")
+    ).otherwise(F.lit(0.0))
+    gopher_ok = (
+        F.col("__ws.n").between(50, 100000)
+        & mwl.between(3.0, 10.0)
+        & (F.col("__ws.stop") >= 2)
+        & (F.col("__punct") <= 0.1)
+    )
+    flags = track(
+        base.select(
+            "doc_id",
+            "source",
+            "text",
+            "__digest",
+            (F.col("__lg") == F.col("lang")).alias("lang_ok"),
+            gopher_ok.alias("gopher_ok"),
+        )
+        .join(ppl, "doc_id")
+        .withColumn("ppl_ok", F.col("keep") == 1)
+        .drop("keep")
+    )
+    lq = flags.filter("lang_ok AND gopher_ok AND ppl_ok").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
+    )
+    exact = track(lq.filter("rn = 1").select("doc_id", "source", "text"))
+    pairs = minhash_candidate_pairs(exact, "text", "doc_id", max_bucket_size=None).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    nd = track(exact.join(losers, "doc_id", "left_anti"))
+    five = F.expr(rolling_gram_hash_sql(ws_tok_sql("text"), 5, pad_short=True))
+    eval_grams = (
+        s.filter(F.col("__split") == "test").select(F.explode(five).alias("tgram")).distinct()
+    )
+    ngr = nd.select("doc_id", F.explode(five).alias("gram"))
+    contam = (
+        ngr.join(eval_grams, F.col("gram") == F.col("tgram"), "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_g"), F.count("tgram").alias("n_o"))
+    )
+    dropc = track(
+        contam.filter(F.col("n_o") * 1.0 / F.col("n_g") >= 0.5).select("doc_id")
+    )
+    kept = nd.join(dropc, "doc_id", "left_anti")
+    ktok = kept.select(
+        "doc_id",
+        "source",
+        F.size(punct_tokens_expr(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    kpack = global_cumsum(ktok, "doc_id", ["n_tokens"]).select(
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum_n_tokens") - 1) / 2048).cast("long").alias("pack_id"),
+    )
+    f0 = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_dropped_lang"),
+        F.sum(F.when(F.col("lang_ok") & ~F.col("gopher_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_gopher"),
+        F.sum(
+            F.when(F.col("lang_ok") & F.col("gopher_ok") & ~F.col("ppl_ok"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped_ppl"),
+    )
+    f1 = (
+        lq.filter("rn > 1")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_exact"))
+    )
+    f2 = (
+        exact.join(losers, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_neardup"))
+    )
+    f3 = (
+        nd.join(dropc, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_contam"))
+    )
+    f4 = kpack.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs_spanned"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        f0.join(f1, "source", "left")
+        .join(f2, "source", "left")
+        .join(f3, "source", "left")
+        .join(f4, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped_lang",
+            "n_dropped_gopher",
+            "n_dropped_ppl",
+            F.coalesce("n_dropped_exact", zero).alias("n_dropped_exact"),
+            F.coalesce("n_dropped_neardup", zero).alias("n_dropped_neardup"),
+            F.coalesce("n_dropped_contam", zero).alias("n_dropped_contam"),
+            F.coalesce("n_kept", zero).alias("n_kept"),
+            F.coalesce("kept_tokens", zero).alias("kept_tokens"),
+            F.coalesce("n_packs_spanned", zero).alias("n_packs_spanned"),
+        )
+        .orderBy("source")
+    )

@@ -254,6 +254,12 @@ ALLOWLIST: dict[str, dict[str, str]] = {
     "dedup_clusters": {"single_partition": "convergence check aggregate (1 row)"},
     "funnel_view_to_purchase": {"single_partition": "global funnel totals (1 row)"},
     "corpus_curation": {"single_partition": "per-source summary aggregate"},
+    "corpus_curation_full": {
+        "single_partition": "bounded scalars of the composed stages: the "
+        "1-row LM vocabulary total, connected-components convergence "
+        "checks, and the final source-dimension funnel sort — every "
+        "corpus-sized exchange is gram-/band-/digest-keyed"
+    },
     "data_quality_checks": {"single_partition": "per-check 1-row aggregates"},
     "pagerank_supplier_influence": {"single_partition": "node-count scalar (1 row)"},
     "split_leakage_audit": {"single_partition": "global leak-rate scalar"},
