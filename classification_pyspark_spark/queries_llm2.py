@@ -693,7 +693,9 @@ _CURATION_FULL_SQL = r"""
 
 
 @query("corpus_curation_full", sql=_CURATION_FULL_SQL)
-def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_curation_full(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """THE end-to-end curation benchmark: langid -> Gopher rules ->
     bigram-LM perplexity -> exact dedup -> minhash near-dup (banded
     LSH + connected components) -> eval-set decontamination ->
@@ -797,9 +799,13 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
     )
     exact = track(lq.filter("rn = 1").select("doc_id", "source", "text"))
-    pairs = minhash_candidate_pairs(exact, "text", "doc_id", max_bucket_size=None).select(
-        "id_a", "id_b"
-    )
+    # max_bucket_size=None is the oracle-parity form (exhaustive
+    # pairing); the sf1+ sweep runs the documented production
+    # configuration (hot-bucket guard ON) via scale_sweep's
+    # PRODUCTION_MODE, same posture as minhash_dup_pairs
+    pairs = minhash_candidate_pairs(
+        exact, "text", "doc_id", max_bucket_size=max_bucket_size
+    ).select("id_a", "id_b")
     cc = connected_components(pairs, "id_a", "id_b")
     losers = cc.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("doc_id")

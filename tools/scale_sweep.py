@@ -177,7 +177,25 @@ def _blocking_efficiency_production(spark, sf_dir):
     )
 
 
+def _curation_full_production(spark, sf_dir):
+    """corpus_curation_full with the near-dup stage's hot-bucket guard
+    ON (DEFAULT_MAX_BUCKET_SIZE) — the production posture of its twin
+    job production.curate_documents; the registered max_bucket_size=
+    None form exists for DuckDB-oracle parity (exhaustive pairing),
+    and at sf1+ its H=4/r=2 banding emits quadratic candidate pairs on
+    baseline-similar content, same reason as minhash_dup_pairs."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        DEFAULT_MAX_BUCKET_SIZE,
+    )
+    from classification_pyspark_spark.queries import QUERIES
+
+    return QUERIES["corpus_curation_full"](
+        spark, sf_dir, max_bucket_size=DEFAULT_MAX_BUCKET_SIZE
+    )
+
+
 PRODUCTION_MODE = {
+    "corpus_curation_full": _curation_full_production,
     "tfidf_cosine_pairs": _tfidf_capped,
     "describe_numeric_approx": _describe_numeric_approx_production,
     "minhash_dup_pairs": _minhash_pairs_production,
