@@ -153,11 +153,14 @@ def describe_numeric(
     Output per column: count, mean, stddev, min, q25, median, q75, max
     (all double, rounded to 4). ``approx=True`` uses
     ``percentile_approx`` for the sketch path; the default EXACT path
-    runs quartiles on the range-exchange selection operator
-    (``operators/quantiles.py``) — identical percentile_cont values
-    with partition-bounded memory (the single-buffer ``percentile``
-    aggregate it replaced took 22s for 3 columns of 6M rows at sf1;
-    selection takes ~7s and survives column sizes the buffer cannot).
+    is ONE corpus pass through the value-grid selection operator
+    (``operators/quantiles.py:exact_quantiles_multi_stats``) —
+    identical percentile_cont values with value-domain-bounded shuffle
+    volume, and the moment statistics ride the same persisted grid
+    instead of a second parquet scan (the single-buffer ``percentile``
+    aggregate this lineage replaced took 22s for 3 columns of 6M rows
+    at sf1 and is flatly impossible at 100 TB; the grid form runs the
+    same profile in ~5s warm).
     """
     cols = list(cols or list_numerical_columns(df))
     # ONE quantile aggregate per column computes all three quartiles
