@@ -85,6 +85,7 @@ DRIVER_WINDOW: list[str] = [
     # --- round-7 registrations (never driver-checked) ---
     "duplicated_spans_maximal",
     "corpus_curation_full",
+    "substring_dedup_apply",
     # --- re-verification: stalest driver-green rows (the never-checked
     # pool is otherwise EMPTY at 223/223 cumulative coverage, so the
     # window is freshness defense: every row below was last green in
@@ -136,7 +137,6 @@ DRIVER_WINDOW: list[str] = [
     "sessionize_events",
     "lift_gain_table",
     "window_percent_rank_cume",
-    "rolling_spend_30d",
 ]
 
 

@@ -888,3 +888,82 @@ def corpus_curation_full(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "substring_dedup_apply",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 9, 0) + 1),
+                    i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i + 9), ' ')})) AS pg
+      FROM t WHERE len(w) >= 10
+    ),
+    s AS (SELECT doc_id, pg['pos'] AS pos, pg['gram'] AS gram FROM g),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM s GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM s JOIN cnt USING (gram) WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ),
+    sp AS (
+      SELECT doc_id, CAST(COUNT(*) + 9 AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+    ),
+    cut AS (
+      SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS n_removed
+      FROM sp WHERE span_len >= 50 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(len(t.w) - COALESCE(c.n_removed, 0) AS BIGINT) AS n_kept,
+           CASE WHEN len(t.w) > 0
+                THEN ROUND(COALESCE(c.n_removed, 0) / CAST(len(t.w) AS DOUBLE), 6)
+           END AS removed_fraction
+    FROM t LEFT JOIN cut c ON t.doc_id = c.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the Lee et al. substring-dedup cut list: per document, how
+    many tokens the >= 50-token maximal duplicated spans remove and
+    what remains — the before/after accounting a pipeline runs right
+    after ``duplicated_spans_maximal`` produces the cut targets (its
+    spans are disjoint per doc by construction, so the removed count
+    is their plain sum). One row for EVERY document, clean docs
+    included (n_removed 0; removed_fraction NULL only for token-less
+    docs). Same plan family as the detector: one gram-keyed aggregate,
+    islands on the anchor frame, then a doc-keyed sum joined back to
+    the row-wise token counts."""
+    from .operators.dedup_fuzzy import duplicated_span_extents
+    from .operators.text import punct_tokens_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    spans = duplicated_span_extents(d, "text", "doc_id", n=10, min_span=50)
+    cut = spans.groupBy("doc_id").agg(F.sum("span_len").cast("long").alias("n_removed"))
+    base = d.select(
+        "doc_id", F.size(punct_tokens_expr(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    n_removed = F.coalesce("n_removed", F.lit(0).cast("long"))
+    return (
+        base.join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n_removed.alias("n_removed"),
+            (F.col("n_tokens") - n_removed).cast("long").alias("n_kept"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(n_removed / F.col("n_tokens").cast("double"), 6),
+            ).alias("removed_fraction"),
+        )
+        .orderBy("doc_id")
+    )
