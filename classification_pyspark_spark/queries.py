@@ -71,13 +71,13 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 6 window: CORRECTNESS_r05 went 50/50
-# green and closed cumulative driver coverage at 187/187 oracle
-# queries, so the only never-driver-checked candidates are the 36
-# queries REGISTERED this round across waves 1-9 (they fill the first
-# 36 slots); the remaining 14 are re-verification, filled with the
-# queries whose LAST driver-green row is oldest (the r01/r02-vintage
-# rows, refreshed four rounds later).
+# tools/check_oracle.py).  Round 7 window: CORRECTNESS_r06 went 50/50
+# green and closed cumulative driver coverage at 223/223 oracle
+# queries, so the never-driver-checked candidates are only the 4
+# queries REGISTERED this round (first 4 slots); the remaining 46 are
+# pure freshness re-verification, filled with the queries whose LAST
+# driver-green row is oldest (the r02-vintage rows, then earliest
+# r03).
 # Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
@@ -86,6 +86,7 @@ DRIVER_WINDOW: list[str] = [
     "duplicated_spans_maximal",
     "corpus_curation_full",
     "substring_dedup_apply",
+    "contaminated_spans",
     # --- re-verification: stalest driver-green rows (the never-checked
     # pool is otherwise EMPTY at 223/223 cumulative coverage, so the
     # window is freshness defense: every row below was last green in
@@ -136,7 +137,6 @@ DRIVER_WINDOW: list[str] = [
     "q22_dormant_high_balance",
     "sessionize_events",
     "lift_gain_table",
-    "window_percent_rank_cume",
 ]
 
 

@@ -967,3 +967,88 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "contaminated_spans",
+    sql=r"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    tw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM split WHERE split = 'train'),
+    eg AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+            THEN list_transform(range(1, greatest(len(w)-4,0)+1),
+                 i -> array_to_string(list_slice(w, i, i+4), ' '))
+            ELSE [] END) AS gram
+           FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                 FROM split WHERE split = 'test')),
+    s AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-4,0)+1),
+                 i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i+4), ' ')})) AS pg
+          FROM tw WHERE len(w) >= 5),
+    hit AS (SELECT doc_id, pg['pos'] AS pos FROM s JOIN eg ON pg['gram'] = eg.gram),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM hit),
+    sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                  CAST(COUNT(*) + 4 AS BIGINT) AS span_len
+           FROM isl GROUP BY doc_id, grp)
+    SELECT doc_id, span_start, span_len FROM sp
+    WHERE span_len >= 20 ORDER BY doc_id, span_start
+    """,
+)
+def contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination: the maximal token ranges of TRAIN
+    documents built entirely from whitespace 5-grams that appear in
+    the EVAL split (md5-hash holdout) — the PaLM/Lee-style surgical
+    alternative to doc-level decontamination: cut the contaminated
+    span (>= 20 tokens here), keep the document. Completes the family:
+    ``decontamination_ngram_overlap`` scores docs,
+    ``duplicated_spans_maximal`` cuts within-corpus duplication, this
+    cuts cross-split leakage with extents.
+
+    Scale shape: train gram positions LEFT-SEMI join the DISTINCT
+    eval gram set on the 64-bit rolling key — the eval vocabulary is
+    bounded (broadcastable; hash-join with AQE otherwise), so the
+    position stream is never shuffled for membership. The only
+    corpus-scale exchange is the doc-partitioned islands window over
+    HIT positions (<= contaminated fraction of the stream). The
+    oracle replays membership and islands on gram strings."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_split_expr
+    from .operators.text import rolling_gram_hash_sql, ws_tok_sql
+
+    n, min_span = 5, 20
+    d = spread_for_compute(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", hash_split_expr("doc_id").alias("__split")
+    )
+    grams = F.expr(rolling_gram_hash_sql(ws_tok_sql("text"), n, distinct=False, pad_short=False))
+    eg = (
+        d.filter(F.col("__split") == "test")
+        .select(F.explode(grams).alias("gk"))
+        .distinct()
+    )
+    s = (
+        d.filter(F.col("__split") == "train")
+        .select("doc_id", F.posexplode(grams).alias("p0", "gk"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gk")
+    )
+    hit = s.join(eg, "gk", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hit.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.count(F.lit(1)) + (n - 1)).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+        .select("doc_id", "span_start", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
