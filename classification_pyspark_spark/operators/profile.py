@@ -161,6 +161,15 @@ def describe_numeric(
     aggregate this lineage replaced took 22s for 3 columns of 6M rows
     at sf1 and is flatly impossible at 100 TB; the grid form runs the
     same profile in ~5s warm).
+
+    NOTE the exact path is EAGER: ``exact_quantiles_multi_stats`` runs
+    its Spark jobs at BUILD time and the returned frame is a
+    driver-local ``createDataFrame`` of the <=len(cols) result rows —
+    constructing the query already pays the full corpus pass, and
+    re-collecting the returned frame does NOT recompute it. Callers
+    that time or cache this profile must treat build+collect as one
+    unit (bench/oracle harnesses do). The ``approx=True`` path stays
+    a lazy plan.
     """
     cols = list(cols or list_numerical_columns(df))
     # ONE quantile aggregate per column computes all three quartiles

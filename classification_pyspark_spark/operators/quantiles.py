@@ -255,6 +255,17 @@ def _exact_quantiles_impl(
                 .orderBy("v")
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
+            # layout-integrity witness: the TOTAL weight of each
+            # (partition, tag) run, computed in the SAME selection job
+            # over the same exchange (unbounded frame shares w_run's
+            # sort). If the persisted `part` lineage was evicted and
+            # recomputed, repartitionByRange's order-sensitive range
+            # sampling can shift partition boundaries — a row could
+            # then still "cover" a stale local rank and return a
+            # silently wrong quantile. Comparing each selected row's
+            # run total against the recorded weights map makes a
+            # shifted layout loud instead (review finding).
+            w_tot = Window.partitionBy("__pid", "tag")
             pred = None
             for pid, tag, local in targets:
                 one = (
@@ -266,12 +277,23 @@ def _exact_quantiles_impl(
                 pred = one if pred is None else (pred | one)
             rows = (
                 part.withColumn("rsum", F.sum("cnt").over(w_run))
+                .withColumn("wtot", F.sum("cnt").over(w_tot))
                 .filter(pred)
-                .select("__pid", "tag", "v", "cnt", "rsum")
+                .select("__pid", "tag", "v", "cnt", "rsum", "wtot")
                 .collect()
                 if pred is not None
                 else []
             )
+            for r in rows:
+                if r["wtot"] != weights.get((r["__pid"], r["tag"])):
+                    raise RuntimeError(
+                        "value-grid layout shifted between the weight pass and "
+                        f"the selection pass: partition {r['__pid']} tag "
+                        f"{r['tag']!r} now holds weight {r['wtot']}, recorded "
+                        f"{weights.get((r['__pid'], r['tag']))} — the persisted "
+                        "grid was likely evicted and recomputed with different "
+                        "range boundaries; rerun the profile"
+                    )
             # map each selected grid row back to every local rank it
             # covers (one tie run can satisfy several requested ranks)
             by_pid_tag: dict[tuple[int, str], list] = {}

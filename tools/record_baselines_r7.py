@@ -7,7 +7,7 @@ basket of six quiet-baseline headline queries; record_calibration =
 0.306 * median(anchor_now / anchor_quiet_baseline). The synthetic
 range+shuffle probe exaggerates host drift for query workloads.
 
-Usage: python tools/record_baselines_r6w.py   (prints JSON to stdout)
+Usage: python tools/record_baselines_r7.py   (prints JSON to stdout)
 """
 
 from __future__ import annotations
