@@ -935,6 +935,103 @@ def duplicated_span_extents(
     ).orderBy("doc_id", "span_start")
 
 
+def duplicated_span_extents_exact(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+    min_span: int = 50,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Lee-EXACT duplicated span cut list: :func:`duplicated_span_extents`
+    plus a span-hash verification stage that keeps only spans whose FULL
+    token sequence occurs >= 2 times in the corpus — closing the n-gram
+    chaining relaxation the relaxed operator documents (a run of
+    individually-duplicated grams need not be duplicated as ONE
+    contiguous block elsewhere; see ``duplicated_span_extents``).
+
+    Verification never rescans the corpus. Every true occurrence of a
+    candidate's text T (|T| >= max(n, min_span)) lies INSIDE an emitted
+    extent: each of T's gram windows matches the candidate's grams, so
+    every position of that occurrence is duplicated, its island has
+    length >= |T| >= min_span, and the island survives stage 1's
+    filter. So counting occurrences of each candidate text over the
+    EXTENT STREAM equals counting them over the corpus, and stage 2's
+    input is the cut list itself, not the data:
+
+    1. ``ext`` — extents re-joined to their token slices (corpus scan
+       broadcast-joined against the small span list; persisted — three
+       consumers);
+    2. ``lens`` — the DISTINCT candidate span lengths (bounded by the
+       cut-list size; broadcast);
+    3. window hashes of every candidate length over every extent
+       (``transform``/``slice`` inside the row — the fan-out is
+       sum over extents of (extent_len x #lens), i.e. cut-list-sized
+       work, pipelined into a map-side-combined (L, hash) count);
+    4. keep candidates whose own full-extent hash counts >= 2 (the
+       self-window contributes exactly 1).
+
+    Precision becomes exact at span granularity: every kept span's full
+    text provably occurs twice (up to an xxhash64 string collision,
+    P ~ #windows^2 / 2^64). The residual asymmetry is RECALL at
+    sub-span granularity: an island that chain-merges two OVERLAPPING
+    true duplicated sub-spans (each individually >= min_span but the
+    union never repeated whole) is dropped in full rather than split
+    into its verified sub-ranges — the filter form Lee et al.'s
+    ExactSubstr sidesteps by cutting at suffix granularity. The
+    known-answer test pins both directions on a chained-grams fixture.
+
+    Output: (doc_id, span_start long, span_len long), ordered — a
+    subset of the relaxed operator's rows.
+    """
+    from .caching import track
+    from .text import punct_tok_sql
+
+    spans = duplicated_span_extents(
+        df, text_col, id_col, n=n, min_span=min_span, hash_grams=hash_grams
+    )
+    docs = df.select(
+        F.col(id_col).alias("__did"), F.expr(punct_tok_sql(text_col)).alias("__toks")
+    )
+    ext = track(
+        docs.join(F.broadcast(spans), F.col("__did") == F.col("doc_id")).select(
+            "doc_id",
+            "span_start",
+            "span_len",
+            F.expr(
+                "slice(__toks, cast(span_start as int), cast(span_len as int))"
+            ).alias("etoks"),
+        )
+    )
+    lens = ext.select(F.col("span_len").cast("int").alias("L")).distinct()
+    # every window of every candidate length over every extent; the
+    # non-equi broadcast join against the tiny length set is the
+    # intended fan-out (extent rows x qualifying lengths)
+    win = ext.join(F.broadcast(lens), F.expr("size(etoks) >= L")).select(
+        "L",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(etoks) - L + 1), "
+                "i -> xxhash64(concat_ws(' ', slice(etoks, i, L))))"
+            )
+        ).alias("wh"),
+    )
+    occ = win.groupBy("L", "wh").agg(F.count(F.lit(1)).alias("__c"))
+    cand = ext.select(
+        "doc_id",
+        "span_start",
+        "span_len",
+        F.col("span_len").cast("int").alias("L"),
+        F.xxhash64(F.expr("concat_ws(' ', etoks)")).alias("wh"),
+    )
+    return (
+        cand.join(occ, ["L", "wh"])
+        .filter(F.col("__c") >= 2)
+        .select("doc_id", "span_start", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def band_blocking_efficiency(
     df,
     text_col: str,

@@ -162,6 +162,71 @@ def duplicated_spans_maximal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicated_spans_exact",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 9, 0) + 1),
+                    i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i + 9), ' ')})) AS pg
+      FROM t WHERE len(w) >= 10
+    ),
+    s AS (SELECT doc_id, pg['pos'] AS pos, pg['gram'] AS gram FROM g),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM s GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM s JOIN cnt USING (gram) WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(COUNT(*) + 9 AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      HAVING COUNT(*) + 9 >= 50
+    ),
+    ext AS (
+      SELECT spans.doc_id, span_start, span_len,
+             list_slice(t.w, span_start, span_start + span_len - 1) AS etoks
+      FROM spans JOIN t ON spans.doc_id = t.doc_id
+    ),
+    lens AS (SELECT DISTINCT span_len AS L FROM spans),
+    win AS (
+      SELECT L, unnest(list_transform(range(1, len(etoks) - L + 2),
+                 i -> array_to_string(list_slice(etoks, i, i + L - 1), ' '))) AS wtext
+      FROM ext JOIN lens ON len(etoks) >= L
+    ),
+    occ AS (SELECT L, wtext, COUNT(*) AS c FROM win GROUP BY 1, 2)
+    SELECT e.doc_id, e.span_start, e.span_len
+    FROM ext e JOIN occ ON occ.L = e.span_len
+                       AND occ.wtext = array_to_string(e.etoks, ' ')
+    WHERE occ.c >= 2
+    ORDER BY e.doc_id, e.span_start
+    """,
+)
+def duplicated_spans_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-EXACT cut list: ``duplicated_spans_maximal``'s islands plus
+    the span-hash verification stage — only spans whose FULL token
+    sequence provably occurs >= 2 times in the corpus survive, closing
+    the n-gram chaining relaxation (a chain of individually-duplicated
+    10-grams need not repeat as one contiguous block). Verification
+    scans only the emitted extents (every true occurrence of a
+    candidate text lies inside one — see the operator docstring), so
+    stage 2 costs cut-list-sized work, not a corpus pass. The oracle
+    replays both stages on gram/window STRINGS where the plan uses
+    64-bit hashes."""
+    from .operators.dedup_fuzzy import duplicated_span_extents_exact
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return duplicated_span_extents_exact(d, "text", "doc_id", n=10, min_span=50)
+
+
+@query(
     "tfidf_cosine_pairs",
     sql=r"""
     WITH toks AS (

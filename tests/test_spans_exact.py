@@ -1,0 +1,75 @@
+"""Known-answer tests for duplicated_spans_exact: the span-hash
+verification stage must drop chained-grams false positives (a run of
+individually-duplicated 10-grams that never repeats as one contiguous
+block) while keeping true full-block duplicates — the relaxed/exact
+delta the operator docstrings document."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+
+def _spans(spark, tmp, name):
+    from classification_pyspark_spark.queries import QUERIES
+
+    return {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in QUERIES[name](spark, tmp).collect()
+    }
+
+
+def test_chained_grams_false_positive_dropped(spark):
+    """doc1 = a1..a60 where doc2 holds a1..a39 and doc3 holds a22..a60:
+    every 10-gram of doc1 is duplicated (positions 1..30 via doc2,
+    22..51 via doc3) so the RELAXED operator chains them into one
+    60-token span — but a1..a60 never occurs contiguously elsewhere,
+    so the EXACT operator must drop it. doc4/doc5 share the f-block
+    verbatim: both their spans verify and survive."""
+    a = ["a%02d" % i for i in range(60)]
+    f = ["f%02d" % i for i in range(60)]
+    rows = [
+        (1, " ".join(a), "en", "s0", 1),
+        (2, " ".join(["c%d" % i for i in range(5)] + a[:39] + ["c%d" % i for i in range(5, 10)]), "en", "s0", 1),
+        (3, " ".join(["d%d" % i for i in range(5)] + a[21:] + ["d%d" % i for i in range(5, 10)]), "en", "s0", 1),
+        (4, " ".join(["e%d" % i for i in range(10)] + f), "en", "s0", 1),
+        (5, " ".join(["g%d" % i for i in range(10)] + f), "en", "s0", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        relaxed = _spans(spark, tmp, "duplicated_spans_maximal")
+        exact = _spans(spark, tmp, "duplicated_spans_exact")
+    # the relaxed chain-merge emits doc1's full block; doc2/doc3's
+    # 39-token islands stay under min_span=50
+    assert relaxed == {(1, 1, 60), (4, 11, 60), (5, 11, 60)}
+    # exact keeps only the provably-repeated f-block spans
+    assert exact == {(4, 11, 60), (5, 11, 60)}
+
+
+def test_exact_is_subset_of_relaxed(spark, sf_dir):
+    """On real data the verification stage can only FILTER the relaxed
+    cut list (same stage-1 islands feed both)."""
+    from classification_pyspark_spark.queries import QUERIES
+
+    relaxed = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in QUERIES["duplicated_spans_maximal"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in QUERIES["duplicated_spans_exact"](spark, sf_dir).collect()
+    }
+    assert exact <= relaxed
+
+
+def test_exact_survives_empty_and_short_input(spark):
+    """No docs / only sub-n docs -> zero spans, no plan-time failure
+    (the lens broadcast and non-equi join must tolerate empty sides)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, "only three tokens", "en", "s0", 1)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        assert _spans(spark, tmp, "duplicated_spans_exact") == set()
