@@ -207,3 +207,51 @@ def time_decayed_mean(
             F.sum(F.col(value_col) * wgt) / F.sum(wgt), 4
         ).alias("decayed_mean"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    id_col: str,
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Union overlapping [start, end] integer intervals per id — the
+    classic running-max island merge, used by the surgical curation
+    funnel to combine the duplicated-span and contaminated-span cut
+    lists before subtracting their covered token count.
+
+    Strictly-overlapping intervals merge; ADJACENT intervals (next
+    start == prev end + 1) deliberately do NOT — the covered LENGTH,
+    which is what cut accounting consumes, is identical either way,
+    and the strict rule keeps the group predicate a single comparison.
+    Exact duplicates collapse into their group. One doc-partitioned
+    window over the interval rows (cut-list-sized, nowhere near the
+    corpus); two selects because the island flag needs the running max
+    of PRIOR ends, which cannot nest inside the group-counter window.
+
+    Output: (``id_col``, ``start_col``, ``end_col``) — the merged,
+    disjoint intervals.
+    """
+    w = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    prior_max = (
+        F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("__pm")
+    )
+    flagged = df.select(id_col, start_col, end_col, prior_max)
+    grp = (
+        F.sum(
+            F.when(
+                F.col("__pm").isNull() | (F.col(start_col) > F.col("__pm")), 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__grp")
+    )
+    return (
+        flagged.select(id_col, start_col, end_col, grp)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+        )
+        .select(id_col, start_col, end_col)
+    )

@@ -631,7 +631,7 @@ _CURATION_FULL_SQL = r"""
                   THEN 'train' ELSE 'test' END AS split
       FROM documents
     ),
-    corpus AS (
+    corpus AS MATERIALIZED (
       SELECT doc_id, text, source, lang FROM split WHERE split = 'train'
       UNION ALL
       SELECT doc_id + 1000000, text, source, lang FROM split WHERE split = 'train' AND doc_id % 40 = 0
@@ -678,7 +678,7 @@ _CURATION_FULL_SQL = r"""
     sc AS (SELECT b.doc_id, LN((bgc.cbg + 1.0) / (u.c1 + vv.v)) AS lp
            FROM bg b JOIN bgc USING (w1, w2) JOIN uni u ON b.w1 = u.w CROSS JOIN vv),
     pplt AS (SELECT doc_id, ROUND(EXP(-AVG(lp)), 4) AS ppl FROM sc GROUP BY doc_id),
-    flags AS (
+    flags AS MATERIALIZED (
       SELECT c.doc_id, c.source, c.text,
              (lgx.lg = c.lang) AS lang_ok, gop.gopher_ok,
              COALESCE(pplt.ppl <= 31.0, FALSE) AS ppl_ok,
@@ -690,7 +690,7 @@ _CURATION_FULL_SQL = r"""
              row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
       FROM flags WHERE lang_ok AND gopher_ok AND ppl_ok
     ),
-    exact AS (SELECT doc_id, source, text FROM lq WHERE rn = 1),
+    exact AS MATERIALIZED (SELECT doc_id, source, text FROM lq WHERE rn = 1),
     md AS (SELECT doc_id, list_transform(range(1, greatest(len(lower(text))-4,1)+1),
                          i -> md5(substr(lower(text), i, 5))) AS dg FROM exact),
     sig AS (SELECT doc_id, s, list_aggregate(list_transform(dg, x -> substr(x, 8*s+1, 8)), 'min') AS h
@@ -705,8 +705,8 @@ _CURATION_FULL_SQL = r"""
       UNION
       SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
     ),
-    cc AS (SELECT node, MIN(label) AS comp FROM walk GROUP BY node),
-    nd AS (SELECT e.* FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
+    cc AS MATERIALIZED (SELECT node, MIN(label) AS comp FROM walk GROUP BY node),
+    nd AS MATERIALIZED (SELECT e.* FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
            WHERE cc.node IS NULL OR cc.comp = e.doc_id),
     ew AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM split WHERE split = 'test'),
     egr AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
@@ -720,7 +720,7 @@ _CURATION_FULL_SQL = r"""
             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM nd)),
     contam AS (SELECT ngr.doc_id, COUNT(*) AS n_g, COUNT(t.gram) AS n_o
                FROM ngr LEFT JOIN egr t USING (gram) GROUP BY ngr.doc_id),
-    dropc AS (SELECT doc_id FROM contam WHERE n_o * 1.0 / n_g >= 0.5),
+    dropc AS MATERIALIZED (SELECT doc_id FROM contam WHERE n_o * 1.0 / n_g >= 0.5),
     kept AS (SELECT nd.* FROM nd LEFT JOIN dropc USING (doc_id) WHERE dropc.doc_id IS NULL),
     kpack AS (
       SELECT source, doc_id, n_tokens, CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id
@@ -947,6 +947,443 @@ def corpus_curation_full(
             F.coalesce("n_dropped_exact", zero).alias("n_dropped_exact"),
             F.coalesce("n_dropped_neardup", zero).alias("n_dropped_neardup"),
             F.coalesce("n_dropped_contam", zero).alias("n_dropped_contam"),
+            F.coalesce("n_kept", zero).alias("n_kept"),
+            F.coalesce("kept_tokens", zero).alias("kept_tokens"),
+            F.coalesce("n_packs_spanned", zero).alias("n_packs_spanned"),
+        )
+        .orderBy("source")
+    )
+
+
+_CURATION_SURGICAL_SQL = r"""
+    WITH RECURSIVE
+    split AS (
+      SELECT doc_id, text, source, lang,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    corpus AS MATERIALIZED (
+      SELECT doc_id, text, source, lang FROM split WHERE split = 'train'
+      UNION ALL
+      SELECT doc_id + 1000000, text, source, lang FROM split WHERE split = 'train' AND doc_id % 40 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text, source, lang FROM split WHERE split = 'test' AND doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' ' || substr(text, 1, 400), source, lang
+      FROM split WHERE split = 'test' AND doc_id % 6 = 3
+    ),
+    ltoks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM corpus),
+    lsc AS (
+      SELECT doc_id, [
+        {hits: len(list_filter(t, x -> x IN ('the','and','of','is','to'))), lang: 'en'},
+        {hits: len(list_filter(t, x -> x IN ('le','et','les','une','est'))), lang: 'fr'},
+        {hits: len(list_filter(t, x -> x IN ('der','die','und','das','ist'))), lang: 'de'},
+        {hits: len(list_filter(t, x -> x IN ('el','los','una','es','y'))), lang: 'es'},
+        {hits: len(list_filter(t, x -> x IN ('de','shi','le','bu','zai'))), lang: 'zh'}
+      ] AS s FROM ltoks
+    ),
+    lgx AS (
+      SELECT doc_id, list_aggregate(
+               list_transform(list_filter(s, e -> e['hits'] = list_aggregate(
+                   list_transform(s, e2 -> e2['hits']), 'max')), e -> e['lang']),
+               'min') AS lg
+      FROM lsc
+    ),
+    gop AS (
+      SELECT doc_id,
+             (len(wt) BETWEEN 50 AND 100000)
+             AND ((CASE WHEN len(t) > 0
+                   THEN list_aggregate(list_transform(t, x -> len(x)), 'sum') * 1.0 / len(t)
+                   ELSE 0.0 END) BETWEEN 3.0 AND 10.0)
+             AND (len(list_filter(wt, x -> x IN ('the','a','of','and','to','in','is','it'))) >= 2)
+             AND (len(regexp_replace(lower(text), '[0-9a-z\s]', '', 'g')) * 1.0
+                  / GREATEST(len(text), 1) <= 0.1) AS gopher_ok
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'), t -> len(t) > 0) AS t,
+                   string_split_regex(trim(lower(text)), '\s+') AS wt
+            FROM corpus)
+    ),
+    pt AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS w FROM corpus),
+    pt2 AS (SELECT doc_id, w FROM pt WHERE len(w) >= 2),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM pt2, unnest(range(1, len(w))) AS g(i)),
+    uni AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (SELECT unnest(w) AS tok FROM pt) GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY 1, 2),
+    sc AS (SELECT b.doc_id, LN((bgc.cbg + 1.0) / (u.c1 + vv.v)) AS lp
+           FROM bg b JOIN bgc USING (w1, w2) JOIN uni u ON b.w1 = u.w CROSS JOIN vv),
+    pplt AS (SELECT doc_id, ROUND(EXP(-AVG(lp)), 4) AS ppl FROM sc GROUP BY doc_id),
+    flags AS MATERIALIZED (
+      SELECT c.doc_id, c.source, c.text,
+             (lgx.lg = c.lang) AS lang_ok, gop.gopher_ok,
+             COALESCE(pplt.ppl <= 31.0, FALSE) AS ppl_ok,
+             md5(c.text) AS digest
+      FROM corpus c JOIN lgx USING (doc_id) JOIN gop USING (doc_id) LEFT JOIN pplt USING (doc_id)
+    ),
+    lq AS (
+      SELECT doc_id, source, text, digest,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      FROM flags WHERE lang_ok AND gopher_ok AND ppl_ok
+    ),
+    exact AS MATERIALIZED (SELECT doc_id, source, text FROM lq WHERE rn = 1),
+    md AS (SELECT doc_id, list_transform(range(1, greatest(len(lower(text))-4,1)+1),
+                         i -> md5(substr(lower(text), i, 5))) AS dg FROM exact),
+    sig AS (SELECT doc_id, s, list_aggregate(list_transform(dg, x -> substr(x, 8*s+1, 8)), 'min') AS h
+            FROM md, (SELECT unnest([0,1,2,3]) AS s)),
+    banded AS (SELECT doc_id, s // 2 AS band, md5(string_agg(h, '|' ORDER BY s)) AS bh
+               FROM sig GROUP BY doc_id, s // 2),
+    prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+    walk(node, label) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    cc AS MATERIALIZED (SELECT node, MIN(label) AS comp FROM walk GROUP BY node),
+    nd AS MATERIALIZED (SELECT e.* FROM exact e LEFT JOIN cc ON e.doc_id = cc.node
+           WHERE cc.node IS NULL OR cc.comp = e.doc_id),
+    eh AS (SELECT list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'), x -> len(x) > 0) AS w
+           FROM split WHERE split = 'test' AND doc_id % 2 = 0),
+    egr AS MATERIALIZED (SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+              THEN list_transform(range(1, greatest(len(w)-4,0)+1),
+                   i -> array_to_string(list_slice(w, i, i+4), ' '))
+              ELSE [] END) AS gram FROM eh),
+    ndt AS MATERIALIZED (SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'), x -> len(x) > 0) AS w
+            FROM nd),
+    cst AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-4,0)+1),
+                 i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i+4), ' ')})) AS pg
+            FROM ndt WHERE len(w) >= 5),
+    chit AS (SELECT doc_id, pg['pos'] AS pos FROM cst JOIN egr ON pg['gram'] = egr.gram),
+    cisl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM chit),
+    csp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s, CAST(MIN(pos) + COUNT(*) + 3 AS BIGINT) AS e
+            FROM cisl GROUP BY doc_id, grp HAVING COUNT(*) + 4 >= 20),
+    dst AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-9,0)+1),
+                 i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i+9), ' ')})) AS pg
+            FROM ndt WHERE len(w) >= 10),
+    ds AS (SELECT doc_id, pg['pos'] AS pos, pg['gram'] AS gram FROM dst),
+    dcnt AS (SELECT gram, COUNT(*) AS c FROM ds GROUP BY 1),
+    ddup AS (SELECT doc_id, pos FROM ds JOIN dcnt USING (gram) WHERE c >= 2),
+    disl AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM ddup),
+    dsp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s, CAST(MIN(pos) + COUNT(*) + 8 AS BIGINT) AS e
+            FROM disl GROUP BY doc_id, grp HAVING COUNT(*) + 9 >= 50),
+    iv AS (SELECT doc_id, s, e FROM dsp UNION ALL SELECT doc_id, s, e FROM csp),
+    ivm AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM (SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM iv)
+    ),
+    mrg AS (SELECT doc_id, MIN(s) AS ms, MAX(e) AS me FROM ivm GROUP BY doc_id, grp),
+    cutd AS (SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS cut FROM mrg GROUP BY doc_id),
+    dsum AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS cut_dup FROM dsp GROUP BY doc_id),
+    csum AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS cut_contam FROM csp GROUP BY doc_id),
+    perdoc AS MATERIALIZED (
+      SELECT ndt.doc_id, ndt.source, CAST(len(ndt.w) AS BIGINT) AS n_tokens,
+             COALESCE(cutd.cut, 0) AS cut,
+             COALESCE(dsum.cut_dup, 0) AS cut_dup,
+             COALESCE(csum.cut_contam, 0) AS cut_contam
+      FROM ndt LEFT JOIN cutd USING (doc_id) LEFT JOIN dsum USING (doc_id) LEFT JOIN csum USING (doc_id)
+    ),
+    kpack AS (
+      SELECT source, kt, CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, source, CAST(n_tokens - cut AS BIGINT) AS kt,
+                   SUM(n_tokens - cut) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM perdoc WHERE n_tokens - cut > 0)
+    ),
+    f0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(COUNT(CASE WHEN NOT lang_ok THEN 1 END) AS BIGINT) AS n_dropped_lang,
+                  CAST(COUNT(CASE WHEN lang_ok AND NOT gopher_ok THEN 1 END) AS BIGINT) AS n_dropped_gopher,
+                  CAST(COUNT(CASE WHEN lang_ok AND gopher_ok AND NOT ppl_ok THEN 1 END) AS BIGINT) AS n_dropped_ppl
+           FROM flags GROUP BY source),
+    f1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dropped_exact FROM lq WHERE rn > 1 GROUP BY source),
+    f2 AS (SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_dropped_neardup
+           FROM exact e JOIN cc ON e.doc_id = cc.node WHERE cc.comp <> e.doc_id GROUP BY 1),
+    f3 AS (SELECT source, CAST(SUM(cut_dup) AS BIGINT) AS tokens_cut_dup,
+                  CAST(SUM(cut_contam) AS BIGINT) AS tokens_cut_contam,
+                  CAST(SUM(cut) AS BIGINT) AS tokens_cut,
+                  CAST(COUNT(CASE WHEN n_tokens - cut <= 0 THEN 1 END) AS BIGINT) AS n_dropped_cut
+           FROM perdoc GROUP BY source),
+    f4 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(kt) AS BIGINT) AS kept_tokens,
+                  CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs_spanned
+           FROM kpack GROUP BY source)
+    SELECT f0.source, n_docs, n_dropped_lang, n_dropped_gopher, n_dropped_ppl,
+           COALESCE(n_dropped_exact, 0) AS n_dropped_exact,
+           COALESCE(n_dropped_neardup, 0) AS n_dropped_neardup,
+           COALESCE(tokens_cut_dup, 0) AS tokens_cut_dup,
+           COALESCE(tokens_cut_contam, 0) AS tokens_cut_contam,
+           COALESCE(tokens_cut, 0) AS tokens_cut,
+           COALESCE(n_dropped_cut, 0) AS n_dropped_cut,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(kept_tokens, 0) AS kept_tokens,
+           COALESCE(n_packs_spanned, 0) AS n_packs_spanned
+    FROM f0 LEFT JOIN f1 USING (source) LEFT JOIN f2 ON f0.source = f2.source
+    LEFT JOIN f3 ON f0.source = f3.source LEFT JOIN f4 ON f0.source = f4.source
+    ORDER BY f0.source
+"""
+
+
+@query("corpus_curation_surgical", sql=_CURATION_SURGICAL_SQL)
+def corpus_curation_surgical(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
+) -> DataFrame:
+    """The SURGICAL curation funnel — ``corpus_curation_full`` with the
+    doc-level decontamination drop replaced by PaLM/Lee-style span
+    surgery: langid -> Gopher -> bigram-LM ppl -> exact dedup ->
+    minhash near-dup CC, then CUT the offending token ranges and KEEP
+    the documents. Two cut lists over the near-dup survivors —
+    within-corpus maximal duplicated spans (punct 10-grams, >= 50
+    tokens, the ``duplicated_spans_maximal`` operator) and cross-split
+    contaminated spans (punct 5-gram membership in the eval-half gram
+    set, >= 20 tokens, the ``contaminated_spans`` islands) — are
+    INTERVAL-UNIONED per doc (both lists index the same punct
+    tokenization), the union length is subtracted from each doc's
+    token count, and 2048-token packing runs on what remains. Reported
+    per source: the doc-drop funnel plus tokens_cut_dup /
+    tokens_cut_contam / tokens_cut (union), n_dropped_cut (docs cut to
+    zero), n_kept, kept_tokens, n_packs_spanned.
+
+    Determinism scaffolding (every stage provably fires): the
+    ``corpus_curation_full`` injections (exact dups +1e6; full eval
+    clones +2e6, here every 6th test doc — cut to ZERO by the
+    contamination list: the surgical analogue of dropping) plus
+    self-repeat chimeras +3e6 (every test doc with id%6==3, text =
+    text + its own first 400 chars): their source is out-of-corpus so
+    they dodge exact/near-dup, and the repeated prefix is a >= 50-token
+    within-doc duplicated span — a PARTIAL cut that keeps the doc. The
+    eval gram set is the EVEN half of the test split, so clones (id%6
+    ==0) are covered and chimera sources (odd ids) are not. Data
+    property, not a bug: at sf0.1+ this synthetic corpus is so
+    template-duplicative that the NEAR-DUP stage collapses almost
+    everything into one component first (the full funnel keeps ~12 of
+    4393 docs) — the chimeras CC-merge with their template-mates and
+    ``tokens_cut_dup`` can read 0 there; all stages provably fire at
+    the driver's sf0.01 gate scale (cut_dup 116 / cut_contam 93 /
+    2 docs cut to zero), and the oracle replays whatever the data
+    yields at every scale.
+
+    Scale shape: identical to ``corpus_curation_full`` through the
+    near-dup stage (one persisted flags projection, vocabulary-bounded
+    LM tables, banded minhash with the parametrized ``max_bucket_size``
+    production guard). The surgical stage adds the two span plans the
+    wave-10/11 queries already audited (anchor-complement islands — no
+    gram self-join; broadcastable eval gram set semi-join) plus a
+    doc-partitioned interval-union window over the CUT LISTS (two rows
+    per span, nowhere near corpus-sized) and the same range-partitioned
+    packing cumsum. The DuckDB oracle replays all of it, including the
+    recursive-CTE connected components and the interval union.
+    """
+    from pyspark.sql import Window
+
+    from .operators.caching import track
+    from .operators.dedup_fuzzy import (
+        duplicated_span_extents,
+        minhash_candidate_pairs,
+    )
+    from .operators.graph import connected_components
+    from .operators.sampling import hash_split_expr
+    from .operators.text import (
+        alnum_token_stats_expr,
+        bigram_lm_perplexity,
+        langid_expr,
+        punct_ratio_expr,
+        punct_tok_sql,
+        punct_tokens_expr,
+        rolling_gram_hash_sql,
+        ws_token_stats_expr,
+    )
+    from .operators.windows import global_cumsum, merge_intervals
+
+    d = spread_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
+    )
+    s = d.select("*", hash_split_expr("doc_id").alias("__split"))
+    train = s.filter(F.col("__split") == "train").drop("__split")
+    test = s.filter(F.col("__split") == "test").drop("__split")
+    corpus = track(
+        train.unionByName(
+            train.filter(F.col("doc_id") % 40 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+        .unionByName(
+            test.filter(F.col("doc_id") % 6 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 2000000
+            )
+        )
+        .unionByName(
+            test.filter(F.col("doc_id") % 6 == 3)
+            .withColumn("text", F.expr("concat(text, ' ', substring(text, 1, 400))"))
+            .withColumn("doc_id", F.col("doc_id") + 3000000)
+        )
+    )
+    ppl = bigram_lm_perplexity(corpus, "text", "doc_id", keep_threshold=31.0).select(
+        "doc_id", "keep"
+    )
+    base = corpus.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        ws_token_stats_expr("text").alias("__ws"),
+        alnum_token_stats_expr("text").alias("__al"),
+        punct_ratio_expr("text").alias("__punct"),
+        langid_expr("text").alias("__lg"),
+        F.md5("text").alias("__digest"),
+    )
+    mwl = F.when(
+        F.col("__al.n") > 0, F.col("__al.len") / F.col("__al.n").cast("double")
+    ).otherwise(F.lit(0.0))
+    gopher_ok = (
+        F.col("__ws.n").between(50, 100000)
+        & mwl.between(3.0, 10.0)
+        & (F.col("__ws.stop") >= 2)
+        & (F.col("__punct") <= 0.1)
+    )
+    flags = track(
+        base.select(
+            "doc_id",
+            "source",
+            "text",
+            "__digest",
+            (F.col("__lg") == F.col("lang")).alias("lang_ok"),
+            gopher_ok.alias("gopher_ok"),
+        )
+        .join(ppl, "doc_id")
+        .withColumn("ppl_ok", F.col("keep") == 1)
+        .drop("keep")
+    )
+    lq = flags.filter("lang_ok AND gopher_ok AND ppl_ok").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
+    )
+    exact = track(lq.filter("rn = 1").select("doc_id", "source", "text"))
+    pairs = minhash_candidate_pairs(
+        exact, "text", "doc_id", max_bucket_size=max_bucket_size
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("doc_id")
+    )
+    nd = track(exact.join(losers, "doc_id", "left_anti"))
+    # --- surgical stage: two cut lists over the same punct tokenization ---
+    dspan = track(duplicated_span_extents(nd, "text", "doc_id", n=10, min_span=50))
+    five = rolling_gram_hash_sql(
+        punct_tok_sql("text"), 5, distinct=False, pad_short=False
+    )
+    eg = (
+        test.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.expr(five)).alias("gk"))
+        .distinct()
+    )
+    stm = nd.select("doc_id", F.posexplode(F.expr(five)).alias("p0", "gk")).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gk"
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    cspan = track(
+        stm.join(eg, "gk", "left_semi")
+        .select("doc_id", "pos", (F.col("pos") - F.row_number().over(wseq)).alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("s"),
+            (F.min("pos") + F.count(F.lit(1)) + 3).cast("long").alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") + 1 >= 20)
+        .select("doc_id", "s", "e")
+    )
+    iv = dspan.select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_len") - 1).alias("e"),
+    ).unionByName(cspan)
+    # interval union: running-max island merge over the CUT LISTS (two
+    # rows per span, doc-partitioned)
+    cutd = merge_intervals(iv, "doc_id", "s", "e").groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("cut")
+    )
+    dsum = dspan.groupBy("doc_id").agg(F.sum("span_len").cast("long").alias("cut_dup"))
+    csum = cspan.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("cut_contam")
+    )
+    zero = F.lit(0).cast("long")
+    perdoc = track(
+        nd.select(
+            "doc_id",
+            "source",
+            F.size(punct_tokens_expr(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(cutd, "doc_id", "left")
+        .join(dsum, "doc_id", "left")
+        .join(csum, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("cut", zero).alias("cut"),
+            F.coalesce("cut_dup", zero).alias("cut_dup"),
+            F.coalesce("cut_contam", zero).alias("cut_contam"),
+        )
+    )
+    kept = perdoc.filter(F.col("n_tokens") - F.col("cut") > 0).select(
+        "doc_id", "source", (F.col("n_tokens") - F.col("cut")).cast("long").alias("kt")
+    )
+    kpack = global_cumsum(kept, "doc_id", ["kt"]).select(
+        "source", "kt", F.floor((F.col("cum_kt") - 1) / 2048).cast("long").alias("pack_id")
+    )
+    f0 = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_dropped_lang"),
+        F.sum(F.when(F.col("lang_ok") & ~F.col("gopher_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_gopher"),
+        F.sum(
+            F.when(F.col("lang_ok") & F.col("gopher_ok") & ~F.col("ppl_ok"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dropped_ppl"),
+    )
+    f1 = (
+        lq.filter("rn > 1")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_exact"))
+    )
+    f2 = (
+        exact.join(losers, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_neardup"))
+    )
+    f3 = perdoc.groupBy("source").agg(
+        F.sum("cut_dup").cast("long").alias("tokens_cut_dup"),
+        F.sum("cut_contam").cast("long").alias("tokens_cut_contam"),
+        F.sum("cut").cast("long").alias("tokens_cut"),
+        F.sum(F.when(F.col("n_tokens") - F.col("cut") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_cut"),
+    )
+    f4 = kpack.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("kt").cast("long").alias("kept_tokens"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs_spanned"),
+    )
+    return (
+        f0.join(f1, "source", "left")
+        .join(f2, "source", "left")
+        .join(f3, "source", "left")
+        .join(f4, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped_lang",
+            "n_dropped_gopher",
+            "n_dropped_ppl",
+            F.coalesce("n_dropped_exact", zero).alias("n_dropped_exact"),
+            F.coalesce("n_dropped_neardup", zero).alias("n_dropped_neardup"),
+            F.coalesce("tokens_cut_dup", zero).alias("tokens_cut_dup"),
+            F.coalesce("tokens_cut_contam", zero).alias("tokens_cut_contam"),
+            F.coalesce("tokens_cut", zero).alias("tokens_cut"),
+            F.coalesce("n_dropped_cut", zero).alias("n_dropped_cut"),
             F.coalesce("n_kept", zero).alias("n_kept"),
             F.coalesce("kept_tokens", zero).alias("kept_tokens"),
             F.coalesce("n_packs_spanned", zero).alias("n_packs_spanned"),

@@ -260,6 +260,12 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "checks, and the final source-dimension funnel sort — every "
         "corpus-sized exchange is gram-/band-/digest-keyed"
     },
+    "corpus_curation_surgical": {
+        "single_partition": "same bounded scalars as corpus_curation_full "
+        "(1-row LM vocabulary total, CC convergence checks, source-dimension "
+        "funnel sort) — the added span stages exchange only gram-keyed "
+        "streams and the cut-list-sized interval rows"
+    },
     "data_quality_checks": {"single_partition": "per-check 1-row aggregates"},
     "pagerank_supplier_influence": {"single_partition": "node-count scalar (1 row)"},
     "split_leakage_audit": {"single_partition": "global leak-rate scalar"},

@@ -194,8 +194,23 @@ def _curation_full_production(spark, sf_dir):
     )
 
 
+def _curation_surgical_production(spark, sf_dir):
+    """corpus_curation_surgical with the same near-dup hot-bucket guard
+    as _curation_full_production — identical rationale (the registered
+    max_bucket_size=None form exists for DuckDB-oracle parity)."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        DEFAULT_MAX_BUCKET_SIZE,
+    )
+    from classification_pyspark_spark.queries import QUERIES
+
+    return QUERIES["corpus_curation_surgical"](
+        spark, sf_dir, max_bucket_size=DEFAULT_MAX_BUCKET_SIZE
+    )
+
+
 PRODUCTION_MODE = {
     "corpus_curation_full": _curation_full_production,
+    "corpus_curation_surgical": _curation_surgical_production,
     "tfidf_cosine_pairs": _tfidf_capped,
     "describe_numeric_approx": _describe_numeric_approx_production,
     "minhash_dup_pairs": _minhash_pairs_production,
