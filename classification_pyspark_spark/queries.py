@@ -71,72 +71,69 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 7 window: CORRECTNESS_r06 went 50/50
-# green and closed cumulative driver coverage at 223/223 oracle
-# queries, so the never-driver-checked candidates are only the 4
-# queries REGISTERED this round (first 4 slots); the remaining 46 are
-# pure freshness re-verification, filled with the queries whose LAST
-# driver-green row is oldest (the r02-vintage rows, then earliest
-# r03).
+# tools/check_oracle.py).  Round 8 window: CORRECTNESS_r07 went 50/50
+# green (cumulative driver coverage 227/227), so the never-driver-checked
+# candidates are only the 2 queries REGISTERED this round (first 2
+# slots); the remaining 48 are pure freshness re-verification, filled
+# with the queries whose LAST driver-green row is oldest — the 27
+# r03-vintage rows, then the earliest r04 rows.
 # Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- round-7 registrations (never driver-checked) ---
-    "duplicated_spans_maximal",
-    "corpus_curation_full",
-    "substring_dedup_apply",
-    "contaminated_spans",
-    # --- re-verification: stalest driver-green rows (the never-checked
-    # pool is otherwise EMPTY at 223/223 cumulative coverage, so the
-    # window is freshness defense: every row below was last green in
-    # r02 (24 rows) or early r03 (24 rows) ---
-    "duplicate_stats",
-    "set_analysis",
-    "missing_value_summary",
-    "zero_density",
-    "outlier_summary",
-    "health_report",
-    "text_stats",
-    "text_langid",
-    "doc_fingerprint",
-    "simhash_fingerprints",
-    "lsh_buckets",
-    "tfidf_top_terms",
-    "media_byte_stats",
-    "media_decode_features",
-    "text_redact_pii",
-    "top_bigrams",
-    "embedding_centroids",
-    "doc_chunks",
-    "split_leakage_audit",
-    "media_frame_sample",
-    "embedding_int8_quantization",
-    "window_topk_per_group",
-    "sequence_packing",
-    "edit_distance_pairs",
-    "lm_perplexity_filter",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_lines_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_part_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_high_balance",
-    "sessionize_events",
-    "lift_gain_table",
+    # --- round-8 registrations (never driver-checked) ---
+    "duplicated_spans_exact",
+    "corpus_curation_surgical",
+    # --- re-verification: stalest driver-green rows (last green in
+    # r03 — 27 rows — then the earliest r04 rows) ---
+    "describe_numeric_approx",
+    "target_encode",
+    "ntile_quantile_bins",
+    "scaling_minmax_standard",
+    "impute_missing",
+    "regression_metrics",
+    "auc_roc",
+    "woe_iv",
+    "token_zipf",
+    "streaming_dedup_user_types",
+    "scd2_user_status_intervals",
+    "semi_anti_joins",
+    "cube_rollup",
+    "date_parse_roundtrip",
+    "threshold_sweep",
+    "asof_join_last_view_before_purchase",
+    "label_encode_stringindexer",
+    "grouped_pandas_zscore",
+    "skew_salted_join_agg",
+    "deterministic_hash_split",
+    "range_join_value_bands",
+    "rolling_spend_30d",
+    "funnel_view_to_purchase",
+    "psi_drift",
+    "cdc_merge_upsert",
+    "incremental_agg_maintenance",
+    "window_percent_rank_cume",
+    "embedding_dedup_clusters",
+    "media_resize_thumbs",
+    "training_export",
+    "duplicated_ngram_spans",
+    "tfidf_cosine_pairs",
+    "corpus_mix_sample",
+    "negative_sampling_pairs",
+    "ordinal_encode",
+    "onehot_indicators",
+    "binning_fixed_width",
+    "binning_explicit_splits",
+    "outlier_cap",
+    "binary_classification_metrics",
+    "json_props_extract",
+    "window_tumbling_hourly",
+    "window_sliding_30min",
+    "calibration_curve",
+    "auc_by_segment",
+    "per_group_ols",
+    "ewma_customer_spend",
+    "ab_test_proportion_ztest",
 ]
 
 
