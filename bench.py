@@ -119,6 +119,14 @@ HEADLINE = [
     "ks_two_sample_drift",
     "duplicated_spans_maximal",
     "corpus_curation_full",
+    # round-8 additions: the wave-11 span queries (previously swept but
+    # not gated — a regression in them could not trip bench_gate) and
+    # the two round-8 plan shapes (extent-verified exact spans, span
+    # surgery + interval-union curation)
+    "substring_dedup_apply",
+    "contaminated_spans",
+    "duplicated_spans_exact",
+    "corpus_curation_surgical",
 ]
 
 
