@@ -383,23 +383,28 @@ def outlier_summary(
     upper_sigma, n_outlier_sigma).
     """
     cols = list(cols or list_numerical_columns(df))
-    # percentile is TypedImperative -> keep the codegen-able moment
-    # aggregates in a separate aggregate subtree (see describe_numeric)
-    bounds_row = (
-        df.agg(
-            *[F.avg(c).alias(f"__mu_{c}") for c in cols],
-            *[F.stddev(c).alias(f"__sd_{c}") for c in cols],
-        )
-        .first()
-    )
-    b = bounds_row.asDict()
-    # exact quartiles by range-exchange selection (same values as the
-    # single-buffer percentile aggregate, partition-bounded memory)
-    from .quantiles import exact_quantiles_multi
+    # ONE corpus pass for bounds: exact quartiles by value-grid
+    # selection, with mean/stddev riding the SAME persisted grid — the
+    # separate df.agg(avg, stddev) moment pass this replaced re-scanned
+    # the corpus (at sf0.1 the fold is timing-neutral: the grid path's
+    # fixed job count dominates at that size; the saved scan matters at
+    # sf1+ where a corpus pass is real IO). Grid moments agree with the
+    # row-wise central-moment aggregates to ~1e-15 relative (see
+    # quantiles.exact_quantiles_multi_stats), inside the envelope Spark
+    # and DuckDB already differ by.
+    from .quantiles import exact_quantiles_multi_stats
 
-    for c, qq in exact_quantiles_multi(df, cols, [0.25, 0.75]).items():
-        qq = qq or [None, None]
+    q, stats = exact_quantiles_multi_stats(df, cols, [0.25, 0.75])
+    b: dict[str, float | None] = {}
+    for c in cols:
+        qq = q.get(c) or [None, None]
         b[f"__q1_{c}"], b[f"__q3_{c}"] = qq[0], qq[1]
+        st = stats.get(c) or {}
+        b[f"__mu_{c}"] = st.get("mean")
+        sd = st.get("stddev")
+        # single-value columns: stddev_samp is NaN in Spark and the
+        # grid form alike; NaN bounds make both comparisons false
+        b[f"__sd_{c}"] = sd
 
     # empty/all-null columns have NULL stats: emit NULL bounds and a
     # 0 outlier count for that column instead of NoneType arithmetic
