@@ -127,6 +127,7 @@ HEADLINE = [
     "contaminated_spans",
     "duplicated_spans_exact",
     "corpus_curation_surgical",
+    "substring_dedup_rewrite",
 ]
 
 

@@ -81,9 +81,10 @@ def _register_extensions() -> None:
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- round-8 registrations (never driver-checked) ---
+    # --- round-8 registrations (never driver-checked, registry order) ---
     "duplicated_spans_exact",
     "corpus_curation_surgical",
+    "substring_dedup_rewrite",
     # --- re-verification: stalest driver-green rows (last green in
     # r03 — 27 rows — then the earliest r04 rows) ---
     "describe_numeric_approx",
@@ -133,7 +134,6 @@ DRIVER_WINDOW: list[str] = [
     "auc_by_segment",
     "per_group_ols",
     "ewma_customer_spend",
-    "ab_test_proportion_ztest",
 ]
 
 

@@ -1472,6 +1472,110 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substring_dedup_rewrite",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 9, 0) + 1),
+                    i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i + 9), ' ')})) AS pg
+      FROM t WHERE len(w) >= 10
+    ),
+    s AS (SELECT doc_id, pg['pos'] AS pos, pg['gram'] AS gram FROM g),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM s GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM s JOIN cnt USING (gram) WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(COUNT(*) + 9 AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, grp
+      HAVING COUNT(*) + 9 >= 50
+    ),
+    ivs AS (
+      SELECT doc_id, list({'s': span_start, 'e': span_start + span_len - 1}) AS iv
+      FROM spans GROUP BY doc_id
+    ),
+    k AS (
+      SELECT t.doc_id, w,
+             list_filter(range(1, len(w) + 1),
+                         i -> len(list_filter(COALESCE(iv, []),
+                                              v -> i >= v['s'] AND i <= v['e'])) = 0) AS kept
+      FROM t LEFT JOIN ivs USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(list_transform(kept, i -> w[i]), ' '), '') AS kept_text
+    FROM k
+    ORDER BY doc_id
+    """,
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the Lee et al. substring-dedup family: actually
+    REWRITE the corpus — every document re-emitted with its >= 50-token
+    maximal duplicated spans removed, at the canonical punct
+    tokenization (what a pretraining pipeline feeds the tokenizer;
+    original whitespace/punctuation is not preserved). Where
+    ``substring_dedup_apply`` reports the before/after accounting, this
+    returns the cleaned text itself — one row per document, clean docs
+    passing through verbatim (token-joined).
+
+    Scale shape: span detection is the audited anchor-complement plan;
+    the cut list folds to one interval array per affected doc
+    (collect_list over spans already disjoint per doc) and
+    broadcast-joins back to the corpus scan; the keep-filter and
+    reconstruction are row-local higher-order functions (positions
+    checked against the per-doc interval array, a few entries at
+    most) — no corpus-sized shuffle beyond the one gram aggregate."""
+    from .operators.dedup_fuzzy import duplicated_span_extents
+    from .operators.text import punct_tokens_expr
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    spans = duplicated_span_extents(d, "text", "doc_id", n=10, min_span=50)
+    ivs = spans.groupBy("doc_id").agg(
+        F.expr("collect_list(struct(span_start as s, span_start + span_len - 1 as e))").alias(
+            "iv"
+        )
+    )
+    base = d.select("doc_id", punct_tokens_expr(F.col("text")).alias("__w"))
+    return (
+        base.join(F.broadcast(ivs), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.expr(
+                # sequence(1, 0) would generate DESCENDING [1, 0] on a
+                # token-less doc — guard the empty case explicitly
+                "case when size(__w) >= 1 then "
+                "filter(sequence(1, size(__w)), i -> not exists("
+                "coalesce(iv, cast(array() as array<struct<s:bigint,e:bigint>>)), "
+                "v -> i >= v.s and i <= v.e)) "
+                "else cast(array() as array<int>) end"
+            ).alias("__keep"),
+            "__w",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("__keep").cast("long").alias("n_kept"),
+            F.expr("concat_ws(' ', transform(__keep, i -> element_at(__w, i)))").alias(
+                "kept_text"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "contaminated_spans",
     sql=r"""
     WITH split AS (

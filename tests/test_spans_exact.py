@@ -73,3 +73,42 @@ def test_exact_survives_empty_and_short_input(spark):
             "doc_id long, text string, lang string, source string, n_chars int",
         ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
         assert _spans(spark, tmp, "duplicated_spans_exact") == set()
+
+
+def test_rewrite_known_answers_and_apply_consistency(spark, sf_dir):
+    """substring_dedup_rewrite: on the chained fixture, doc1 (fully
+    duplicated) is cut to the empty string, doc4/doc5 keep exactly
+    their 10 unique prefix tokens, doc2/doc3 (sub-min_span islands)
+    pass through verbatim; on real data its n_kept agrees with
+    substring_dedup_apply per doc and kept_text re-tokenizes to
+    exactly n_kept tokens."""
+    from classification_pyspark_spark.queries import QUERIES
+
+    a = ["a%02d" % i for i in range(60)]
+    f = ["f%02d" % i for i in range(60)]
+    rows = [
+        (1, " ".join(a), "en", "s0", 1),
+        (2, " ".join(["c%d" % i for i in range(5)] + a[:39] + ["c%d" % i for i in range(5, 10)]), "en", "s0", 1),
+        (3, " ".join(["d%d" % i for i in range(5)] + a[21:] + ["d%d" % i for i in range(5, 10)]), "en", "s0", 1),
+        (4, " ".join(["e%d" % i for i in range(10)] + f), "en", "s0", 1),
+        (5, " ".join(["g%d" % i for i in range(10)] + f), "en", "s0", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        got = {r["doc_id"]: r for r in QUERIES["substring_dedup_rewrite"](spark, tmp).collect()}
+    assert got[1]["kept_text"] == "" and got[1]["n_kept"] == 0
+    assert got[4]["kept_text"] == " ".join("e%d" % i for i in range(10))
+    assert got[5]["kept_text"] == " ".join("g%d" % i for i in range(10))
+    assert got[2]["n_kept"] == got[2]["n_tokens"] and got[2]["kept_text"] == rows[1][1]
+    assert got[3]["n_kept"] == got[3]["n_tokens"]
+
+    apply_kept = {
+        r["doc_id"]: r["n_kept"]
+        for r in QUERIES["substring_dedup_apply"](spark, sf_dir).collect()
+    }
+    for r in QUERIES["substring_dedup_rewrite"](spark, sf_dir).collect():
+        assert r["n_kept"] == apply_kept[r["doc_id"]]
+        toks = [t for t in r["kept_text"].split(" ") if t]
+        assert len(toks) == r["n_kept"]
