@@ -1032,6 +1032,64 @@ def duplicated_span_extents_exact(
     )
 
 
+def span_cut_rewrite(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Apply a span cut list to a corpus: re-emit every document of
+    ``df`` with the listed token ranges removed, at the canonical
+    punct tokenization. ``spans`` is (``id_col``, span_start,
+    span_len) — e.g. :func:`duplicated_span_extents` output (disjoint
+    per doc) or any merged interval list.
+
+    Plan: the cut list folds to ONE interval array per affected doc
+    (collect_list — cut-list-sized) and broadcast-joins back to the
+    corpus scan; the keep-filter and reconstruction are row-local
+    higher-order functions (each position checked against the per-doc
+    few-entry interval array). Beyond producing ``spans``, this adds
+    exactly one corpus map pass and zero corpus-sized shuffles.
+
+    Output: (``id_col``, n_tokens long, n_kept long, kept_text string)
+    — one row per input doc; clean docs pass through token-joined,
+    fully-cut docs become ''. NOTE ``sequence(1, 0)`` generates a
+    DESCENDING [1, 0] on token-less docs, hence the explicit empty
+    guard.
+    """
+    from .text import punct_tokens_expr
+
+    ivs = spans.groupBy(id_col).agg(
+        F.expr("collect_list(struct(span_start as s, span_start + span_len - 1 as e))").alias(
+            "__iv"
+        )
+    )
+    base = df.select(F.col(id_col), punct_tokens_expr(F.col(text_col)).alias("__w"))
+    return (
+        base.join(F.broadcast(ivs), id_col, "left")
+        .select(
+            id_col,
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.expr(
+                "case when size(__w) >= 1 then "
+                "filter(sequence(1, size(__w)), i -> not exists("
+                "coalesce(__iv, cast(array() as array<struct<s:bigint,e:bigint>>)), "
+                "v -> i >= v.s and i <= v.e)) "
+                "else cast(array() as array<int>) end"
+            ).alias("__keep"),
+            "__w",
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.size("__keep").cast("long").alias("n_kept"),
+            F.expr("concat_ws(' ', transform(__keep, i -> element_at(__w, i)))").alias(
+                "kept_text"
+            ),
+        )
+    )
+
+
 def band_blocking_efficiency(
     df,
     text_col: str,

@@ -151,6 +151,16 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     boilerplate-heavy drop never fans out k^2 pairs; exact dups go
     through the cheap digest path first so the guard's drop-the-bucket
     semantics only ever see already-exact-deduped docs.
+
+    Optional SURGICAL pass (``cut_spans: true``, knobs ``span_n`` /
+    ``min_span``): after near-dup removal, the Lee-style maximal
+    duplicated token spans of the survivor corpus are CUT from the
+    text instead of shipping duplicated passages verbatim — the
+    curated sink then carries the rewritten ``text`` (canonical punct
+    tokenization) plus a ``tokens_cut`` column, docs cut to nothing
+    are dropped, and the per-source report gains a ``tokens_cut``
+    total. Same primitives as the ``substring_dedup_rewrite`` /
+    ``corpus_curation_surgical`` registry queries.
     """
     from pyspark.sql import Window
 
@@ -215,9 +225,40 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
         .filter(F.col("__kr") > 1)
         .select("doc_id")
     )
-    curated = exact.join(losers, "doc_id", "left_anti").select(
-        "doc_id", "text", "source", "lang", F.col("__q").alias("quality")
-    )
+    cut_spans = bool(params.get("cut_spans", False))
+    surv = None
+    if cut_spans:
+        from .operators.dedup_fuzzy import duplicated_span_extents, span_cut_rewrite
+
+        # persist: the survivor frame feeds span detection (two
+        # consumers inside the operator), the rewrite base, and the
+        # final column join — unpersisted, the full curation pipeline
+        # would re-execute per consumer
+        surv = exact.join(losers, "doc_id", "left_anti").persist()
+        spans = duplicated_span_extents(
+            surv,
+            "text",
+            "doc_id",
+            n=int(params.get("span_n", 10)),
+            min_span=int(params.get("min_span", 50)),
+        )
+        rew = span_cut_rewrite(surv, spans, "text", "doc_id")
+        curated = (
+            surv.join(rew, "doc_id")
+            .filter(F.col("n_kept") > 0)  # docs cut to nothing are dropped
+            .select(
+                "doc_id",
+                F.col("kept_text").alias("text"),
+                "source",
+                "lang",
+                F.col("__q").alias("quality"),
+                (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("tokens_cut"),
+            )
+        )
+    else:
+        curated = exact.join(losers, "doc_id", "left_anti").select(
+            "doc_id", "text", "source", "lang", F.col("__q").alias("quality")
+        )
     curated.write.mode("overwrite").parquet(out)
     # count from the written files (footer metadata), NOT from
     # `curated` — that lineage would re-run the whole scoring +
@@ -252,8 +293,21 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
                 .alias("n_dropped_ppl"),
             )
         )
+        if cut_spans:
+            # per-source cut totals from the WRITTEN files (footer-cheap
+            # re-read, same reason as the count above)
+            cuts = (
+                spark.read.parquet(out)
+                .groupBy("source")
+                .agg(F.sum("tokens_cut").cast("long").alias("tokens_cut"))
+            )
+            report = report.join(cuts, "source", "left").withColumn(
+                "tokens_cut", F.coalesce("tokens_cut", F.lit(0).cast("long"))
+            )
         report.write.mode("overwrite").parquet(report_out)
     exact.unpersist()
+    if surv is not None:
+        surv.unpersist()
     if scores is not None:
         scores.unpersist()
     return TaskStatus(True, f"{n} curated docs")

@@ -1536,43 +1536,11 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction are row-local higher-order functions (positions
     checked against the per-doc interval array, a few entries at
     most) — no corpus-sized shuffle beyond the one gram aggregate."""
-    from .operators.dedup_fuzzy import duplicated_span_extents
-    from .operators.text import punct_tokens_expr
+    from .operators.dedup_fuzzy import duplicated_span_extents, span_cut_rewrite
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
     spans = duplicated_span_extents(d, "text", "doc_id", n=10, min_span=50)
-    ivs = spans.groupBy("doc_id").agg(
-        F.expr("collect_list(struct(span_start as s, span_start + span_len - 1 as e))").alias(
-            "iv"
-        )
-    )
-    base = d.select("doc_id", punct_tokens_expr(F.col("text")).alias("__w"))
-    return (
-        base.join(F.broadcast(ivs), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("__w").cast("long").alias("n_tokens"),
-            F.expr(
-                # sequence(1, 0) would generate DESCENDING [1, 0] on a
-                # token-less doc — guard the empty case explicitly
-                "case when size(__w) >= 1 then "
-                "filter(sequence(1, size(__w)), i -> not exists("
-                "coalesce(iv, cast(array() as array<struct<s:bigint,e:bigint>>)), "
-                "v -> i >= v.s and i <= v.e)) "
-                "else cast(array() as array<int>) end"
-            ).alias("__keep"),
-            "__w",
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.size("__keep").cast("long").alias("n_kept"),
-            F.expr("concat_ws(' ', transform(__keep, i -> element_at(__w, i)))").alias(
-                "kept_text"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return span_cut_rewrite(d, spans, "text", "doc_id").orderBy("doc_id")
 
 
 @query(

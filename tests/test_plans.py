@@ -527,3 +527,42 @@ def test_curation_keeps_higher_quality_near_dup(spark, tmp_path):
     assert all(v.success for v in results.values()), results
     kept = [r["doc_id"] for r in spark.read.parquet(out).collect()]
     assert kept == [2]  # quality won over doc_id order
+
+
+def test_corpus_curation_job_surgical_cut_spans(spark, tmp_path):
+    """cut_spans=true: the job rewrites survivor docs with their
+    duplicated spans removed. Known-answer fixture: a self-repeating
+    doc (prefix + block + block) keeps exactly its prefix and reports
+    tokens_cut = 2x block; a clean doc passes through verbatim with
+    tokens_cut 0; the report gains a tokens_cut column."""
+    from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    prefix = "the and of is to " + " ".join("h%d" % i for i in range(10))
+    block = " ".join("b%02d" % i for i in range(60))
+    clean = "the and of is to " + " ".join("u%02d" % i for i in range(40))
+    sf = str(tmp_path / "data")
+    spark.createDataFrame(
+        [
+            (1, f"{prefix} {block} {block}", "en", "s0", 1),
+            (2, clean, "en", "s1", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "curated_cut")
+    report = str(tmp_path / "report_cut")
+    plan = create_job_plan(
+        {"name": "corpus-curation",
+         "stages": [{"name": "curate", "tasks": [
+             {"name": "curate-documents",
+              "params": {"sf_dir": sf, "out": out, "report_out": report,
+                         "min_quality": 0.0, "cut_spans": True}}]}]}
+    )
+    results = execute_job(spark, plan)
+    assert all(v.success for v in results.values()), results
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["text"] == prefix and got[1]["tokens_cut"] == 120
+    assert got[2]["text"] == clean and got[2]["tokens_cut"] == 0
+    rep = {r["source"]: r for r in spark.read.parquet(report).collect()}
+    assert rep["s0"]["tokens_cut"] == 120 and rep["s1"]["tokens_cut"] == 0
