@@ -35,6 +35,21 @@ def driver_green() -> dict[str, str]:
     return seen
 
 
+def last_green() -> dict[str, int]:
+    """Map query name -> LATEST round number it was driver-green in —
+    the freshness key the re-verification slots rotate on (stalest
+    first). Distinct from driver_green(), which records the FIRST
+    green round for never-checked detection."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("err") is None and row.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def rotation_candidates() -> list[str]:
     """Oracle queries that have never had a driver-green CORRECTNESS row,
     in registry order. The window's never-checked prefix must equal this
@@ -62,6 +77,18 @@ def main() -> int:
     )
     for n in in_window_already_green:
         print(f"  {n} (green in {seen[n]})")
+
+    # freshness ordering for the re-verification slots: next window =
+    # never-checked (above, registry order) + this list's head until 50
+    latest = last_green()
+    stale = sorted(
+        (n for n in QUERIES if n in ORACLES and n in latest),
+        key=lambda n: (latest[n], list(QUERIES).index(n)),
+    )
+    fill = 50 - len(never)
+    print(f"\nstalest driver-green rows (re-verification fill, take {fill}):")
+    for n in stale[:fill]:
+        print(f"  r{latest[n]:02d} {n}")
     return 0
 
 
