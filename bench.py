@@ -128,6 +128,7 @@ HEADLINE = [
     "duplicated_spans_exact",
     "corpus_curation_surgical",
     "substring_dedup_rewrite",
+    "duplicated_spans_cover",
 ]
 
 

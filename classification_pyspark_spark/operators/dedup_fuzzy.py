@@ -1032,6 +1032,68 @@ def duplicated_span_extents_exact(
     )
 
 
+def duplicated_span_cover(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_span: int = 50,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """The EXACT Lee et al. cut set, directly: maximal token intervals
+    covered by repeated >= ``min_span``-token substrings — recall AND
+    precision exact at coverage granularity, no verification stage.
+
+    The whole n-gram chaining relaxation exists because the detection
+    window (n=10) is SHORTER than the cut threshold (50): chains of
+    short duplicated windows need not repeat as one block. Setting the
+    window length TO the threshold dissolves it — a ``min_span``-token
+    window that occurs >= 2 times corpus-wide is ITSELF a verified
+    repeated substring, and Lee's cut set (every position inside some
+    repeated >= min_span substring) is exactly the union of
+    ``[p, p+min_span-1]`` over duplicated positions p: any repeated
+    substring of length L >= min_span contributes its L-min_span+1
+    windows, whose union is its full extent. Consecutive duplicated
+    positions chain into islands as usual; islands separated by small
+    gaps can still OVERLAP (window extents reach past the gap), so the
+    island extents are interval-merged into disjoint maximal cut
+    ranges.
+
+    vs :func:`duplicated_span_extents_exact` (the verification form):
+    that one has precision 1 on FULL-extent repetition but drops a
+    merged island whose union never repeats as one block, losing its
+    true sub-spans; this one reports the union region of everything
+    that verifiably repeats, which is what a cutter consumes. Cost:
+    the rolling window hash at n=min_span is min_span-1 zip_withs —
+    O(tokens x min_span) work in one map pass, ~5x the n=10 gram
+    build, with the same single 8-byte gram-keyed shuffle and NO
+    second stage.
+
+    Output: (doc_id, span_start long, span_len long) — DISJOINT
+    per-doc intervals, ordered (``merge_intervals``' strict-overlap
+    rule: two exactly-ADJACENT ranges stay separate rows; the covered
+    token set — what apply/rewrite consume — is identical either way).
+    """
+    from .windows import merge_intervals
+
+    spans = duplicated_span_extents(
+        df, text_col, id_col, n=min_span, min_span=min_span, hash_grams=hash_grams
+    )
+    iv = spans.select(
+        F.col("doc_id"),
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_len") - 1).alias("e"),
+    )
+    return (
+        merge_intervals(iv, "doc_id", "s", "e")
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("span_start"),
+            (F.col("e") - F.col("s") + 1).cast("long").alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def span_cut_rewrite(
     df: DataFrame,
     spans: DataFrame,

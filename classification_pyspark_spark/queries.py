@@ -83,6 +83,7 @@ def _register_extensions() -> None:
 DRIVER_WINDOW: list[str] = [
     # --- round-8 registrations (never driver-checked, registry order) ---
     "duplicated_spans_exact",
+    "duplicated_spans_cover",
     "corpus_curation_surgical",
     "substring_dedup_rewrite",
     # --- re-verification: stalest driver-green rows (last green in
@@ -133,7 +134,6 @@ DRIVER_WINDOW: list[str] = [
     "calibration_curve",
     "auc_by_segment",
     "per_group_ols",
-    "ewma_customer_spend",
 ]
 
 

@@ -227,6 +227,63 @@ def duplicated_spans_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicated_spans_cover",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 49, 0) + 1),
+                    i -> {'pos': i, 'gram': array_to_string(list_slice(w, i, i + 49), ' ')})) AS pg
+      FROM t WHERE len(w) >= 50
+    ),
+    s AS (SELECT doc_id, pg['pos'] AS pos, pg['gram'] AS gram FROM g),
+    cnt AS (SELECT gram, COUNT(*) AS c FROM s GROUP BY 1),
+    dup AS (SELECT doc_id, pos FROM s JOIN cnt USING (gram) WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dup
+    ),
+    sp AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s, CAST(MAX(pos) + 49 AS BIGINT) AS e
+      FROM isl GROUP BY doc_id, grp
+    ),
+    ivm AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM (SELECT doc_id, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM sp)
+    )
+    SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_len
+    FROM ivm GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def duplicated_spans_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT Lee cut set, directly: detection windows AT the cut
+    threshold (50 tokens) instead of 10-gram chains — a repeated
+    50-token window is itself a verified repeated substring, so the
+    union of duplicated window extents IS Lee's cut set (recall AND
+    precision exact at coverage granularity; the chaining relaxation
+    and the verification stage both dissolve). Overlapping island
+    extents merge into disjoint maximal cut ranges. Same anchor-
+    complement plan at n=50 (one 8-byte gram shuffle, islands on the
+    anchor frame) + the cut-list-sized interval merge."""
+    from .operators.dedup_fuzzy import duplicated_span_cover
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return duplicated_span_cover(d, "text", "doc_id", min_span=50)
+
+
+@query(
     "tfidf_cosine_pairs",
     sql=r"""
     WITH toks AS (

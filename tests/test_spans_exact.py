@@ -112,3 +112,42 @@ def test_rewrite_known_answers_and_apply_consistency(spark, sf_dir):
         assert r["n_kept"] == apply_kept[r["doc_id"]]
         toks = [t for t in r["kept_text"].split(" ") if t]
         assert len(toks) == r["n_kept"]
+
+
+def test_cover_recovers_subspans_the_verification_form_drops(spark):
+    """Overlapping near-miss: doc2 holds a1..a50 and doc3 holds
+    a3..a52, so doc1's windows at positions 1 and 3 each verifiably
+    repeat but the merged relaxed island [1,52] never repeats as one
+    block. The verification form drops doc1's island entirely;
+    duplicated_spans_cover reports the merged TRUE cut region [1,52]
+    (and the partner spans inside doc2/doc3, which the verification
+    form also keeps since their full 50-token extents repeat)."""
+    a = ["a%02d" % i for i in range(60)]
+    rows = [
+        (1, " ".join(a), "en", "s0", 1),
+        (2, " ".join(["c%d" % i for i in range(5)] + a[:50] + ["c%d" % i for i in range(5, 10)]), "en", "s0", 1),
+        (3, " ".join(["d%d" % i for i in range(5)] + a[2:52] + ["d%d" % i for i in range(5, 10)]), "en", "s0", 1),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        cover = _spans(spark, tmp, "duplicated_spans_cover")
+        exact = _spans(spark, tmp, "duplicated_spans_exact")
+    assert cover == {(1, 1, 52), (2, 6, 50), (3, 6, 50)}
+    assert exact == {(2, 6, 50), (3, 6, 50)}
+
+
+def test_cover_positions_subset_of_relaxed(spark, sf_dir):
+    """Every cover-covered token position lies inside a relaxed span
+    (a duplicated 50-window's 10-subwindows are all duplicated, so its
+    extent sits inside a relaxed >= 50 island)."""
+    from classification_pyspark_spark.queries import QUERIES
+
+    def covered(name):
+        out = set()
+        for r in QUERIES[name](spark, sf_dir).collect():
+            out.update((r["doc_id"], p) for p in range(r["span_start"], r["span_start"] + r["span_len"]))
+        return out
+
+    assert covered("duplicated_spans_cover") <= covered("duplicated_spans_maximal")
