@@ -156,11 +156,18 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     ``min_span``): after near-dup removal, the Lee-style maximal
     duplicated token spans of the survivor corpus are CUT from the
     text instead of shipping duplicated passages verbatim — the
-    curated sink then carries the rewritten ``text`` (canonical punct
-    tokenization) plus a ``tokens_cut`` column, docs cut to nothing
-    are dropped, and the per-source report gains a ``tokens_cut``
-    total. Same primitives as the ``substring_dedup_rewrite`` /
-    ``corpus_curation_surgical`` registry queries.
+    curated sink then carries ``text`` plus a ``tokens_cut`` column.
+    UNTOUCHED docs (no spans) pass their ORIGINAL text through
+    unchanged — casing, punctuation, and whitespace intact; only docs
+    that actually lost a span carry the rewritten text, which is at
+    the canonical punct tokenization (lowercased, space-joined —
+    token cuts don't map back to character offsets). Docs cut to
+    nothing are dropped from the sink but stay in the accounting: the
+    per-source report gains ``tokens_cut`` (ALL cut tokens, including
+    zero-kept docs' full token counts, so the funnel ties out against
+    the sink) and ``n_dropped_cut`` (docs removed because the cut
+    left nothing). Same primitives as the ``substring_dedup_rewrite``
+    / ``corpus_curation_surgical`` registry queries.
     """
     from pyspark.sql import Window
 
@@ -248,7 +255,13 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
             .filter(F.col("n_kept") > 0)  # docs cut to nothing are dropped
             .select(
                 "doc_id",
-                F.col("kept_text").alias("text"),
+                # untouched docs keep their ORIGINAL text (ADVICE r8: a
+                # corpus-wide lossy normalization behind one knob was a
+                # surprising default); only actually-cut docs carry the
+                # canonical-punct rewrite
+                F.when(F.col("n_kept") == F.col("n_tokens"), F.col("text"))
+                .otherwise(F.col("kept_text"))
+                .alias("text"),
                 "source",
                 "lang",
                 F.col("__q").alias("quality"),
@@ -294,15 +307,42 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
             )
         )
         if cut_spans:
-            # per-source cut totals from the WRITTEN files (footer-cheap
-            # re-read, same reason as the count above)
-            cuts = (
-                spark.read.parquet(out)
-                .groupBy("source")
-                .agg(F.sum("tokens_cut").cast("long").alias("tokens_cut"))
+            from .operators.text import punct_tokens_expr
+
+            # per-source cut totals of WRITTEN survivors from the sink
+            # files (cheap re-read, same reason as the count above) ...
+            written = spark.read.parquet(out).select("doc_id", "source", "tokens_cut")
+            kept_cuts = written.groupBy("source").agg(
+                F.sum("tokens_cut").cast("long").alias("__cut_kept")
             )
-            report = report.join(cuts, "source", "left").withColumn(
-                "tokens_cut", F.coalesce("tokens_cut", F.lit(0).cast("long"))
+            # ... plus the zero-kept docs (ADVICE r8: dropped-to-nothing
+            # docs appeared in no n_dropped_* column and their tokens
+            # were missing from tokens_cut, so the funnel didn't tie
+            # out). They are exactly the survivors absent from the sink;
+            # their cut size is their FULL token count — an anti-join on
+            # the persisted survivor frame, never a span-detection rerun.
+            zero_kept = (
+                surv.join(written.select("doc_id"), "doc_id", "left_anti")
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_dropped_cut"),
+                    F.sum(F.size(punct_tokens_expr(F.col("text"))))
+                    .cast("long")
+                    .alias("__cut_dropped"),
+                )
+            )
+            report = (
+                report.join(kept_cuts, "source", "left")
+                .join(zero_kept, "source", "left")
+                .withColumn("n_dropped_cut", F.coalesce("n_dropped_cut", F.lit(0).cast("long")))
+                .withColumn(
+                    "tokens_cut",
+                    (
+                        F.coalesce("__cut_kept", F.lit(0).cast("long"))
+                        + F.coalesce("__cut_dropped", F.lit(0).cast("long"))
+                    ).cast("long"),
+                )
+                .drop("__cut_kept", "__cut_dropped")
             )
         report.write.mode("overwrite").parquet(report_out)
     exact.unpersist()

@@ -184,13 +184,13 @@ def duplicated_spans_maximal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
       FROM dup
     ),
-    spans AS (
+    spans AS MATERIALIZED (
       SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
              CAST(COUNT(*) + 9 AS BIGINT) AS span_len
       FROM isl GROUP BY doc_id, grp
       HAVING COUNT(*) + 9 >= 50
     ),
-    ext AS (
+    ext AS MATERIALIZED (
       SELECT spans.doc_id, span_start, span_len,
              list_slice(t.w, span_start, span_start + span_len - 1) AS etoks
       FROM spans JOIN t ON spans.doc_id = t.doc_id
@@ -201,7 +201,7 @@ def duplicated_spans_maximal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i -> array_to_string(list_slice(etoks, i, i + L - 1), ' '))) AS wtext
       FROM ext JOIN lens ON len(etoks) >= L
     ),
-    occ AS (SELECT L, wtext, COUNT(*) AS c FROM win GROUP BY 1, 2)
+    occ AS MATERIALIZED (SELECT L, wtext, COUNT(*) AS c FROM win GROUP BY 1, 2)
     SELECT e.doc_id, e.span_start, e.span_len
     FROM ext e JOIN occ ON occ.L = e.span_len
                        AND occ.wtext = array_to_string(e.etoks, ' ')

@@ -953,8 +953,12 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     their full expected count to the statistic — dropping them would
     silently bias sparse tables toward independence. Everything past
     the first aggregate operates on the bounded |seg|x|pri| frame and
-    folds to one row. The categorical-association companion to the
-    correlation matrix."""
+    folds to one row; the margin densification broadcast-pins the
+    |pri|-row side so join selection stays BroadcastNestedLoopJoin at
+    every scale (Catalyst's propagated size estimates flip an unpinned
+    cross join to CartesianProduct once the inputs grow past the
+    broadcast threshold, even though both sides are category-bounded).
+    The categorical-association companion to the correlation matrix."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     ct = (
@@ -966,9 +970,9 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols_ = ct.groupBy("pri").agg(F.sum("n").cast("long").alias("col_n"))
     g = ct.agg(F.sum("n").cast("long").alias("grand_n"))
     grid = (
-        rows_.crossJoin(cols_)
+        rows_.crossJoin(F.broadcast(cols_))
         .crossJoin(F.broadcast(g))
-        .join(ct, ["seg", "pri"], "left")
+        .join(F.broadcast(ct), ["seg", "pri"], "left")
         .select("seg", "pri", "row_n", "col_n", "grand_n", F.coalesce("n", F.lit(0)).alias("n"))
     )
     e = F.col("row_n") * F.col("col_n") * 1.0 / F.col("grand_n")

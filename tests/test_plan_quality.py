@@ -150,17 +150,23 @@ def test_minhash_incremental_prunes_index_to_batch_buckets(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
-def test_every_query_plan_has_no_unexplained_scale_flags(spark, sf_dir):
+def test_every_query_plan_has_no_unexplained_scale_flags(spark):
     """Full-registry audit: single-partition exchanges, cartesian
     products, global windows, and row-at-a-time Python UDFs must all
-    be allowlisted with a justification (tools/plan_audit.py)."""
+    be allowlisted with a justification (tools/plan_audit.py).
+
+    Runs at sf0.01 — the driver's correctness scale — NOT the sf0.001
+    smoke dir, because join selection is statistics-dependent: round-8
+    verdict found chi_square_independence planned a CartesianProduct at
+    sf0.01+ while the sf0.001 audit saw a broadcast plan, so an audit
+    at smoke scale silently misses stats-triggered join-strategy flips."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import plan_audit
 
-    assert plan_audit.audit(sf_dir, spark=spark, skip_eager=True) == 0
+    assert plan_audit.audit("/root/testdata/sf0.01", spark=spark, skip_eager=True) == 0
 
 
 def test_bench_gate_logic(tmp_path):

@@ -533,20 +533,39 @@ def test_corpus_curation_job_surgical_cut_spans(spark, tmp_path):
     """cut_spans=true: the job rewrites survivor docs with their
     duplicated spans removed. Known-answer fixture: a self-repeating
     doc (prefix + block + block) keeps exactly its prefix and reports
-    tokens_cut = 2x block; a clean doc passes through verbatim with
-    tokens_cut 0; the report gains a tokens_cut column."""
+    tokens_cut = 2x block; a clean doc with ORIGINAL casing and
+    punctuation passes through byte-identical with tokens_cut 0
+    (ADVICE r8: untouched docs must not be lossy-normalized); a doc
+    that is nothing but a repeated block is cut to zero — dropped
+    from the sink, but its full token count lands in the report's
+    tokens_cut and it shows up in the new n_dropped_cut column so the
+    per-source funnel ties out."""
     from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.operators.text import langid_expr
     from classification_pyspark_spark.plans.planner import create_job_plan
     from classification_pyspark_spark.plans.runner import execute_job
 
     prefix = "the and of is to " + " ".join("h%d" % i for i in range(10))
     block = " ".join("b%02d" % i for i in range(60))
-    clean = "the and of is to " + " ".join("u%02d" % i for i in range(40))
+    clean = (
+        "The and of is to "
+        + " ".join("u%02d" % i for i in range(40))
+        + ", with Casing kept!"
+    )
+    cblock = " ".join("c%02d" % i for i in range(60))  # disjoint vocab: no
+    # shingles shared with doc 1, so the near-dup stage can't collapse it
+    all_cut = f"{cblock} {cblock}"
+    # lang must equal the heuristic's verdict or the lang filter eats the
+    # doc before the span stage — compute it rather than hardcoding
+    lang3 = spark.createDataFrame([(all_cut,)], "t string").select(
+        langid_expr("t").alias("lg")
+    ).first()["lg"]
     sf = str(tmp_path / "data")
     spark.createDataFrame(
         [
             (1, f"{prefix} {block} {block}", "en", "s0", 1),
             (2, clean, "en", "s1", 1),
+            (3, all_cut, lang3, "s2", 1),
         ],
         "doc_id long, text string, lang string, source string, n_chars int",
     ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
@@ -564,5 +583,9 @@ def test_corpus_curation_job_surgical_cut_spans(spark, tmp_path):
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert got[1]["text"] == prefix and got[1]["tokens_cut"] == 120
     assert got[2]["text"] == clean and got[2]["tokens_cut"] == 0
+    assert 3 not in got  # cut to nothing -> dropped from the sink
     rep = {r["source"]: r for r in spark.read.parquet(report).collect()}
     assert rep["s0"]["tokens_cut"] == 120 and rep["s1"]["tokens_cut"] == 0
+    assert rep["s2"]["tokens_cut"] == 120  # zero-kept doc's FULL token count
+    assert rep["s2"]["n_dropped_cut"] == 1
+    assert rep["s0"]["n_dropped_cut"] == 0 and rep["s1"]["n_dropped_cut"] == 0
