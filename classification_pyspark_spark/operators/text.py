@@ -313,6 +313,76 @@ def top_ngrams(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select("gram", "n", "rank")
 
 
+def top_ngrams_capped(
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    top_k: int = 20,
+    min_count: int = 10,
+    bucket_hex: int = 5,
+) -> DataFrame:
+    """Production cap variant of :func:`top_ngrams` (the PLANS.md
+    inherent-cost note made concrete): a ``min_count`` support floor
+    enforced through a hashed-bucket candidate pre-filter, so the
+    gram-keyed count aggregate shuffles only candidate grams — never
+    the full n-gram vocabulary, which on template-synthetic or web
+    corpora is combinatorial (sf1: 2.23M distinct bigrams for 3.9M
+    occurrences — map-side combine compresses ~2x and the exchange
+    carries most of the gram stream).
+
+    Two column-pruned passes over the gram stream, vocabulary never
+    shuffled:
+
+    1. **bucket pass** — gram -> ``4*bucket_hex``-bit md5-prefix
+       bucket id; the per-bucket count aggregate's map-side combine
+       caps every task's exchange output at ``16^bucket_hex``
+       fixed-width rows regardless of vocabulary size. A bucket's
+       total count bounds every member gram's count from above, so
+       buckets with total < ``min_count`` cannot contain a qualifying
+       gram and are dropped.
+    2. **recount pass** — the surviving bucket ids (hot grams +
+       collision pileups; a few thousand at sf1 for the defaults)
+       broadcast-semi-join the gram stream BEFORE the gram aggregate,
+       so the only vocabulary-keyed shuffle carries hot-bucket grams.
+       The recount is exact and the ``HAVING n >= min_count`` floor
+       evicts collision hitchhikers.
+
+    Exactness contract: candidates are a guaranteed superset of
+    ``{gram : count >= min_count}`` (no false negatives), the recount
+    is exact, so the result is the exact top-``top_k`` over the
+    floored domain — identical to :func:`top_ngrams` whenever the
+    k-th count clears the floor (it does at every test scale: the
+    20th bigram count is 42 at sf0.01, 1108 at sf1, vs the default
+    floor of 10). Same two-pass posture as
+    ``operators/heavy_hitters.py``, with a deterministic bucket hash
+    instead of Misra-Gries so the candidate set is partition-layout
+    independent and the DuckDB oracle can assert the plain
+    ``HAVING``-floor semantics.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 0,
+    )
+    gram_stream = df.select(F.explode(_word_grams(toks, n)).alias("gram"))
+    bucket = F.conv(F.substring(F.md5(F.col("gram")), 1, bucket_hex), 16, 10).cast("long")
+    hot_buckets = (
+        gram_stream.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") >= min_count)
+        .select("b")
+    )
+    counts = (
+        gram_stream.withColumn("b", bucket)
+        .join(F.broadcast(hot_buckets), "b", "left_semi")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("gram")).limit(top_k)
+    w = Window.orderBy(F.desc("n"), F.asc("gram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select("gram", "n", "rank")
+
+
 def _word_grams(toks: Column, n: int) -> Column:
     """Word n-grams from a token array (codegen; guards the descending
     sequence() when the doc is shorter than n)."""

@@ -71,69 +71,70 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 8 window: CORRECTNESS_r07 went 50/50
-# green (cumulative driver coverage 227/227), so the never-driver-checked
-# candidates are only the 2 queries REGISTERED this round (first 2
-# slots); the remaining 48 are pure freshness re-verification, filled
-# with the queries whose LAST driver-green row is oldest — the 27
-# r03-vintage rows, then the earliest r04 rows.
+# tools/check_oracle.py).  Round 9 window: CORRECTNESS_r08 went 50/50
+# green (cumulative driver coverage 231/231 — no never-checked oracles
+# remained), so the only never-driver-checked candidate is the 1 query
+# REGISTERED this round (first slot); the remaining 49 are pure
+# freshness re-verification, filled with the queries whose LAST
+# driver-green row is oldest — the r04-vintage rows, then the earliest
+# r05 rows.
 # Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- round-8 registrations (never driver-checked, registry order) ---
-    "duplicated_spans_exact",
-    "duplicated_spans_cover",
-    "corpus_curation_surgical",
-    "substring_dedup_rewrite",
+    # --- round-9 registrations (never driver-checked, registry order) ---
+    "top_bigrams_capped",
     # --- re-verification: stalest driver-green rows (last green in
-    # r03 — 27 rows — then the earliest r04 rows) ---
-    "describe_numeric_approx",
-    "target_encode",
-    "ntile_quantile_bins",
-    "scaling_minmax_standard",
-    "impute_missing",
-    "regression_metrics",
-    "auc_roc",
-    "woe_iv",
-    "token_zipf",
-    "streaming_dedup_user_types",
-    "scd2_user_status_intervals",
-    "semi_anti_joins",
-    "cube_rollup",
-    "date_parse_roundtrip",
-    "threshold_sweep",
-    "asof_join_last_view_before_purchase",
-    "label_encode_stringindexer",
-    "grouped_pandas_zscore",
-    "skew_salted_join_agg",
-    "deterministic_hash_split",
-    "range_join_value_bands",
-    "rolling_spend_30d",
-    "funnel_view_to_purchase",
-    "psi_drift",
-    "cdc_merge_upsert",
-    "incremental_agg_maintenance",
-    "window_percent_rank_cume",
-    "embedding_dedup_clusters",
-    "media_resize_thumbs",
-    "training_export",
-    "duplicated_ngram_spans",
-    "tfidf_cosine_pairs",
-    "corpus_mix_sample",
-    "negative_sampling_pairs",
-    "ordinal_encode",
-    "onehot_indicators",
-    "binning_fixed_width",
-    "binning_explicit_splits",
-    "outlier_cap",
-    "binary_classification_metrics",
-    "json_props_extract",
-    "window_tumbling_hourly",
-    "window_sliding_30min",
-    "calibration_curve",
-    "auc_by_segment",
-    "per_group_ols",
+    # r04 — 31 rows — then the earliest r05 rows) ---
+    "ewma_customer_spend",
+    "ab_test_proportion_ztest",
+    "chi_square_independence",
+    "boxplot_stats_lineitem",
+    "residual_distribution",
+    "pred_vs_actual_binned",
+    "class_density_histogram",
+    "rollup_time_multigrain",
+    "pagerank_supplier_influence",
+    "repetition_stats",
+    "gopher_quality_rules",
+    "retention_cohorts",
+    "key_skew_report",
+    "union_distinct_intersect_except",
+    "clean_strings",
+    "confusion_cells",
+    "simhash_hamming_pairs",
+    "streaming_tumbling_counts",
+    "streaming_session_windows",
+    "streaming_stateful_user_stats",
+    "bm25_keyword_topk",
+    "k_anonymity_profile",
+    "acf_daily_revenue",
+    "mad_robust_outliers",
+    "incremental_distinct_sketch",
+    "unpivot_measures",
+    "view_abandonment_daily",
+    "feature_hash_buckets",
+    "table_diff_reconciliation",
+    "join_cardinality_estimate",
+    "sliding_distinct_users_sketch",
+    "flagship_customer_features",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "dedup_keep_first",
+    "heavy_hitters_tokens",
+    "udtf_word_windows",
+    "anomaly_rolling_zscore",
+    "distributed_exact_quantiles",
+    "gaps_islands_activity",
+    "dedup_exact_text",
+    "minhash_signatures",
+    "minhash_dup_pairs",
+    "minhash_incremental_dedup",
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+    "embedding_dup_pairs",
+    "embedding_incremental_dedup",
 ]
 
 

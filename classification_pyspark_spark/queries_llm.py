@@ -686,6 +686,53 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "top_bigrams_capped",
+    sql=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> len(t) > 0) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks
+    ),
+    counts AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY gram
+      HAVING COUNT(*) >= 10
+    )
+    SELECT gram, n,
+           CAST(row_number() OVER (ORDER BY n DESC, gram ASC) AS INT) AS rank
+    FROM counts ORDER BY rank LIMIT 20
+    """,
+)
+def top_bigrams_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top_bigrams`` with the production min_count floor enforced
+    PRE-SHUFFLE (the cap variant PLANS.md's inherent-cost note
+    sketches): an md5-prefix hashed-bucket candidate pass whose
+    exchange is capped at 2^20 FIXED-WIDTH rows per task no matter
+    how large the vocabulary grows (the uncapped twin's exchange is
+    vocabulary-keyed — billions of string keys at 100 TB), and only
+    grams in buckets totalling >= 10 reach the vocabulary-keyed count
+    aggregate — at sf1 the gram exchange shrinks from 2.23M distinct
+    bigrams to the ~1.4k qualifying ones plus collision hitchhikers.
+    Measured at sf1: total shuffle bytes 61 MB -> 36 MB (the bucket
+    pass pays ~35 MB of fixed-width partials on this adversarially
+    flat synthetic bigram domain) at the cost of a second tokenize
+    pass — the trade a network-bound cluster wants and a
+    single-machine CPU-bound run doesn't, which is why this is the
+    ``_capped`` twin and not the default. Exact over the floored
+    domain (bucket total bounds member-gram counts, so no false
+    negatives; the recount + HAVING floor are exact), which is what
+    the oracle asserts: the plain ``HAVING >= 10`` top-20 with no
+    bucket machinery visible."""
+    from .operators.text import top_ngrams_capped
+
+    d = spread_for_compute(load_table(spark, sf_dir, "documents"))
+    return top_ngrams_capped(d, "text", n=2, top_k=20, min_count=10)
+
+
+@query(
     "embedding_centroids",
     sql="""
     SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(v), 4) AS centroid_v

@@ -150,6 +150,23 @@ def test_minhash_incremental_prunes_index_to_batch_buckets(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_top_bigrams_capped_prunes_gram_shuffle(spark, sf_dir):
+    """The cap twin's vocabulary-keyed count aggregate must consume the
+    bucket-pruned gram stream: a broadcast LEFT SEMI join against the
+    hot-bucket ids sits between the corpus scan and the gram count
+    HashAggregate (tree prints top-down, so that aggregate appears
+    before the semi join), and nothing plans a cartesian or a
+    single-partition exchange."""
+    plan = _plan(QUERIES["top_bigrams_capped"](spark, sf_dir))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    semi = plan.index("LeftSemi")
+    assert "HashAggregate" in plan[:semi], (
+        "gram count aggregate must sit above the bucket semi join"
+    )
+
+
 def test_every_query_plan_has_no_unexplained_scale_flags(spark):
     """Full-registry audit: single-partition exchanges, cartesian
     products, global windows, and row-at-a-time Python UDFs must all
