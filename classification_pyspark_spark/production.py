@@ -417,3 +417,46 @@ def ingest_documents_neardup_job(spark: SparkSession, params: dict) -> TaskStatu
     except AnalysisException:  # empty landing zone
         n = 0
     return TaskStatus(True, f"near-dup-deduped corpus at {params['sink']}: {n} documents")
+
+
+@register_processor("corpus-ingest", "ingest-documents-cutspans")
+def ingest_documents_cutspans_job(spark: SparkSession, params: dict) -> TaskStatus:
+    """Surgical span-cut streaming ingest as an orchestrated job — the
+    Lee-style twin of ``ingest-documents``: instead of vetoing whole
+    arriving documents, duplicated >= ``min_span``-token spans
+    (batch-local repeats OR matches against the persistent gram-hash
+    index of everything previously seen) are CUT from the text at
+    write time; untouched docs land byte-identical, docs cut to
+    nothing are dropped, and every sink row carries ``tokens_cut``.
+    Params: landing/sink/index/checkpoint (+ optional span_n /
+    min_span, defaults 10/50 — the registry/production cut knobs)."""
+    from .streaming.corpus import (
+        ingest_documents_cutspans,
+        read_corpus,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(
+        spark,
+        params["landing"],
+        max_files_per_trigger=int(params.get("max_files_per_trigger", 8)),
+    )
+    ingest_documents_cutspans(
+        stream,
+        params["sink"],
+        params["index"],
+        params["checkpoint"],
+        n=int(params.get("span_n", 10)),
+        min_span=int(params.get("min_span", 50)),
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        corpus = read_corpus(spark, params["sink"])
+        n = corpus.count()
+        cut = corpus.agg(F.sum("tokens_cut")).first()[0] or 0
+    except AnalysisException:  # empty landing zone
+        n, cut = 0, 0
+    return TaskStatus(
+        True, f"span-cut corpus at {params['sink']}: {n} documents, {cut} tokens cut"
+    )

@@ -280,3 +280,152 @@ def _ingest_batch_neardup_body(
         # tracked — a process-wide release_tracked() here would also
         # drop persists belonging to registry queries running
         # concurrently in the same session.
+
+
+# ---------------------------------------------------------------------------
+# Surgical span dedup at ingest — the streaming face of the Lee-style
+# exact-substring family (duplicated_span_extents / span_cut_rewrite /
+# production cut_spans). Where the exact/near-dup ingests VETO whole
+# arriving documents, this mode CUTS the duplicated token spans out of
+# them at write time and keeps the rest: the index rows are the 64-bit
+# rolling n-gram hashes of every ORIGINAL text ever seen (duplication
+# is a property of what was SEEN, not of what was kept — indexing the
+# post-cut text would hide the first occurrence and let the second
+# copy through verbatim). Same epoch-keyed idempotence contract as the
+# other two ingests.
+# ---------------------------------------------------------------------------
+def ingest_documents_cutspans(
+    docs: DataFrame,
+    sink_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    n: int = 10,
+    min_span: int = 50,
+) -> None:
+    """Drain the stream (availableNow) through the span-cut ingest."""
+    (
+        docs.writeStream.foreachBatch(
+            lambda batch, epoch_id: ingest_batch_cutspans(
+                batch, epoch_id, sink_path, index_path,
+                checkpoint_tag=checkpoint_path, n=n, min_span=min_span,
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def ingest_batch_cutspans(
+    batch: DataFrame,
+    epoch_id: int,
+    sink_path: str,
+    index_path: str,
+    checkpoint_tag: str | None = None,
+    n: int = 10,
+    min_span: int = 50,
+) -> None:
+    """One foreachBatch span-cut ingest step.
+
+    1. per-position rolling n-gram hashes of the batch texts
+       (``text.rolling_gram_hash_sql`` — NULL text grams as empty
+       text, same posture as the digest ingest);
+    2. a gram position is DUPLICATED when its hash occurs >= 2 times
+       within the batch OR at least once in index epochs < N (the
+       batch's own replayed index rows never mark it). The index
+       probe BROADCASTS the batch's distinct gram-hash set and
+       semi-joins the index against it, so the index — the only
+       corpus-sized frame — is a shuffle-free columnar scan of one
+       8-byte column and everything exchanged is batch-bounded:
+       per-trigger cost O(batch + probe), never O(corpus-text);
+    3. maximal runs of duplicated positions become cut spans
+       (gaps-and-islands over the batch-bounded dup-position frame;
+       a run s..e covers tokens s..e+n-1, kept when >= ``min_span``)
+       and :func:`~..operators.dedup_fuzzy.span_cut_rewrite` removes
+       them — untouched docs keep their ORIGINAL text byte-for-byte,
+       cut docs carry the canonical punct rewrite plus its cost in a
+       ``tokens_cut`` column, docs cut to nothing are dropped;
+    4. surviving docs -> ``sink/epoch=N``; the batch's DISTINCT
+       ORIGINAL gram hashes -> ``index/epoch=N`` — overwrite both, so
+       checkpoint replay recomputes the identical cut set and is
+       idempotent by construction.
+
+    Semantics vs the batch pass: on any corpus where a cross-epoch
+    duplicated span was ALSO duplicated within the epoch that first
+    saw it, the accumulated sink equals ``substring_dedup_rewrite``
+    of the full corpus. A span whose first occurrence was unique at
+    its write time keeps that first copy (the sink is write-once;
+    the batch pass would cut every occurrence) — exactly Lee et
+    al.'s keep-one posture, and the later copies are still cut.
+    """
+    from ..operators.dedup_fuzzy import span_cut_rewrite
+    from ..operators.text import punct_tok_sql, rolling_gram_hash_sql
+
+    spark = batch.sparkSession
+    _check_tag(spark, sink_path, checkpoint_tag)
+    safe = batch.withColumn("__text", F.coalesce(F.col("text"), F.lit(""))).persist()
+    grams = F.expr(rolling_gram_hash_sql(punct_tok_sql("__text"), n, distinct=False, pad_short=False))
+    stream = (
+        safe.select(F.col("doc_id"), F.posexplode(grams).alias("p0", "gk"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gk")
+        .persist()
+    )
+    batch_dup = (
+        stream.groupBy("gk").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gk")
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = spark.read.parquet(index_path).filter(F.col("epoch") < int(epoch_id))
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        index = None
+    dup_gk = batch_dup
+    if index is not None:
+        idx_hits = (
+            index.join(F.broadcast(stream.select("gk").distinct()), "gk", "left_semi")
+            .select("gk")
+            .distinct()
+        )
+        dup_gk = batch_dup.unionByName(idx_hits).distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        stream.join(F.broadcast(dup_gk), "gk", "left_semi")
+        .select("doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp"))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.count(F.lit(1)) + (n - 1)).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+        .select("doc_id", "span_start", "span_len")
+    )
+    rew = span_cut_rewrite(safe, spans, "__text", "doc_id")
+    accepted = (
+        safe.join(rew, "doc_id")
+        .filter(F.col("n_kept") > 0)
+        .select(
+            "doc_id",
+            F.when(F.col("n_kept") == F.col("n_tokens"), F.col("text"))
+            .otherwise(F.col("kept_text"))
+            .alias("text"),
+            "lang",
+            "source",
+            (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("tokens_cut"),
+        )
+        .withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))).cast("long"))
+    )
+    try:
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"epoch={int(epoch_id)}")
+        )
+        stream.select("gk").distinct().write.mode("overwrite").parquet(
+            os.path.join(index_path, f"epoch={int(epoch_id)}")
+        )
+    finally:
+        stream.unpersist()
+        safe.unpersist()

@@ -185,3 +185,113 @@ def test_read_corpus_as_of_epoch_time_travel(spark, sf_dir, tmp_path_factory):
     assert full > n0
     assert read_corpus(spark, sink, as_of_epoch=0).count() == n0
     assert read_corpus(spark, sink, as_of_epoch=1).count() == full
+
+
+# ---------------------------------------------------------------------------
+# Surgical span-cut ingest (round-9: the streaming face of the
+# substring_dedup_rewrite / production cut_spans family).
+# ---------------------------------------------------------------------------
+_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+_PREFIX_A = "the and of is to " + " ".join("a%d" % i for i in range(10))
+_BLOCK_X = " ".join("x%02d" % i for i in range(60))
+_CLEAN_B = "The quick Brown fox, " + " ".join("u%02d" % i for i in range(40)) + " — Casing kept!"
+_PREFIX_C = "we you they he she " + " ".join("c%d" % i for i in range(10))
+_CLEAN_D = "another Clean document: " + " ".join("v%02d" % i for i in range(40))
+
+
+def _cutspans_fixture(spark):
+    """Epoch 0: docA self-repeats block X (both copies duplicated
+    batch-locally) + clean docB. Epoch 1: docC carries ONE copy of X
+    (duplicated only via the gram index), clean docD, and docE that is
+    nothing but X (cut to zero). Every cross-epoch duplicated span was
+    batch-locally duplicated at first sight, so the documented
+    contract says the accumulated sink equals the batch rewrite."""
+    e0 = spark.createDataFrame(
+        [
+            (1, f"{_PREFIX_A} {_BLOCK_X} {_BLOCK_X}", "en", "s0", 1),
+            (2, _CLEAN_B, "en", "s0", 1),
+        ],
+        _SCHEMA,
+    )
+    e1 = spark.createDataFrame(
+        [
+            (3, f"{_PREFIX_C} {_BLOCK_X}", "en", "s1", 1),
+            (4, _CLEAN_D, "en", "s1", 1),
+            (5, _BLOCK_X, "en", "s1", 1),
+        ],
+        _SCHEMA,
+    )
+    return e0, e1
+
+
+def test_cutspans_ingest_equals_batch_rewrite(spark, tmp_path_factory):
+    """Cut-at-ingest across two triggers reproduces the batch
+    substring_dedup_rewrite of the full corpus: per-doc tokens_cut
+    identical, cut docs carry the rewrite text, untouched docs keep
+    their ORIGINAL text byte-for-byte (casing/punctuation intact),
+    and the doc cut to nothing is dropped from the sink."""
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        duplicated_span_extents,
+        span_cut_rewrite,
+    )
+    from classification_pyspark_spark.streaming.corpus import (
+        ingest_documents_cutspans,
+    )
+
+    base = tmp_path_factory.mktemp("cutspans")
+    landing = str(base / "landing")
+    sink, index, ckpt = str(base / "sink"), str(base / "index"), str(base / "ckpt")
+    e0, e1 = _cutspans_fixture(spark)
+
+    # two availableNow drains on one checkpoint -> epochs 0 and 1
+    e0.coalesce(1).write.mode("append").parquet(landing)
+    ingest_documents_cutspans(read_documents_stream(spark, landing), sink, index, ckpt)
+    e1.coalesce(1).write.mode("append").parquet(landing)
+    ingest_documents_cutspans(read_documents_stream(spark, landing), sink, index, ckpt)
+
+    got = {r["doc_id"]: r for r in read_corpus(spark, sink).collect()}
+
+    full = e0.unionByName(e1)
+    spans = duplicated_span_extents(full, "text", "doc_id")
+    rew = {r["doc_id"]: r for r in span_cut_rewrite(full, spans, "text", "doc_id").collect()}
+    originals = {r["doc_id"]: r["text"] for r in full.collect()}
+
+    assert set(got) == {d for d, r in rew.items() if r["n_kept"] > 0}
+    for d, r in got.items():
+        want_cut = rew[d]["n_tokens"] - rew[d]["n_kept"]
+        assert r["tokens_cut"] == want_cut, (d, r["tokens_cut"], want_cut)
+        if want_cut == 0:
+            assert r["text"] == originals[d]  # byte-identical passthrough
+        else:
+            assert r["text"] == rew[d]["kept_text"]
+    # known answers: A keeps its prefix (120 cut), C keeps its prefix
+    # (60 cut via the index), E (pure block) is gone
+    assert got[1]["text"] == _PREFIX_A.lower() and got[1]["tokens_cut"] == 120
+    assert got[3]["tokens_cut"] == 60
+    assert got[2]["text"] == _CLEAN_B and got[4]["text"] == _CLEAN_D
+    assert 5 not in got
+
+
+def test_cutspans_ingest_replay_is_idempotent(spark, tmp_path_factory):
+    """Replaying epoch 1 (as after a crash before checkpoint commit)
+    recomputes the identical cut set: its own epoch-1 index rows are
+    excluded from the probe, and both outputs overwrite."""
+    from classification_pyspark_spark.streaming.corpus import (
+        ingest_batch_cutspans,
+    )
+
+    base = tmp_path_factory.mktemp("cutspans_replay")
+    sink, index = str(base / "sink"), str(base / "index")
+    e0, e1 = _cutspans_fixture(spark)
+    ingest_batch_cutspans(e0, 0, sink, index, checkpoint_tag="ck")
+    ingest_batch_cutspans(e1, 1, sink, index, checkpoint_tag="ck")
+    snap = sorted(
+        (r["doc_id"], r["text"], r["tokens_cut"])
+        for r in read_corpus(spark, sink).collect()
+    )
+    ingest_batch_cutspans(e1, 1, sink, index, checkpoint_tag="ck")
+    again = sorted(
+        (r["doc_id"], r["text"], r["tokens_cut"])
+        for r in read_corpus(spark, sink).collect()
+    )
+    assert snap == again and len(snap) == 4

@@ -496,6 +496,49 @@ def test_corpus_ingest_neardup_job(spark, sf_dir, tmp_path):
     assert spark.read.parquet(params["sink"]).count() == n1
 
 
+def test_corpus_ingest_cutspans_job(spark, sf_dir, tmp_path):
+    """The surgical twin of the ingest job: the orchestrated run drains
+    the landing zone through the span-cut ingest (docs land with their
+    duplicated spans removed and a tokens_cut column); a rerun with
+    nothing new landed changes nothing — the checkpoint skips the seen
+    files, so the write-once sink is stable."""
+    from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    landing = str(tmp_path / "landing")
+    load_table(spark, sf_dir, "documents").limit(80).repartition(2).write.parquet(landing)
+    params = {
+        "landing": landing,
+        "sink": str(tmp_path / "corpus"),
+        "index": str(tmp_path / "index"),
+        "checkpoint": str(tmp_path / "ckpt"),
+    }
+    plan_cfg = {
+        "name": "corpus-ingest",
+        "stages": [
+            {"name": "ingest",
+             "tasks": [{"name": "ingest-documents-cutspans", "params": params}]}
+        ],
+    }
+    results = execute_job(spark, create_job_plan(plan_cfg))
+    assert all(v.success for v in results.values()), results
+    corpus = spark.read.parquet(params["sink"])
+    n1 = corpus.count()
+    assert 0 < n1 <= 80
+    assert "tokens_cut" in corpus.columns
+    snap = sorted((r["doc_id"], r["tokens_cut"]) for r in corpus.collect())
+
+    results2 = execute_job(spark, create_job_plan(plan_cfg))
+    assert all(v.success for v in results2.values())
+    again = sorted(
+        (r["doc_id"], r["tokens_cut"])
+        for r in spark.read.parquet(params["sink"]).collect()
+    )
+    assert again == snap
+
+
 def test_curation_keeps_higher_quality_near_dup(spark, tmp_path):
     """Near-dup removal keeps the best-quality copy, not the lowest id."""
     from classification_pyspark_spark import production  # noqa: F401
