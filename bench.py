@@ -129,6 +129,10 @@ HEADLINE = [
     "corpus_curation_surgical",
     "substring_dedup_rewrite",
     "duplicated_spans_cover",
+    # round-9: the pre-shuffle min_count cap twin (bucket-bounded first
+    # exchange; the network-bound-cluster knob for the top_bigrams
+    # inherent-cost case)
+    "top_bigrams_capped",
 ]
 
 

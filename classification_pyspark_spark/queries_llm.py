@@ -719,13 +719,14 @@ def top_bigrams_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured at sf1: total shuffle bytes 61 MB -> 36 MB (the bucket
     pass pays ~35 MB of fixed-width partials on this adversarially
     flat synthetic bigram domain) at the cost of a second tokenize
-    pass — the trade a network-bound cluster wants and a
-    single-machine CPU-bound run doesn't, which is why this is the
-    ``_capped`` twin and not the default. Exact over the floored
-    domain (bucket total bounds member-gram counts, so no false
-    negatives; the recount + HAVING floor are exact), which is what
-    the oracle asserts: the plain ``HAVING >= 10`` top-20 with no
-    bucket machinery visible."""
+    pass (string-free: rolling 64-bit gram hashes, each token hashed
+    once) — fresh-session sf1 8.9s vs the uncapped 12.1s, sf10 89s vs
+    73s: the byte trade a network-bound cluster wants, roughly
+    wall-clock-neutral on a single CPU-bound machine. Exact over the
+    floored domain (bucket total bounds member-gram counts, hash
+    collisions included, so no false negatives; the recount + HAVING
+    floor are exact), which is what the oracle asserts: the plain
+    ``HAVING >= 10`` top-20 with no bucket machinery visible."""
     from .operators.text import top_ngrams_capped
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))

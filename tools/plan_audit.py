@@ -248,6 +248,13 @@ ALLOWLIST: dict[str, dict[str, str]] = {
         "single_partition": "vocabulary-sized top-k",
         "global_window": "vocabulary-sized rank",
     },
+    "top_bigrams_capped": {
+        "single_partition": "rank/merge of the <= top_k rows surviving "
+        "the limit — the vocabulary never reaches this stage (bucket "
+        "semi-join + HAVING floor upstream)",
+        "global_window": "rank over the <= top_k surviving rows (the "
+        "row_number consumes the limit output, not the vocabulary)",
+    },
     "tfidf_top_terms": {"single_partition": "1-row corpus count broadcast"},
     "minhash_dup_pairs": {"single_partition": "band-signature agg is doc-keyed; "
                           "the 1-row exchange is the injected-dup count check"},
