@@ -317,6 +317,20 @@ def ingest_documents_cutspans(
     )
 
 
+def index_gram_hits(index: DataFrame, stream: DataFrame) -> DataFrame:
+    """Gram hashes of ``stream`` (column ``gk``) that exist in the
+    persistent index: the index — the only corpus-sized frame — is
+    semi-joined against a BROADCAST of the batch's distinct hash set,
+    so its scan is shuffle-free (BroadcastHashJoin, never a sort-merge
+    or shuffled-hash join) and everything exchanged is batch-bounded.
+    Factored out so the plan contract is directly testable."""
+    return (
+        index.join(F.broadcast(stream.select("gk").distinct()), "gk", "left_semi")
+        .select("gk")
+        .distinct()
+    )
+
+
 def ingest_batch_cutspans(
     batch: DataFrame,
     epoch_id: int,
@@ -386,12 +400,7 @@ def ingest_batch_cutspans(
         index = None
     dup_gk = batch_dup
     if index is not None:
-        idx_hits = (
-            index.join(F.broadcast(stream.select("gk").distinct()), "gk", "left_semi")
-            .select("gk")
-            .distinct()
-        )
-        dup_gk = batch_dup.unionByName(idx_hits).distinct()
+        dup_gk = batch_dup.unionByName(index_gram_hits(index, stream)).distinct()
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         stream.join(F.broadcast(dup_gk), "gk", "left_semi")

@@ -295,3 +295,31 @@ def test_cutspans_ingest_replay_is_idempotent(spark, tmp_path_factory):
         for r in read_corpus(spark, sink).collect()
     )
     assert snap == again and len(snap) == 4
+
+
+def test_cutspans_index_probe_never_shuffles_the_index(spark, tmp_path_factory):
+    """The scale contract of the span-cut ingest's index probe: the
+    corpus-sized gram index is consumed by a broadcast semi join
+    against the batch's distinct hash set — a shuffle-free index scan
+    (BroadcastHashJoin), never a sort-merge or shuffled-hash join that
+    would exchange the index."""
+    from classification_pyspark_spark.streaming.corpus import (
+        index_gram_hits,
+        ingest_batch_cutspans,
+    )
+
+    base = tmp_path_factory.mktemp("cutspans_plan")
+    sink, index_path = str(base / "sink"), str(base / "index")
+    e0, _ = _cutspans_fixture(spark)
+    ingest_batch_cutspans(e0, 0, sink, index_path, checkpoint_tag="ck")
+    index = spark.read.parquet(index_path).filter(F.col("epoch") < 1)
+    stream = spark.createDataFrame([(1,), (2,), (3,)], "gk long")
+    plan = (
+        index_gram_hits(index, stream)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
