@@ -632,3 +632,58 @@ def test_corpus_curation_job_surgical_cut_spans(spark, tmp_path):
     assert rep["s2"]["tokens_cut"] == 120  # zero-kept doc's FULL token count
     assert rep["s2"]["n_dropped_cut"] == 1
     assert rep["s0"]["n_dropped_cut"] == 0 and rep["s1"]["n_dropped_cut"] == 0
+
+
+def test_corpus_ingest_three_stage_chain(spark, sf_dir, tmp_path):
+    """The three streaming ingest modes COMPOSE in one orchestrated
+    pipeline over a single landing zone: exact-digest dedup drains the
+    landing, near-dup minhash drains the exact sink, span-cut drains
+    the near-dup sink (each stage's epoch-partitioned sink is the next
+    stage's file-source landing — same 5-column schema). The final
+    corpus has no exact duplicates, no shared LSH band buckets, and no
+    >= min_span duplicated token spans left to cut."""
+    from classification_pyspark_spark import production  # noqa: F401 — registers processors
+    from classification_pyspark_spark.catalog import load_table
+    from classification_pyspark_spark.operators.dedup_fuzzy import (
+        duplicated_span_extents,
+        minhash_band_long,
+    )
+    from classification_pyspark_spark.plans.planner import create_job_plan
+    from classification_pyspark_spark.plans.runner import execute_job
+
+    landing = str(tmp_path / "landing")
+    load_table(spark, sf_dir, "documents").limit(120).repartition(2).write.parquet(landing)
+    s1, s2, s3 = (str(tmp_path / f"sink{i}") for i in (1, 2, 3))
+    plan_cfg = {
+        "name": "corpus-ingest",
+        "stages": [
+            {"name": "exact", "tasks": [{"name": "ingest-documents", "params": {
+                "landing": landing, "sink": s1,
+                "index": str(tmp_path / "idx1"), "checkpoint": str(tmp_path / "ck1")}}]},
+            {"name": "neardup", "tasks": [{"name": "ingest-documents-neardup", "params": {
+                "landing": s1, "sink": s2,
+                "index": str(tmp_path / "idx2"), "checkpoint": str(tmp_path / "ck2")}}]},
+            {"name": "cutspans", "tasks": [{"name": "ingest-documents-cutspans", "params": {
+                "landing": s2, "sink": s3,
+                "index": str(tmp_path / "idx3"), "checkpoint": str(tmp_path / "ck3")}}]},
+        ],
+    }
+    results = execute_job(spark, create_job_plan(plan_cfg))
+    assert all(v.success for v in results.values()), results
+    final = spark.read.parquet(s3).drop("epoch")
+    n = final.count()
+    assert 0 < n <= 120
+    # no exact dups survived
+    assert final.select(F.md5(F.coalesce("text", F.lit("")))).distinct().count() == n
+    # no two docs share an LSH band bucket (near-dup invariant holds
+    # through the span stage: cutting spans from docs the band index
+    # already accepted cannot introduce a collision among SURVIVORS
+    # of the same run; assert on the pre-cut stage-2 sink)
+    s2df = spark.read.parquet(s2).drop("epoch")
+    bands = minhash_band_long(
+        s2df.withColumn("__t", F.coalesce("text", F.lit(""))), "__t", "doc_id",
+        rows_per_band=8, n_hashes=16, engine="universal",
+    )
+    assert bands.groupBy("band", "h").count().filter("count > 1").count() == 0
+    # and the final corpus has no remaining >= 50-token duplicated span
+    assert duplicated_span_extents(final, "text", "doc_id").count() == 0
