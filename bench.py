@@ -236,6 +236,22 @@ def main() -> None:
             # +0.5 s absolute before calling it a regression.
             med = sorted(deltas.values())[len(deltas) // 2] if deltas else 1.0
             out["baseline_drift"] = round(med, 2)
+            # Diagnostic (not a gate input): per-size-cohort drift
+            # medians. Host contention is not always uniform — observed
+            # 2026-08-17: the synthetic probe read QUIET (0.96x) while
+            # query-domain anchors ran 1.73x and sub-second queries
+            # 3-4x (scheduling/latency-bound, invisible to a
+            # throughput probe). When the sub-1s cohort median is far
+            # above the over-1s cohort median, a regression list
+            # dominated by small queries is that contention profile,
+            # not a plan change — adjudicate with isolated min-of-4
+            # retimes before believing it.
+            sub = sorted(d for n, d in deltas.items() if eff_base.get(n, 9.0) < 1.0)
+            over = sorted(d for n, d in deltas.items() if eff_base.get(n, 0.0) >= 1.0)
+            out["cohort_drift"] = {
+                "sub_1s": round(sub[len(sub) // 2], 2) if sub else None,
+                "over_1s": round(over[len(over) // 2], 2) if over else None,
+            }
             # Two regression signals:
             # - moderate ratio-over-drift with a solid absolute delta
             #   (>0.5 s) — catches real slowdowns on the bigger queries;
