@@ -617,7 +617,10 @@ def bigram_lm_perplexity(
     over the doc's bigrams) is unchanged at any collision-free scale.
 
     The unigram join stays broadcast-eligible — unigrams ARE
-    vocabulary-bounded — and V rides along as a 1-row broadcast. The
+    vocabulary-bounded. In ``window`` mode V is folded onto the
+    unigram frame (count window over the vocabulary) so (c1, v)
+    arrive in one forced broadcast; in ``join`` mode V rides along as
+    a 1-row broadcast and AQE picks the unigram join strategy. The
     corpus never collects to the driver.
 
     Output: (``id_col``, n_bigrams long, ppl double rounded 4,
@@ -657,7 +660,6 @@ def bigram_lm_perplexity(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
-    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
     bg = (
         toks.filter(F.size("w") >= 2)
         .select(F.col(id_col), F.explode(F.expr(pair_expr)).alias("p"))
@@ -667,17 +669,38 @@ def bigram_lm_perplexity(
         counted = bg.withColumn(
             "cbg", F.count(F.lit(1)).over(Window.partitionBy("bk")).cast("long")
         )
-    else:
-        bgc = bg.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("cbg"))
-        counted = bg.join(bgc.hint("shuffle_hash"), "bk")
-    scored = (
-        counted.join(uni.withColumnRenamed("tok", "w1"), "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
+        # small/mid-corpus mode: V rides ON the unigram frame via a
+        # count window over the whole (vocabulary-bounded, broadcast-
+        # eligible — the mode already assumes that) frame instead of a
+        # separate agg + crossJoin(broadcast) chain: one fewer
+        # aggregate job and one fewer broadcast build per call, and
+        # the scoring join attaches (c1, v) in ONE forced broadcast.
+        # lp keeps the exact expression log((cbg+1)/(c1+v)) so results
+        # are bit-identical to the two-frame form (equality-verified
+        # at sf0.1). join mode (huge corpora, where a single-partition
+        # window over the vocabulary or a forced broadcast could hurt)
+        # keeps the AQE-decided two-frame shape below.
+        uni2 = F.broadcast(
+            uni.withColumn(
+                "v", F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+            ).withColumnRenamed("tok", "w1")
+        )
+        scored = counted.join(uni2, "w1").select(
             F.col(id_col),
             F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
         )
-    )
+    else:
+        bgc = bg.groupBy("bk").agg(F.count(F.lit(1)).cast("long").alias("cbg"))
+        counted = bg.join(bgc.hint("shuffle_hash"), "bk")
+        vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+        scored = (
+            counted.join(uni.withColumnRenamed("tok", "w1"), "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                F.col(id_col),
+                F.log((F.col("cbg") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+            )
+        )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),

@@ -1350,19 +1350,29 @@ def corpus_curation_surgical(
         .filter(F.col("e") - F.col("s") + 1 >= 20)
         .select("doc_id", "s", "e")
     )
+    # tag each interval with its origin so BOTH per-list sums fall out
+    # of ONE aggregate over the same union that feeds the interval
+    # merge (r09: was two separate aggregates + two extra doc-keyed
+    # joins; span_len == e - s + 1 by construction, so the summed
+    # values are identical)
     iv = dspan.select(
         "doc_id",
         F.col("span_start").alias("s"),
         (F.col("span_start") + F.col("span_len") - 1).alias("e"),
-    ).unionByName(cspan)
+        F.lit(True).alias("__dup"),
+    ).unionByName(cspan.select("doc_id", "s", "e", F.lit(False).alias("__dup")))
     # interval union: running-max island merge over the CUT LISTS (two
     # rows per span, doc-partitioned)
-    cutd = merge_intervals(iv, "doc_id", "s", "e").groupBy("doc_id").agg(
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("cut")
-    )
-    dsum = dspan.groupBy("doc_id").agg(F.sum("span_len").cast("long").alias("cut_dup"))
-    csum = cspan.groupBy("doc_id").agg(
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("cut_contam")
+    cutd = merge_intervals(iv.select("doc_id", "s", "e"), "doc_id", "s", "e").groupBy(
+        "doc_id"
+    ).agg(F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("cut"))
+    dcsum = iv.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("__dup"), F.col("e") - F.col("s") + 1))
+        .cast("long")
+        .alias("cut_dup"),
+        F.sum(F.when(~F.col("__dup"), F.col("e") - F.col("s") + 1))
+        .cast("long")
+        .alias("cut_contam"),
     )
     zero = F.lit(0).cast("long")
     perdoc = track(
@@ -1372,8 +1382,7 @@ def corpus_curation_surgical(
             F.size(punct_tokens_expr(F.col("text"))).cast("long").alias("n_tokens"),
         )
         .join(cutd, "doc_id", "left")
-        .join(dsum, "doc_id", "left")
-        .join(csum, "doc_id", "left")
+        .join(dcsum, "doc_id", "left")
         .select(
             "doc_id",
             "source",

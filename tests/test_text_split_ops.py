@@ -114,3 +114,28 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "no reliable checkpoint data written"
+
+
+def test_connected_components_long_chain_exercises_shortcut(spark):
+    """A path graph whose min sits at one END forces label distance =
+    path length — the worst case for plain min-label propagation and
+    exactly the topology the r09 pointer-jumping rewrite (shortcut
+    from round 3) accelerates. 40 hops would need ~40 plain rounds;
+    with shortcutting it must still land every vertex on the chain
+    min, and the python union-find ground truth pins the answer.
+
+    Vertex ids are deliberately DESCENDING along the chain (min id at
+    the far end) so each round's neighbor-min actually moves labels.
+    """
+    from classification_pyspark_spark.operators.graph import connected_components
+
+    n = 41
+    ids = list(range(n, 0, -1))  # chain n, n-1, ..., 1: min at the end
+    chain = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    extra = [(100, 200), (200, 300)]  # a second small component
+    edges = spark.createDataFrame(chain + extra, "src bigint, dst bigint")
+    got = {
+        r.vertex: r.component
+        for r in connected_components(edges, max_iterations=50).collect()
+    }
+    assert got == {**{v: 1 for v in ids}, 100: 100, 200: 100, 300: 100}
