@@ -280,6 +280,19 @@ def main() -> None:
                 out["calibration_delta"] = round(calibration / base_cal, 2)
                 if med > 2.0 and out["calibration_delta"] < 1.5:
                     out["regressions"] = sorted({*out["regressions"], "__uniform__"})
+    # Self-defense (r10, VERDICT r09 item 5): ALSO write the contract
+    # object to a file next to the stdout line — round 8's
+    # round-over-round comparison was lost to a truncated driver
+    # capture of the stdout tail; the file makes the record
+    # independently recoverable. The stdout contract line is unchanged.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
+            "w",
+        ) as f:
+            json.dump(out, f)
+    except OSError:
+        pass  # read-only checkout must not break the contract output
     print(json.dumps(out))
 
 

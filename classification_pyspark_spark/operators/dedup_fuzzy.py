@@ -287,6 +287,56 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_star_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    n_hashes: int = N_MINHASH,
+    engine: str = "md5_windows",
+) -> DataFrame:
+    """Connectivity-equivalent STAR edges of the banded minhash graph:
+    per (band, h) bucket, one edge (bucket_min, member) per non-min
+    member — O(k) edges per k-member bucket instead of the O(k²) pairs
+    :func:`minhash_candidate_pairs` emits. Within a bucket the star and
+    the clique have identical connected components, and the union over
+    buckets preserves that, so any CC consumer (dedup clustering,
+    curation near-dup collapse) gets byte-identical components/labels —
+    this is the standard star-contraction edge generator.
+
+    Use this WHENEVER the pair list is not itself an output: at 100 TB
+    the edge frame feeding CC is then bounded by (docs × bands), not by
+    sum over buckets of k², which is what one hot template family can
+    otherwise turn quadratic. Keep ``minhash_candidate_pairs`` where
+    pair semantics matter (``n_shared_bands``, pair audits).
+
+    Plan: one window over the persisted banded frame (min + count per
+    bucket in a single pass — no self-join, no pair aggregate).
+    Duplicate (min, member) edges from multi-band collisions are NOT
+    deduped here; ``connected_components`` symmetrizes with a distinct
+    anyway. ``max_bucket_size`` is the same hot-bucket guard as the
+    pair form (count window over the same partition, no extra pass).
+
+    Output: (id_a, id_b) with id_a < id_b (id_a = bucket min).
+    """
+    from pyspark.sql import Window
+
+    long = minhash_band_long(
+        df, text_col, id_col,
+        rows_per_band=rows_per_band, n_hashes=n_hashes, engine=engine,
+    )
+    w = Window.partitionBy("band", "h")
+    e = long.select(
+        F.col(id_col).alias("id_b"),
+        F.min(id_col).over(w).alias("id_a"),
+        F.count(F.lit(1)).over(w).alias("__bn"),
+    )
+    if max_bucket_size is not None:
+        e = e.filter(F.col("__bn") <= max_bucket_size)
+    return e.filter(F.col("id_a") != F.col("id_b")).select("id_a", "id_b")
+
+
 def build_minhash_index(
     df: DataFrame,
     text_col: str,
@@ -833,6 +883,7 @@ def duplicated_span_extents(
     n: int = 10,
     min_span: int = 50,
     hash_grams: bool = True,
+    ordered: bool = True,
 ) -> DataFrame:
     """MAXIMAL duplicated token spans per document — the exact-substring
     dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -872,7 +923,12 @@ def duplicated_span_extents(
     gram strings.
 
     Output: (doc_id, span_start long, span_len long), ordered by
-    (doc_id, span_start).
+    (doc_id, span_start) when ``ordered`` (the presentation default).
+    Pass ``ordered=False`` when the span list feeds further operators
+    (aggregation, broadcast build, interval union) — the global sort
+    is then a pure extra range exchange that the optimizer can NOT
+    always eliminate (it survives under persists and order-sensitive
+    consumers like ``collect_list``); the row SET is identical.
 
     Reference parity: Lee et al.'s ExactSubstr with threshold 50;
     the reference repo has no substring-granularity dedup (its
@@ -928,11 +984,12 @@ def duplicated_span_extents(
         .select("id", "pos", F.lag("pos", 1, 0).over(w).alias("prev"))
         .filter(F.col("pos") - 1 - F.col("prev") >= min_span - n + 1)
     )
-    return gaps.select(
+    out = gaps.select(
         F.col("id").alias("doc_id"),
         (F.col("prev") + 1).cast("long").alias("span_start"),
         (F.col("pos") - 1 - F.col("prev") + (n - 1)).cast("long").alias("span_len"),
-    ).orderBy("doc_id", "span_start")
+    )
+    return out.orderBy("doc_id", "span_start") if ordered else out
 
 
 def duplicated_span_extents_exact(
@@ -988,7 +1045,8 @@ def duplicated_span_extents_exact(
     from .text import punct_tok_sql
 
     spans = duplicated_span_extents(
-        df, text_col, id_col, n=n, min_span=min_span, hash_grams=hash_grams
+        df, text_col, id_col, n=n, min_span=min_span, hash_grams=hash_grams,
+        ordered=False,  # feeds a broadcast build; sort would persist into it
     )
     docs = df.select(
         F.col(id_col).alias("__did"), F.expr(punct_tok_sql(text_col)).alias("__toks")
@@ -1076,7 +1134,8 @@ def duplicated_span_cover(
     from .windows import merge_intervals
 
     spans = duplicated_span_extents(
-        df, text_col, id_col, n=min_span, min_span=min_span, hash_grams=hash_grams
+        df, text_col, id_col, n=min_span, min_span=min_span, hash_grams=hash_grams,
+        ordered=False,  # merge_intervals re-sorts per doc; global sort is waste
     )
     iv = spans.select(
         F.col("doc_id"),

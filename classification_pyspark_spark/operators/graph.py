@@ -19,10 +19,11 @@ jumping, ``component <- label(component)``, Kiveris et al.'s
 shortcutting) so label distance closes exponentially instead of
 one hop per round — measured 9 -> 6 rounds and ~4.3s -> ~2.8s on the
 sf0.1 curation graph while near-clique graphs (converged before
-round 3) never pay the extra join. Each round is one broadcast-sized
-join + one union-agg on the edge frame; lineage is truncated with
-``localCheckpoint`` each round so actions don't re-execute prior
-rounds.
+round 3) never pay the extra join. Each round is one edge-frame join
++ one union-agg (labels are vertex-sized, the join is edge-frame-
+sized — neither is guaranteed broadcast-eligible at cluster scale);
+lineage is truncated with ``localCheckpoint`` each round so actions
+don't re-execute prior rounds.
 """
 
 from __future__ import annotations
@@ -131,12 +132,18 @@ def connected_components(
                 F.min(F.when(F.col("own"), F.col("component"))).alias("__old"),
             )
         )
+        round_persist = None
         if i + 1 >= shortcut_from:
-            # pointer jumping: component <- label(component). The
-            # lookup side re-derives upd from checkpointed inputs
-            # (broadcast join + agg on vertex-sized frames — cheap,
-            # and AQE reuses the exchange), which measured faster
-            # than an extra per-round checkpoint to share it.
+            # pointer jumping: component <- label(component), a self-
+            # join of the round aggregate. Persist upd first: the
+            # lookup side would otherwise RE-DERIVE the edge-frame
+            # join + union-aggregate (exchange reuse is
+            # canonicalization-sensitive and does not reliably fire
+            # for the aliased lookup projection), doubling the
+            # round's edge-frame work. The persist is lazy — zero
+            # extra jobs — and the broadcast build of the lookup side
+            # populates the cache before the probe side reads it.
+            round_persist = upd = upd.persist()
             lk = upd.select(
                 F.col("vertex").alias("__cv"), F.col("component").alias("__cc")
             )
@@ -154,6 +161,10 @@ def connected_components(
                 (F.col("component") < F.col("__old")).alias("__changed"),
             )
         )
+        if round_persist is not None:
+            # the checkpoint above materialized the round; the cached
+            # aggregate is dead weight from here on
+            round_persist.unpersist()
         changed = new_labels.filter("__changed").limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

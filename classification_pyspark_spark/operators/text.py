@@ -623,6 +623,15 @@ def bigram_lm_perplexity(
     a 1-row broadcast and AQE picks the unigram join strategy. The
     corpus never collects to the driver.
 
+    INVARIANT (window mode): the single-partition vocabulary window
+    and the forced unigram broadcast both assume the DISTINCT-TOKEN
+    frame fits one executor/driver — true by construction for natural-
+    language vocabularies (millions of rows of (long, long)), and the
+    ``auto`` probe routes anything above the doc-count threshold to
+    ``join`` mode. Callers passing an EXPLICIT ``count_mode="window"``
+    take on that bound themselves: never choose it for corpora whose
+    token-identity space is unbounded (e.g. hashed features, URLs).
+
     Output: (``id_col``, n_bigrams long, ppl double rounded 4,
     keep int 0/1 at ``keep_threshold``) — one row for EVERY input doc.
     Docs with fewer than 2 tokens have no bigrams to score: they come

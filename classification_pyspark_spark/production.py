@@ -171,7 +171,7 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     """
     from pyspark.sql import Window
 
-    from .operators.dedup_fuzzy import minhash_candidate_pairs
+    from .operators.dedup_fuzzy import minhash_star_edges
     from .operators.text import langid_expr, quality_score_expr
 
     sf_dir = params["sf_dir"]
@@ -221,8 +221,12 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
     # copy, not merely the earliest-ingested one.
     from .operators.graph import connected_components
 
-    pairs = minhash_candidate_pairs(exact, "text", "doc_id")  # guard ON by default
-    comp = connected_components(pairs, "id_a", "id_b")
+    # star-form CC edges (r10): connectivity-identical to the banded
+    # pair join, O(k) edges per bucket instead of O(k²) — the pair
+    # list is not an output here, only the components are consumed.
+    # Hot-bucket guard stays ON by default (same cap as the pair form).
+    edges = minhash_star_edges(exact, "text", "doc_id")
+    comp = connected_components(edges, "id_a", "id_b")
     keep_rank = F.row_number().over(
         Window.partitionBy("component").orderBy(F.desc("__q"), F.asc("doc_id"))
     )
@@ -248,6 +252,7 @@ def curate_documents(spark: SparkSession, params: dict) -> TaskStatus:
             "doc_id",
             n=int(params.get("span_n", 10)),
             min_span=int(params.get("min_span", 50)),
+            ordered=False,  # cut list feeds the rewrite, not a report
         )
         rew = span_cut_rewrite(surv, spans, "text", "doc_id")
         curated = (

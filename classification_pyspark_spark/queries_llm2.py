@@ -836,21 +836,25 @@ def corpus_curation_full(
     (every 3rd test doc under +2e6 ids — the decontamination stage
     provably fires: their 5-gram overlap with the eval set is 1.0).
 
-    Scale shape: the corpus-heavy work is ONE flags projection
+    Scale shape (r10 form): the corpus is built in ONE pass (each doc
+    explodes into its 0-2 injected copies — one scan, no per-branch
+    re-evaluation); the corpus-heavy work is ONE flags projection
     (fused token-stat folds, persisted — consumed by the funnel
     aggregate and the survivor pipeline), the LM count tables
     (vocabulary-bounded unigrams, AQE-skew-safe bigram counting), the
-    banded minhash join on exact survivors (pairs meet only inside
-    band buckets), the gram-keyed decontamination join (train grams
-    never pair with docs, only with the DISTINCT eval gram set), and
-    a range-partitioned global cumsum for packing. Every join key is
-    bounded (band buckets / gram vocabulary / dimension-sized source
-    rollups); nothing is pairwise on the corpus.
+    STAR-form minhash edges on exact survivors (bucket-min edges,
+    O(k) per band bucket — connectivity-identical to the pair join,
+    which this query never outputs), the gram-keyed decontamination
+    join (train grams never pair with docs, only with the DISTINCT
+    eval gram set), a range-partitioned global cumsum for packing,
+    and ONE tagged-union funnel aggregate (no per-stage join fan-in).
+    Every join key is bounded (band buckets / gram vocabulary /
+    dimension-sized source rollups); nothing is pairwise on the corpus.
     """
     from pyspark.sql import Window
 
     from .operators.caching import track
-    from .operators.dedup_fuzzy import minhash_candidate_pairs
+    from .operators.dedup_fuzzy import minhash_star_edges
     from .operators.graph import connected_components
     from .operators.sampling import hash_split_expr
     from .operators.text import (
@@ -869,16 +873,35 @@ def corpus_curation_full(
         load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
     )
     s = d.select("*", hash_split_expr("doc_id").alias("__split"))
-    train = s.filter(F.col("__split") == "train").drop("__split")
+    # one-pass injection (r10): each doc explodes into its 0-2 corpus
+    # copies (train row + every-40th train dup under +1e6 + every-3rd
+    # test clone under +2e6) instead of the old 3-branch union, which
+    # re-evaluated the scan+split PER BRANCH and multiplied the spread
+    # partitioning by the branch count (3x32 = 96 map tasks over 4,393
+    # docs at sf0.1; at 100 TB, 3 corpus scans instead of 1). Same
+    # multiset of (doc_id, text, source, lang) rows.
+    is_tr = F.col("__split") == "train"
+    copies = F.array(
+        F.when(is_tr, F.struct(F.col("doc_id"), F.col("text"))),
+        F.when(
+            is_tr & (F.col("doc_id") % 40 == 0),
+            F.struct((F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")),
+        ),
+        F.when(
+            (~is_tr) & (F.col("doc_id") % 3 == 0),
+            F.struct((F.col("doc_id") + 2000000).alias("doc_id"), F.col("text")),
+        ),
+    )
     corpus = track(
-        train.unionByName(
-            train.filter(F.col("doc_id") % 40 == 0).withColumn(
-                "doc_id", F.col("doc_id") + 1000000
-            )
-        ).unionByName(
-            s.filter((F.col("__split") == "test") & (F.col("doc_id") % 3 == 0))
-            .drop("__split")
-            .withColumn("doc_id", F.col("doc_id") + 2000000)
+        s.select(
+            "source",
+            "lang",
+            F.explode(F.filter(copies, lambda c: c.isNotNull())).alias("__c"),
+        ).select(
+            F.col("__c.doc_id").alias("doc_id"),
+            F.col("__c.text").alias("text"),
+            "source",
+            "lang",
         )
     )
     ppl = bigram_lm_perplexity(corpus, "text", "doc_id", keep_threshold=31.0).select(
@@ -922,13 +945,15 @@ def corpus_curation_full(
     )
     exact = track(lq.filter("rn = 1").select("doc_id", "source", "text"))
     # max_bucket_size=None is the oracle-parity form (exhaustive
-    # pairing); the sf1+ sweep runs the documented production
+    # bucket membership); the sf1+ sweep runs the documented production
     # configuration (hot-bucket guard ON) via scale_sweep's
-    # PRODUCTION_MODE, same posture as minhash_dup_pairs
-    pairs = minhash_candidate_pairs(
+    # PRODUCTION_MODE, same posture as minhash_dup_pairs. r10: the CC
+    # edge list is the STAR form (bucket-min edges, O(k) per bucket,
+    # connectivity-identical) — the pair list was never an output here.
+    edges = minhash_star_edges(
         exact, "text", "doc_id", max_bucket_size=max_bucket_size
-    ).select("id_a", "id_b")
-    cc = connected_components(pairs, "id_a", "id_b")
+    )
+    cc = connected_components(edges, "id_a", "id_b")
     losers = cc.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("doc_id")
     )
@@ -957,56 +982,65 @@ def corpus_curation_full(
         "n_tokens",
         F.floor((F.col("cum_n_tokens") - 1) / 2048).cast("long").alias("pack_id"),
     )
-    f0 = flags.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_dropped_lang"),
-        F.sum(F.when(F.col("lang_ok") & ~F.col("gopher_ok"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dropped_gopher"),
-        F.sum(
-            F.when(F.col("lang_ok") & F.col("gopher_ok") & ~F.col("ppl_ok"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_dropped_ppl"),
-    )
-    f1 = (
-        lq.filter("rn > 1")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_exact"))
-    )
-    f2 = (
-        exact.join(losers, "doc_id")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_neardup"))
-    )
-    f3 = (
-        nd.join(dropc, "doc_id")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_contam"))
-    )
-    f4 = kpack.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("n_tokens").cast("long").alias("kept_tokens"),
-        F.countDistinct("pack_id").cast("long").alias("n_packs_spanned"),
-    )
-    zero = F.lit(0).cast("long")
-    return (
-        f0.join(f1, "source", "left")
-        .join(f2, "source", "left")
-        .join(f3, "source", "left")
-        .join(f4, "source", "left")
-        .select(
+    # funnel tail (r10): ONE aggregate over a tagged union of the five
+    # stage frames replaces five per-source aggregates + four broadcast
+    # left joins — same values (every later stage's sources are a
+    # subset of flags', so the group-key set is unchanged, and sums
+    # over absent tags are NULL -> coalesce 0 exactly like the old
+    # left-join NULLs). One exchange on `source` instead of five.
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    nul = F.lit(None).cast("long")
+
+    def _stage(df_, st, v1=one, v2=zero, v3=zero, v4=zero, pk=nul):
+        return df_.select(
             "source",
-            "n_docs",
-            "n_dropped_lang",
-            "n_dropped_gopher",
-            "n_dropped_ppl",
-            F.coalesce("n_dropped_exact", zero).alias("n_dropped_exact"),
-            F.coalesce("n_dropped_neardup", zero).alias("n_dropped_neardup"),
-            F.coalesce("n_dropped_contam", zero).alias("n_dropped_contam"),
-            F.coalesce("n_kept", zero).alias("n_kept"),
-            F.coalesce("kept_tokens", zero).alias("kept_tokens"),
-            F.coalesce("n_packs_spanned", zero).alias("n_packs_spanned"),
+            F.lit(st).alias("__st"),
+            v1.cast("long").alias("__v1"),
+            v2.cast("long").alias("__v2"),
+            v3.cast("long").alias("__v3"),
+            v4.cast("long").alias("__v4"),
+            pk.cast("long").alias("__pk"),
+        )
+
+    u = (
+        _stage(
+            flags,
+            0,
+            v2=F.when(~F.col("lang_ok"), 1).otherwise(0),
+            v3=F.when(F.col("lang_ok") & ~F.col("gopher_ok"), 1).otherwise(0),
+            v4=F.when(
+                F.col("lang_ok") & F.col("gopher_ok") & ~F.col("ppl_ok"), 1
+            ).otherwise(0),
+        )
+        .unionByName(_stage(lq.filter("rn > 1"), 1))
+        .unionByName(_stage(exact.join(losers, "doc_id"), 2))
+        .unionByName(_stage(nd.join(dropc, "doc_id"), 3))
+        .unionByName(_stage(kpack, 4, v2=F.col("n_tokens"), pk=F.col("pack_id")))
+    )
+    st = F.col("__st")
+
+    def _sum(stage, col, name):
+        return (
+            F.coalesce(F.sum(F.when(st == stage, F.col(col))), zero)
+            .cast("long")
+            .alias(name)
+        )
+
+    return (
+        u.groupBy("source")
+        .agg(
+            _sum(0, "__v1", "n_docs"),
+            _sum(0, "__v2", "n_dropped_lang"),
+            _sum(0, "__v3", "n_dropped_gopher"),
+            _sum(0, "__v4", "n_dropped_ppl"),
+            _sum(1, "__v1", "n_dropped_exact"),
+            _sum(2, "__v1", "n_dropped_neardup"),
+            _sum(3, "__v1", "n_dropped_contam"),
+            _sum(4, "__v1", "n_kept"),
+            _sum(4, "__v2", "kept_tokens"),
+            F.countDistinct(F.when(st == 4, F.col("__pk")))
+            .cast("long")
+            .alias("n_packs_spanned"),
         )
         .orderBy("source")
     )
@@ -1223,9 +1257,10 @@ def corpus_curation_surgical(
     yields at every scale.
 
     Scale shape: identical to ``corpus_curation_full`` through the
-    near-dup stage (one persisted flags projection, vocabulary-bounded
-    LM tables, banded minhash with the parametrized ``max_bucket_size``
-    production guard). The surgical stage adds the two span plans the
+    near-dup stage (one-pass injected corpus, one persisted flags
+    projection, vocabulary-bounded LM tables, star-form minhash edges
+    with the parametrized ``max_bucket_size`` production guard, one
+    tagged-union funnel aggregate). The surgical stage adds the two span plans the
     wave-10/11 queries already audited (anchor-complement islands — no
     gram self-join; broadcastable eval gram set semi-join) plus a
     doc-partitioned interval-union window over the CUT LISTS (two rows
@@ -1238,7 +1273,7 @@ def corpus_curation_surgical(
     from .operators.caching import track
     from .operators.dedup_fuzzy import (
         duplicated_span_extents,
-        minhash_candidate_pairs,
+        minhash_star_edges,
     )
     from .operators.graph import connected_components
     from .operators.sampling import hash_split_expr
@@ -1258,23 +1293,43 @@ def corpus_curation_surgical(
         load_table(spark, sf_dir, "documents").select("doc_id", "text", "source", "lang")
     )
     s = d.select("*", hash_split_expr("doc_id").alias("__split"))
-    train = s.filter(F.col("__split") == "train").drop("__split")
     test = s.filter(F.col("__split") == "test").drop("__split")
+    # one-pass injection (r10, same rewrite as corpus_curation_full):
+    # each doc explodes into its 0-2 corpus copies (train row +
+    # every-40th train dup +1e6 + every-6th test clone +2e6 + chimera
+    # +3e6) instead of the old 4-branch union — that union re-evaluated
+    # the scan+split per branch and multiplied the spread partitioning
+    # by the branch count (4x32 = 128 map tasks over 4,393 docs at
+    # sf0.1; at 100 TB, 4 corpus scans instead of 1). Same multiset.
+    is_tr = F.col("__split") == "train"
+    copies = F.array(
+        F.when(is_tr, F.struct(F.col("doc_id"), F.col("text"))),
+        F.when(
+            is_tr & (F.col("doc_id") % 40 == 0),
+            F.struct((F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")),
+        ),
+        F.when(
+            (~is_tr) & (F.col("doc_id") % 6 == 0),
+            F.struct((F.col("doc_id") + 2000000).alias("doc_id"), F.col("text")),
+        ),
+        F.when(
+            (~is_tr) & (F.col("doc_id") % 6 == 3),
+            F.struct(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.expr("concat(text, ' ', substring(text, 1, 400))").alias("text"),
+            ),
+        ),
+    )
     corpus = track(
-        train.unionByName(
-            train.filter(F.col("doc_id") % 40 == 0).withColumn(
-                "doc_id", F.col("doc_id") + 1000000
-            )
-        )
-        .unionByName(
-            test.filter(F.col("doc_id") % 6 == 0).withColumn(
-                "doc_id", F.col("doc_id") + 2000000
-            )
-        )
-        .unionByName(
-            test.filter(F.col("doc_id") % 6 == 3)
-            .withColumn("text", F.expr("concat(text, ' ', substring(text, 1, 400))"))
-            .withColumn("doc_id", F.col("doc_id") + 3000000)
+        s.select(
+            "source",
+            "lang",
+            F.explode(F.filter(copies, lambda c: c.isNotNull())).alias("__c"),
+        ).select(
+            F.col("__c.doc_id").alias("doc_id"),
+            F.col("__c.text").alias("text"),
+            "source",
+            "lang",
         )
     )
     ppl = bigram_lm_perplexity(corpus, "text", "doc_id", keep_threshold=31.0).select(
@@ -1317,16 +1372,22 @@ def corpus_curation_surgical(
         "rn", F.row_number().over(Window.partitionBy("__digest").orderBy("doc_id"))
     )
     exact = track(lq.filter("rn = 1").select("doc_id", "source", "text"))
-    pairs = minhash_candidate_pairs(
+    # star-form CC edges (r10): connectivity-identical, O(k) per band
+    # bucket — the pair list is not an output of this query
+    edges = minhash_star_edges(
         exact, "text", "doc_id", max_bucket_size=max_bucket_size
-    ).select("id_a", "id_b")
-    cc = connected_components(pairs, "id_a", "id_b")
+    )
+    cc = connected_components(edges, "id_a", "id_b")
     losers = cc.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias("doc_id")
     )
     nd = track(exact.join(losers, "doc_id", "left_anti"))
     # --- surgical stage: two cut lists over the same punct tokenization ---
-    dspan = track(duplicated_span_extents(nd, "text", "doc_id", n=10, min_span=50))
+    dspan = track(
+        duplicated_span_extents(
+            nd, "text", "doc_id", n=10, min_span=50, ordered=False
+        )
+    )
     five = rolling_gram_hash_sql(
         punct_tok_sql("text"), 5, distinct=False, pad_short=False
     )
@@ -1398,61 +1459,77 @@ def corpus_curation_surgical(
     kpack = global_cumsum(kept, "doc_id", ["kt"]).select(
         "source", "kt", F.floor((F.col("cum_kt") - 1) / 2048).cast("long").alias("pack_id")
     )
-    f0 = flags.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(0)).cast("long").alias("n_dropped_lang"),
-        F.sum(F.when(F.col("lang_ok") & ~F.col("gopher_ok"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dropped_gopher"),
-        F.sum(
-            F.when(F.col("lang_ok") & F.col("gopher_ok") & ~F.col("ppl_ok"), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_dropped_ppl"),
-    )
-    f1 = (
-        lq.filter("rn > 1")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_exact"))
-    )
-    f2 = (
-        exact.join(losers, "doc_id")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_neardup"))
-    )
-    f3 = perdoc.groupBy("source").agg(
-        F.sum("cut_dup").cast("long").alias("tokens_cut_dup"),
-        F.sum("cut_contam").cast("long").alias("tokens_cut_contam"),
-        F.sum("cut").cast("long").alias("tokens_cut"),
-        F.sum(F.when(F.col("n_tokens") - F.col("cut") <= 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_dropped_cut"),
-    )
-    f4 = kpack.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("kt").cast("long").alias("kept_tokens"),
-        F.countDistinct("pack_id").cast("long").alias("n_packs_spanned"),
-    )
-    return (
-        f0.join(f1, "source", "left")
-        .join(f2, "source", "left")
-        .join(f3, "source", "left")
-        .join(f4, "source", "left")
-        .select(
+    # funnel tail (r10, same rewrite as corpus_curation_full): ONE
+    # aggregate over a tagged union of the five stage frames replaces
+    # five per-source aggregates + four broadcast left joins — same
+    # values (later stages' sources are subsets of flags', sums over
+    # absent tags are NULL -> coalesce 0 exactly like the old
+    # left-join NULLs). One exchange on `source` instead of five.
+    one = F.lit(1).cast("long")
+    nul = F.lit(None).cast("long")
+
+    def _stage(df_, st, v1=one, v2=zero, v3=zero, v4=zero, pk=nul):
+        return df_.select(
             "source",
-            "n_docs",
-            "n_dropped_lang",
-            "n_dropped_gopher",
-            "n_dropped_ppl",
-            F.coalesce("n_dropped_exact", zero).alias("n_dropped_exact"),
-            F.coalesce("n_dropped_neardup", zero).alias("n_dropped_neardup"),
-            F.coalesce("tokens_cut_dup", zero).alias("tokens_cut_dup"),
-            F.coalesce("tokens_cut_contam", zero).alias("tokens_cut_contam"),
-            F.coalesce("tokens_cut", zero).alias("tokens_cut"),
-            F.coalesce("n_dropped_cut", zero).alias("n_dropped_cut"),
-            F.coalesce("n_kept", zero).alias("n_kept"),
-            F.coalesce("kept_tokens", zero).alias("kept_tokens"),
-            F.coalesce("n_packs_spanned", zero).alias("n_packs_spanned"),
+            F.lit(st).alias("__st"),
+            v1.cast("long").alias("__v1"),
+            v2.cast("long").alias("__v2"),
+            v3.cast("long").alias("__v3"),
+            v4.cast("long").alias("__v4"),
+            pk.cast("long").alias("__pk"),
+        )
+
+    u = (
+        _stage(
+            flags,
+            0,
+            v2=F.when(~F.col("lang_ok"), 1).otherwise(0),
+            v3=F.when(F.col("lang_ok") & ~F.col("gopher_ok"), 1).otherwise(0),
+            v4=F.when(
+                F.col("lang_ok") & F.col("gopher_ok") & ~F.col("ppl_ok"), 1
+            ).otherwise(0),
+        )
+        .unionByName(_stage(lq.filter("rn > 1"), 1))
+        .unionByName(_stage(exact.join(losers, "doc_id"), 2))
+        .unionByName(
+            _stage(
+                perdoc,
+                3,
+                v1=F.col("cut_dup"),
+                v2=F.col("cut_contam"),
+                v3=F.col("cut"),
+                v4=F.when(F.col("n_tokens") - F.col("cut") <= 0, 1).otherwise(0),
+            )
+        )
+        .unionByName(_stage(kpack, 4, v2=F.col("kt"), pk=F.col("pack_id")))
+    )
+    st = F.col("__st")
+
+    def _sum(stage, col, name):
+        return (
+            F.coalesce(F.sum(F.when(st == stage, F.col(col))), zero)
+            .cast("long")
+            .alias(name)
+        )
+
+    return (
+        u.groupBy("source")
+        .agg(
+            _sum(0, "__v1", "n_docs"),
+            _sum(0, "__v2", "n_dropped_lang"),
+            _sum(0, "__v3", "n_dropped_gopher"),
+            _sum(0, "__v4", "n_dropped_ppl"),
+            _sum(1, "__v1", "n_dropped_exact"),
+            _sum(2, "__v1", "n_dropped_neardup"),
+            _sum(3, "__v1", "tokens_cut_dup"),
+            _sum(3, "__v2", "tokens_cut_contam"),
+            _sum(3, "__v3", "tokens_cut"),
+            _sum(3, "__v4", "n_dropped_cut"),
+            _sum(4, "__v1", "n_kept"),
+            _sum(4, "__v2", "kept_tokens"),
+            F.countDistinct(F.when(st == 4, F.col("__pk")))
+            .cast("long")
+            .alias("n_packs_spanned"),
         )
         .orderBy("source")
     )
@@ -1605,7 +1682,9 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup_fuzzy import duplicated_span_extents, span_cut_rewrite
 
     d = spread_for_compute(load_table(spark, sf_dir, "documents"))
-    spans = duplicated_span_extents(d, "text", "doc_id", n=10, min_span=50)
+    spans = duplicated_span_extents(
+        d, "text", "doc_id", n=10, min_span=50, ordered=False
+    )
     return span_cut_rewrite(d, spans, "text", "doc_id").orderBy("doc_id")
 
 

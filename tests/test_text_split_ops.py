@@ -139,3 +139,38 @@ def test_connected_components_long_chain_exercises_shortcut(spark):
         for r in connected_components(edges, max_iterations=50).collect()
     }
     assert got == {**{v: 1 for v in ids}, 100: 100, 200: 100, 300: 100}
+
+
+def test_connected_components_shortcut_persists_round_aggregate(spark, monkeypatch):
+    """r10 pin (VERDICT r09 item 2): each shortcut round must PERSIST
+    the round aggregate before the pointer-jump self-join — exchange
+    reuse for the aliased lookup side is canonicalization-sensitive,
+    and without the persist the edge-frame join + union-aggregate
+    evaluates twice per shortcut round. The pin: >= 1 persist happens
+    on a shortcut-forcing chain, and every persist is released."""
+    from classification_pyspark_spark.operators.graph import connected_components
+
+    ids = list(range(12, 0, -1))  # descending chain: min at the far end
+    chain = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    edges = spark.createDataFrame(chain, "src bigint, dst bigint")
+    # patch the CONCRETE DataFrame class (Spark 4: pyspark.sql.DataFrame
+    # is an abstract facade; instances are the classic subclass, whose
+    # own persist/unpersist would shadow a base-class patch)
+    cls = type(edges)
+    calls = {"persist": 0, "unpersist": 0}
+    orig_p, orig_u = cls.persist, cls.unpersist
+
+    def counting_persist(self, *a, **k):
+        calls["persist"] += 1
+        return orig_p(self, *a, **k)
+
+    def counting_unpersist(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_u(self, *a, **k)
+
+    monkeypatch.setattr(cls, "persist", counting_persist)
+    monkeypatch.setattr(cls, "unpersist", counting_unpersist)
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == {v: 1 for v in ids}
+    assert calls["persist"] >= 1, "shortcut rounds must cache the round aggregate"
+    assert calls["unpersist"] == calls["persist"], "every round cache is released"

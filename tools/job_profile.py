@@ -72,9 +72,34 @@ def main() -> int:
     time.sleep(1.0)
 
     logs = sorted(glob.glob(f"{evdir}/*"), key=os.path.getmtime)
+    latest = logs[-1]
+    if os.path.isdir(latest):
+        # Spark 4 event-log v2 layout: a directory of events_<n>_* files
+        # (zstd-compressed by default)
+        parts = sorted(
+            (p for p in glob.glob(f"{latest}/events_*")),
+            key=lambda p: int(os.path.basename(p).split("_")[1]),
+        )
+    else:
+        parts = [latest]
+
+    def _lines(path):
+        if path.endswith(".zstd"):
+            import shutil
+            import subprocess
+
+            zstd = shutil.which("zstd") or "/root/miniconda/bin/zstd"
+            out = subprocess.run(
+                [zstd, "-d", "-c", path], capture_output=True, check=True
+            )
+            yield from out.stdout.decode("utf-8", "replace").splitlines()
+        else:
+            with open(path) as f:
+                yield from f
+
     jobs: dict[int, dict] = {}
-    with open(logs[-1]) as f:
-        for line in f:
+    for part in parts:
+        for line in _lines(part):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
