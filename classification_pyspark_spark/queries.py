@@ -71,70 +71,66 @@ def _register_extensions() -> None:
 # family gets a driver-checked CORRECTNESS row each round; queries already
 # driver-green in a previous round rotate out to make room (their green row
 # stands, and the full registry is still swept locally by
-# tools/check_oracle.py).  Round 9 window: CORRECTNESS_r08 went 50/50
-# green (cumulative driver coverage 231/231 — no never-checked oracles
-# remained), so the only never-driver-checked candidate is the 1 query
-# REGISTERED this round (first slot); the remaining 49 are pure
-# freshness re-verification, filled with the queries whose LAST
-# driver-green row is oldest — the r04-vintage rows, then the earliest
-# r05 rows.
+# tools/check_oracle.py).  Round 10 window: CORRECTNESS_r09 went 50/50
+# green and NO never-driver-checked oracle query remains (cumulative
+# driver coverage 232/232) and round 10 registered no new queries, so
+# all 50 slots are freshness re-verification: the queries whose LAST
+# driver-green row is oldest (the r05-vintage rows, then the earliest
+# r06 rows).
 # Do not hand-edit this list: regenerate via
 # `python tools/window_rotation.py` (test_window_matches_rotation_tool
 # pins the never-checked prefix to the tool's output).
 DRIVER_WINDOW: list[str] = [
-    # --- round-9 registrations (never driver-checked, registry order) ---
-    "top_bigrams_capped",
-    # --- re-verification: stalest driver-green rows (last green in
-    # r04 — 31 rows — then the earliest r05 rows) ---
-    "ewma_customer_spend",
-    "ab_test_proportion_ztest",
-    "chi_square_independence",
-    "boxplot_stats_lineitem",
-    "residual_distribution",
-    "pred_vs_actual_binned",
-    "class_density_histogram",
-    "rollup_time_multigrain",
-    "pagerank_supplier_influence",
-    "repetition_stats",
-    "gopher_quality_rules",
-    "retention_cohorts",
-    "key_skew_report",
-    "union_distinct_intersect_except",
-    "clean_strings",
-    "confusion_cells",
-    "simhash_hamming_pairs",
-    "streaming_tumbling_counts",
-    "streaming_session_windows",
-    "streaming_stateful_user_stats",
-    "bm25_keyword_topk",
-    "k_anonymity_profile",
-    "acf_daily_revenue",
-    "mad_robust_outliers",
-    "incremental_distinct_sketch",
-    "unpivot_measures",
-    "view_abandonment_daily",
-    "feature_hash_buckets",
-    "table_diff_reconciliation",
-    "join_cardinality_estimate",
-    "sliding_distinct_users_sketch",
-    "flagship_customer_features",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "dedup_keep_first",
-    "heavy_hitters_tokens",
-    "udtf_word_windows",
-    "anomaly_rolling_zscore",
-    "distributed_exact_quantiles",
-    "gaps_islands_activity",
-    "dedup_exact_text",
-    "minhash_signatures",
-    "minhash_dup_pairs",
-    "minhash_incremental_dedup",
-    "ngram_jaccard_pairs",
-    "knn_bruteforce",
-    "embedding_dup_pairs",
-    "embedding_incremental_dedup",
+    "knn_ivf",
+    "dedup_clusters",
+    "knn_lsh_topk",
+    "rouge_halves_overlap",
+    "bleu_halves_overlap",
+    "distinct_n_diversity",
+    "variant_props_shred",
+    "data_quality_checks",
+    "hash_sample_per_group",
+    "domain_mix_weights",
+    "adaptive_quality_threshold",
+    "psi_weekly_drift",
+    "resample_hourly_gapfill",
+    "event_transition_matrix",
+    "funnel_three_step",
+    "copurchase_brand_lift",
+    "funnel_time_to_convert",
+    "activity_heatmap_dow_hour",
+    "weekly_active_users",
+    "streaming_sliding_rates",
+    "supplier_lead_time_stats",
+    "monthly_revenue_seasonality",
+    "part_type_revenue_pareto",
+    "histogram_fixed_buckets",
+    "approx_distinct_counts",
+    "skew_salted_groupby",
+    "pivot_status_counts",
+    "grouped_quantiles",
+    "zorder_curve_stats",
+    "sql_interface_regional_revenue",
+    "sql_interface_segment_priority_mix",
+    "sql_pipe_syntax_ship_status",
+    "date_range_filter",
+    "dedup_subset_distinct",
+    "distinct_counts",
+    "case_consistency",
+    "describe_numeric",
+    "describe_categorical",
+    "coefficient_of_variation",
+    "correlation_matrix",
+    "crosstab_counts",
+    "class_balance",
+    "seasonal_decomposition_daily",
+    "cusum_changepoint_daily",
+    "theil_sen_trend",
+    "benford_first_digit_audit",
+    "skyline_pareto_suppliers",
+    "twap_user_value",
+    "mase_seasonal_backtest",
+    "corpus_curation",
 ]
 
 
